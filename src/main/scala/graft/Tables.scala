@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Readers for the driver-generated parquet tables (TESTDATA.md) plus
+  * shared column helpers used across query definitions.
+  *
+  * Scale notes: every reader is a plain parquet scan so Catalyst can push
+  * filters/column pruning straight into the scan. Dimension tables
+  * (`region`, `nation`, `supplier`) stay small at any SF and are always
+  * joined with an explicit `broadcast(...)` hint by callers.
+  */
+object Tables {
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame    = table(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame  = table(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame  = table(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
+  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 refuses to
+    * read as a timestamp. Read it as a raw nanos long (legacy conf) and
+    * convert to a microsecond timestamp — the generated data is µs-exact,
+    * and the DuckDB oracle reads the same file as a µs TIMESTAMP, so
+    * values match bit-for-bit.
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    table(s, d, "events")
+      .withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+  }
+  def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+
+  /** Exact cross-engine-reproducible sum of a double column.
+    *
+    * A plain `sum(double)` depends on reduction order, which differs
+    * between Spark partial/final aggregation and the DuckDB oracle. Casting
+    * each value to decimal first makes the sum exact (decimal adds are
+    * associative), and the final cast back to double is deterministic.
+    *
+    * Scale 6 matters: the raw monetary/rate columns carry 2 decimals, so
+    * products of up to three of them are true 6-decimal values. Rounding
+    * the double representation at scale 6 is therefore unambiguous (the
+    * double sits ~1e-10 from a 6dp value, far from any half-way boundary),
+    * whereas scale 4 would put ~1% of products on a .00005 boundary where
+    * Spark (HALF_UP on the shortest decimal string) and DuckDB (scaled
+    * nearbyint) round differently.
+    */
+  def dsum(c: Column): Column = sum(c.cast(DecimalType(18, 6))).cast("double")
+
+  /** Cross-engine-reproducible average: exact decimal sum over exact count. */
+  def davg(c: Column): Column = dsum(c) / count(c)
+
+  /** Portable 32-bit positive hash: first 8 hex chars of md5, as a long.
+    * Same value is computable in DuckDB as ('0x'||substr(md5(x),1,8))::BIGINT,
+    * which is what the oracle SQL uses. Used by minhash/simhash/LSH so the
+    * oracle can replay the exact signatures.
+    */
+  def md5Hash32(c: Column): Column =
+    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+}

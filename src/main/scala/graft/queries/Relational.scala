@@ -1,0 +1,437 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables._
+
+/** Core relational query surface: scans, filters, projections, joins,
+  * aggregations, windows, sorts, set ops — the Spark re-expression of the
+  * reference's record-table transforms (SURVEY.md §2.2–2.7).
+  *
+  * Every query is deterministic (explicit ORDER BY with a unique tiebreak,
+  * exact decimal-backed double sums — see [[graft.Tables.dsum]]) so the
+  * driver's DuckDB hash-compare is stable.
+  *
+  * Scale design: fact tables (`lineitem`, `orders`, `events`) are only ever
+  * scanned with pushed filters/pruned columns; dimensions (`nation`,
+  * `region`, `supplier`) are joined via explicit `broadcast` hints so no
+  * plan here shuffles a dimension at 100 TB. Aggregations are plain
+  * `groupBy` (partial/final hash agg, map-side combine for free).
+  */
+object Relational {
+
+  /** TPC-H Q1-shaped pricing summary: filter → groupBy → exact agg.
+    * Covers SURVEY A4/A5 (counts, nested totals), P4 (column-pruned scan).
+    */
+  def q1PricingSummary(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .filter(col("l_shipdate") <= lit("1999-12-01").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
+        dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))).as("sum_charge"),
+        davg(col("l_quantity")).as("avg_qty"),
+        davg(col("l_discount")).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  val q1Sql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+      |CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_base_price,
+      |CAST(SUM(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+      |CAST(SUM(CAST(l_extendedprice*(1.0-l_discount)*(1.0+l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+      |CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE)/COUNT(l_quantity) AS avg_qty,
+      |CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE)/COUNT(l_discount) AS avg_disc,
+      |COUNT(*) AS count_order
+      |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1999-12-01'
+      |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** Star join: fact ⋈ broadcast dims, revenue rollup by region/nation.
+    * Covers SURVEY J1 (dimension lookup as broadcast hash join).
+    * At scale: `customer` is mid-sized (hash-shuffle join with orders on
+    * custkey), `nation`/`region` broadcast — no dim ever shuffles.
+    */
+  def q2RevenueByNation(s: SparkSession, d: String): DataFrame = {
+    val rev = lineitem(s, d)
+      .select(col("l_orderkey"),
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))
+    val o = orders(s, d).select("o_orderkey", "o_custkey")
+    val c = customer(s, d).select("c_custkey", "c_nationkey")
+    val n = nation(s, d).select("n_nationkey", "n_name", "n_regionkey")
+    val r = region(s, d).select("r_regionkey", "r_name")
+    rev
+      .join(o, rev("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(dsum(col("rev")).as("revenue"), count(lit(1)).as("n_items"))
+      .orderBy("r_name", "n_name")
+  }
+
+  val q2Sql: String =
+    """SELECT r_name, n_name,
+      |CAST(SUM(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+      |COUNT(*) AS n_items
+      |FROM lineitem JOIN orders ON l_orderkey=o_orderkey
+      |JOIN customer ON o_custkey=c_custkey
+      |JOIN nation ON c_nationkey=n_nationkey
+      |JOIN region ON n_regionkey=r_regionkey
+      |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin
+
+  /** Top-k by aggregate: SURVEY O2/O3 (argmax table pick, first-N). The
+    * limit is pushed through the sort (TakeOrderedAndProject), so at scale
+    * only k rows per partition ever reach the driver-side merge.
+    */
+  def q3TopOrders(s: SparkSession, d: String): DataFrame = {
+    val rev = lineitem(s, d)
+      .groupBy(col("l_orderkey"))
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+    val o = orders(s, d).select(col("o_orderkey"), col("o_orderpriority"))
+    rev.join(o, rev("l_orderkey") === o("o_orderkey"))
+      .select(col("o_orderkey"), col("revenue"), col("o_orderpriority"))
+      .orderBy(desc("revenue"), col("o_orderkey"))
+      .limit(10)
+  }
+
+  val q3Sql: String =
+    """SELECT o_orderkey, revenue, o_orderpriority FROM (
+      |SELECT l_orderkey,
+      |CAST(SUM(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+      |FROM lineitem GROUP BY l_orderkey) r
+      |JOIN orders ON l_orderkey=o_orderkey
+      |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin
+
+  /** Multi-criteria filter + status tally: SURVEY P9 (isin conjunction),
+    * A6 (success/failure tally). Filters push to the parquet scan.
+    */
+  def q4FilterTally(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .filter(col("o_orderstatus").isin("O", "F") &&
+        col("o_orderpriority").isin("1-URGENT", "2-HIGH", "3-MEDIUM") &&
+        col("o_totalprice") > 1000.0)
+      .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+      .orderBy("o_orderstatus", "o_orderpriority")
+
+  val q4Sql: String =
+    """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+      |CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total
+      |FROM orders
+      |WHERE o_orderstatus IN ('O','F')
+      |AND o_orderpriority IN ('1-URGENT','2-HIGH','3-MEDIUM')
+      |AND o_totalprice > 1000.0
+      |GROUP BY o_orderstatus, o_orderpriority ORDER BY o_orderstatus, o_orderpriority""".stripMargin
+
+  /** Equality row filter: SURVEY P6 (repeated-header-row drop re-expressed:
+    * `Player != 'Player'` ≡ drop rows whose key equals a sentinel literal).
+    */
+  def p6HeaderRowFilter(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .filter(col("o_orderstatus") =!= "O")
+      .select(col("o_orderkey"), col("o_orderstatus"))
+      .orderBy("o_orderkey")
+
+  val p6Sql: String =
+    """SELECT o_orderkey, o_orderstatus FROM orders
+      |WHERE o_orderstatus <> 'O' ORDER BY o_orderkey""".stripMargin
+
+  /** Regex exclusion filter: SURVEY P7 (live-game drop via rlike). */
+  def p7PatternExclusion(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .filter(!col("text").rlike("stream|dup|slow"))
+      .select(col("doc_id"), col("lang"))
+      .orderBy("doc_id")
+
+  val p7Sql: String =
+    """SELECT doc_id, lang FROM documents
+      |WHERE NOT regexp_matches(text, 'stream|dup|slow') ORDER BY doc_id""".stripMargin
+
+  /** Keyword + length predicate: SURVEY P8/P10 (bounded length, keyword
+    * containment, non-blank). */
+  def p8KeywordLength(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .filter(length(trim(col("text"))) >= 5 &&
+        col("n_chars") > 30 && col("n_chars") < 500 &&
+        col("text").rlike("(?i)(join|window|hash)"))
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .orderBy("doc_id")
+
+  val p8Sql: String =
+    """SELECT doc_id, lang, n_chars FROM documents
+      |WHERE length(trim(text)) >= 5 AND n_chars > 30 AND n_chars < 500
+      |AND regexp_matches(text, '(?i)(join|window|hash)') ORDER BY doc_id""".stripMargin
+
+  /** Date parse/format round-trip: SURVEY F2 (`MM/dd/yyyy` re-format). */
+  def f2DateReformat(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .select(col("o_orderkey"),
+        date_format(col("o_orderdate"), "MM/dd/yyyy").as("order_date_us"),
+        year(col("o_orderdate")).cast("int").as("order_year"))
+      .orderBy("o_orderkey")
+
+  val f2Sql: String =
+    """SELECT o_orderkey, strftime(o_orderdate, '%m/%d/%Y') AS order_date_us,
+      |CAST(year(o_orderdate) AS INT) AS order_year
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
+  /** md5 surrogate id: SURVEY F19 (12-hex-char deterministic row id). */
+  def f19Md5Id(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .select(col("o_orderkey"),
+        substring(md5(concat_ws("_", col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))), 1, 12).as("row_id"))
+      .orderBy("o_orderkey")
+
+  val f19Sql: String =
+    """SELECT o_orderkey, substr(md5(concat_ws('_', o_orderkey, o_custkey, o_orderstatus)), 1, 12) AS row_id
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
+  /** Group-and-collect: SURVEY A2 (props accumulated per player) — here
+    * events per user with their distinct event types. `collect_set` +
+    * `sort_array` keeps the result order-insensitive (shuffle-safe).
+    */
+  def a2CollectPerKey(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("event_type")).as("n_types"),
+        sort_array(collect_set(col("event_type"))).as("types"))
+      .orderBy("user_id")
+
+  val a2Sql: String =
+    """SELECT user_id, COUNT(*) AS n_events,
+      |COUNT(DISTINCT event_type) AS n_types,
+      |list_sort(list_distinct(list(event_type))) AS types
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  /** Bucket categorization: SURVEY A3 (keyword market routing re-expressed
+    * as a when/otherwise cascade) + grouped rollup.
+    */
+  def a3BucketCategorize(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .withColumn("bucket",
+        when(col("event_type").isin("purchase", "signup"), "conversion")
+          .when(col("event_type") === "error", "failure")
+          .otherwise("engagement"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
+      .orderBy("bucket")
+
+  val a3Sql: String =
+    """SELECT CASE WHEN event_type IN ('purchase','signup') THEN 'conversion'
+      |WHEN event_type = 'error' THEN 'failure' ELSE 'engagement' END AS bucket,
+      |COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+      |FROM events GROUP BY 1 ORDER BY bucket""".stripMargin
+
+  /** Argmax per group: SURVEY A7/O2 (max-by). Deterministic tiebreak via
+    * (count desc, user_id asc) row_number — rank-stable across engines
+    * because the ranking key is integral.
+    */
+  def a7ArgmaxPerGroup(s: SparkSession, d: String): DataFrame = {
+    val counts = events(s, d).groupBy(col("event_type"), col("user_id"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(desc("cnt"), col("user_id"))
+    counts.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("event_type"), col("user_id"), col("cnt"))
+      .orderBy("event_type")
+  }
+
+  val a7Sql: String =
+    """SELECT event_type, user_id, cnt FROM (
+      |SELECT event_type, user_id, COUNT(*) AS cnt,
+      |row_number() OVER (PARTITION BY event_type ORDER BY COUNT(*) DESC, user_id) AS rn
+      |FROM events GROUP BY event_type, user_id) t
+      |WHERE rn = 1 ORDER BY event_type""".stripMargin
+
+  /** Distinct-set validation via anti-join: SURVEY A8/O7 (missing-team
+    * check re-expressed: nations with no high-balance supplier).
+    */
+  def a8MissingKeysAntiJoin(s: SparkSession, d: String): DataFrame = {
+    val highSup = supplier(s, d).filter(col("s_acctbal") > 9000.0)
+      .select(col("s_nationkey"))
+    nation(s, d)
+      .join(highSup, col("n_nationkey") === col("s_nationkey"), "left_anti")
+      .select(col("n_nationkey"), col("n_name"))
+      .orderBy("n_nationkey")
+  }
+
+  val a8Sql: String =
+    """SELECT n_nationkey, n_name FROM nation
+      |WHERE NOT EXISTS (SELECT 1 FROM supplier WHERE s_acctbal > 9000.0
+      |AND s_nationkey = n_nationkey) ORDER BY n_nationkey""".stripMargin
+
+  /** Completeness cross-check: SURVEY A9 — expected (event_type × user)
+    * grid cross-joined then anti-joined against combinations actually seen
+    * in an early time slice; non-empty result = report of missing cells.
+    */
+  def a9CompletenessGrid(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+    val types = ev.select(col("event_type")).distinct()
+    val users = ev.select(col("user_id")).distinct()
+    val seen = ev
+      .filter(col("ts") < lit("2024-01-01 00:30:00").cast("timestamp"))
+      .select(col("event_type").as("seen_type"), col("user_id").as("seen_user"))
+      .distinct()
+    types.crossJoin(users)
+      .join(seen,
+        col("event_type") === col("seen_type") && col("user_id") === col("seen_user"),
+        "left_anti")
+      .orderBy("event_type", "user_id")
+  }
+
+  val a9Sql: String =
+    """SELECT t.event_type, u.user_id
+      |FROM (SELECT DISTINCT event_type FROM events) t
+      |CROSS JOIN (SELECT DISTINCT user_id FROM events) u
+      |WHERE NOT EXISTS (
+      |  SELECT 1 FROM events e
+      |  WHERE e.ts < TIMESTAMP '2024-01-01 00:30:00'
+      |  AND e.event_type = t.event_type AND e.user_id = u.user_id)
+      |ORDER BY t.event_type, u.user_id""".stripMargin
+
+  /** Union-by-name with provenance key: SURVEY O4/J3 (keyed dict merge →
+    * key column + union). */
+  def o4UnionByName(s: SparkSession, d: String): DataFrame = {
+    val c = customer(s, d).select(lit("customer").as("src"), col("c_name").as("name"))
+    val p = supplier(s, d).select(lit("supplier").as("src"), col("s_name").as("name"))
+    c.unionByName(p)
+      .groupBy(col("src"))
+      .agg(count(lit(1)).as("n"), min(col("name")).as("first_name"), max(col("name")).as("last_name"))
+      .orderBy("src")
+  }
+
+  val o4Sql: String =
+    """SELECT src, COUNT(*) AS n, MIN(name) AS first_name, MAX(name) AS last_name FROM (
+      |SELECT 'customer' AS src, c_name AS name FROM customer
+      |UNION ALL SELECT 'supplier' AS src, s_name AS name FROM supplier) t
+      |GROUP BY src ORDER BY src""".stripMargin
+
+  /** Prefix-key dedup: SURVEY O5/O6 (seen-set dedup by content prefix),
+    * made deterministic: keep min(doc_id) per 40-char prefix.
+    */
+  def o5PrefixDedup(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .withColumn("k", substring(col("text"), 1, 40))
+      .groupBy(col("k"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("dup_count"))
+      .select(col("doc_id"), col("k"), col("dup_count"))
+      .orderBy("doc_id")
+
+  val o5Sql: String =
+    """SELECT MIN(doc_id) AS doc_id, substr(text,1,40) AS k, COUNT(*) AS dup_count
+      |FROM documents GROUP BY substr(text,1,40) ORDER BY doc_id""".stripMargin
+
+  /** Carry-forward window: SURVEY W1/S7 (stateful line scan → last
+    * non-null over an ordered frame). The most recent signup event id is
+    * attached to every subsequent event of the same user.
+    */
+  def w1CarryForward(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events(s, d)
+      .withColumn("last_signup_event",
+        last(when(col("event_type") === "signup", col("event_id")), ignoreNulls = true).over(w))
+      .select(col("user_id"), col("event_id"), col("event_type"), col("last_signup_event"))
+      .orderBy("user_id", "event_id")
+  }
+
+  val w1Sql: String =
+    """SELECT user_id, event_id, event_type,
+      |last_value(CASE WHEN event_type='signup' THEN event_id END IGNORE NULLS)
+      |  OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_signup_event
+      |FROM events ORDER BY user_id, event_id""".stripMargin
+
+  /** Occurrence-order ranking: SURVEY W2/F16 (1st vs later occurrence
+    * within a partition, order-sensitive disambiguation). */
+  def w2OccurrenceRank(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+    events(s, d)
+      .withColumn("rn", row_number().over(w))
+      .withColumn("occurrence", when(col("rn") === 1, "first").otherwise("repeat"))
+      .filter(col("rn") <= 2)
+      .select(col("user_id"), col("event_type"), col("rn"), col("event_id"), col("occurrence"))
+      .orderBy("user_id", "event_type", "rn")
+  }
+
+  val w2Sql: String =
+    """SELECT user_id, event_type, rn, event_id,
+      |CASE WHEN rn=1 THEN 'first' ELSE 'repeat' END AS occurrence FROM (
+      |SELECT user_id, event_type, event_id,
+      |row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn
+      |FROM events) t WHERE rn <= 2 ORDER BY user_id, event_type, rn""".stripMargin
+
+  /** Rolling last-N average: the "Last 7/15/30" timeframe averages the
+    * reference outsources to the scraped site (SURVEY §2.5 note), computed
+    * properly as a sliding window over the event log. Rounded: sliding
+    * frames are evaluated with different FP accumulation strategies per
+    * engine (DuckDB segment tree vs Spark running frame).
+    */
+  def w3RollingAvg(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-6, Window.currentRow)
+    events(s, d)
+      .withColumn("avg_value_7", round(avg(col("value")).over(w), 4))
+      .select(col("user_id"), col("event_id"), col("avg_value_7"))
+      .orderBy("user_id", "event_id")
+  }
+
+  val w3Sql: String =
+    """SELECT user_id, event_id,
+      |round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |  ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS avg_value_7
+      |FROM events ORDER BY user_id, event_id""".stripMargin
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_pricing_summary" -> q1PricingSummary,
+    "q2_revenue_by_nation" -> q2RevenueByNation,
+    "q3_top_orders" -> q3TopOrders,
+    "q4_filter_tally" -> q4FilterTally,
+    "p6_header_row_filter" -> p6HeaderRowFilter,
+    "p7_pattern_exclusion" -> p7PatternExclusion,
+    "p8_keyword_length" -> p8KeywordLength,
+    "f2_date_reformat" -> f2DateReformat,
+    "f19_md5_id" -> f19Md5Id,
+    "a2_collect_per_key" -> a2CollectPerKey,
+    "a3_bucket_categorize" -> a3BucketCategorize,
+    "a7_argmax_per_group" -> a7ArgmaxPerGroup,
+    "a8_missing_keys_antijoin" -> a8MissingKeysAntiJoin,
+    "a9_completeness_grid" -> a9CompletenessGrid,
+    "o4_union_by_name" -> o4UnionByName,
+    "o5_prefix_dedup" -> o5PrefixDedup,
+    "w1_carry_forward" -> w1CarryForward,
+    "w2_occurrence_rank" -> w2OccurrenceRank,
+    "w3_rolling_avg" -> w3RollingAvg,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q1_pricing_summary" -> q1Sql,
+    "q2_revenue_by_nation" -> q2Sql,
+    "q3_top_orders" -> q3Sql,
+    "q4_filter_tally" -> q4Sql,
+    "p6_header_row_filter" -> p6Sql,
+    "p7_pattern_exclusion" -> p7Sql,
+    "p8_keyword_length" -> p8Sql,
+    "f2_date_reformat" -> f2Sql,
+    "f19_md5_id" -> f19Sql,
+    "a2_collect_per_key" -> a2Sql,
+    "a3_bucket_categorize" -> a3Sql,
+    "a7_argmax_per_group" -> a7Sql,
+    "a8_missing_keys_antijoin" -> a8Sql,
+    "a9_completeness_grid" -> a9Sql,
+    "o4_union_by_name" -> o4Sql,
+    "o5_prefix_dedup" -> o5Sql,
+    "w1_carry_forward" -> w1Sql,
+    "w2_occurrence_rank" -> w2Sql,
+    "w3_rolling_avg" -> w3Sql,
+  )
+}
