@@ -1,0 +1,153 @@
+package graft.extract
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Regex/scalar derivation library (SURVEY.md §2.3 F5-F22) and the
+  * stateful page-text line scan (S7 + W1).
+  *
+  * Everything here is built from codegen'd `functions._` expressions — no
+  * UDFs — so the chains stay inside whole-stage codegen and distribute
+  * trivially.
+  */
+object Extract {
+
+  /** American-odds extraction, e.g. "-110", "+1050": SURVEY F5,
+    * `nba_props_scraper.py:504-506`. */
+  def extractOdds(c: Column): Column =
+    regexp_extract_all(c, lit("[+-]\\d{3,4}"), lit(0))
+
+  /** Prop line value: `[OU] 25.5` with standalone `\d+.5` fallback:
+    * SURVEY F6, `nba_props_scraper.py:745-754`. */
+  def extractLineValue(c: Column): Column = {
+    val primary = regexp_extract(c, "(?i)[OU]\\s*(\\d+\\.?\\d*)", 1)
+    val fallback = regexp_extract(c, "\\b(\\d+\\.5)\\b", 1)
+    when(primary =!= "", primary).otherwise(
+      when(fallback =!= "", fallback).otherwise(lit(null)))
+      .cast("double")
+  }
+
+  /** Over/under odds assignment from context keywords: SURVEY F7,
+    * `nba_props_scraper.py:760-768`. Returns struct(over_odds, under_odds).
+    */
+  def assignOverUnder(line: Column, odds: Column): Column = {
+    val lower_ = lower(line)
+    // try_element_at: ANSI-safe — arrays may have 0/1 odds entries
+    val first = try_element_at(odds, lit(1))
+    val second = try_element_at(odds, lit(2))
+    val overFirst = lower_.contains("over") || lower_.rlike("^o\\b|\\bo\\s*\\d")
+    struct(
+      when(overFirst, first).otherwise(second).as("over_odds"),
+      when(overFirst, second).otherwise(first).as("under_odds"))
+  }
+
+  /** Matchup `ABC @ XYZ` extraction: SURVEY F8,
+    * `nba_insights_scraper.py:396-404`. Returns struct(team, opponent,
+    * matchup). */
+  def extractMatchup(c: Column): Column = {
+    val pat = "([A-Z]{3})\\s*[@vs]+\\s*([A-Z]{3})"
+    val t = regexp_extract(c, pat, 1)
+    val o = regexp_extract(c, pat, 2)
+    struct(t.as("team"), o.as("opponent"),
+      when(t =!= "", concat(t, lit(" @ "), o)).otherwise(lit("")).as("matchup"))
+  }
+
+  /** Game-time: first of several datetime shapes: SURVEY F9,
+    * `nba_insights_scraper.py:406-417`. */
+  def extractGameTime(c: Column): Column = {
+    def nz(x: Column) = when(x =!= "", x).otherwise(lit(null))
+    coalesce(
+      nz(regexp_extract(c, "(?i)((?:Today|Tomorrow)\\s+\\d{1,2}:\\d{2}\\s*[AP]M)", 1)),
+      nz(regexp_extract(c, "(\\d{1,2}/\\d{1,2}\\s+\\d{1,2}:\\d{2}\\s*[AP]M)", 1)),
+      nz(regexp_extract(c, "(?i)((?:Mon|Tue|Wed|Thu|Fri|Sat|Sun)[a-z]*\\s+\\d{1,2}:\\d{2}\\s*[AP]M)", 1)),
+      nz(regexp_extract(c, "(\\d{1,2}:\\d{2}\\s*[AP]M)", 1)))
+  }
+
+  /** Hit-rate percentage → int: SURVEY F12, `nba_insights_scraper.py:466-471`. */
+  def extractHitRate(c: Column): Column =
+    when(regexp_extract(c, "(\\d{1,3})\\s*%", 1) =!= "",
+      regexp_extract(c, "(\\d{1,3})\\s*%", 1).cast("int"))
+
+  /** First known sportsbook contained in the text: SURVEY F13,
+    * `nba_insights_scraper.py:480-484`. */
+  val sportsbooks: Seq[String] = Seq("DraftKings", "FanDuel", "BetMGM",
+    "Caesars", "ESPN BET", "Hard Rock", "bet365", "Pinnacle")
+
+  def detectSportsbook(c: Column): Column =
+    coalesce(sportsbooks.map(b =>
+      when(lower(c).contains(b.toLowerCase), lit(b))) :+ lit(null): _*)
+
+  /** Player-name classifier: 2-4 capitalized words, name charset, not a
+    * stop word: SURVEY F14, `nba_props_scraper.py:707-731`. */
+  val nameStopWords: Seq[String] = Seq("points", "rebounds", "assists",
+    "over", "under", "total", "spread", "moneyline", "live", "quarter",
+    "half time", "player props", "same game parlay")
+
+  def isPlayerName(c: Column): Column =
+    c.rlike("^([A-Z][A-Za-z.'-]+ ){1,3}[A-Z][A-Za-z.'-]+$") &&
+      !lower(c).isin(nameStopWords: _*)
+
+  /** Strip trailing `(14-15)` record suffix: SURVEY F17,
+    * `DEFENSEVSPOSTION.PY:171-172`. */
+  def stripRecordSuffix(c: Column): Column =
+    regexp_replace(c, "\\s*\\([^)]*\\)\\s*$", "")
+
+  /** Filename sanitization chain: SURVEY F18, `nba_props_scraper.py:862-872`. */
+  def sanitizeFilename(c: Column, maxLen: Int = 80): Column =
+    substring(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(c, "[<>:\"/\\\\|?*]", ""),
+          "[\\s\\-@]+", "_"),
+        "_+", "_"),
+      1, maxLen)
+
+  /** md5 surrogate id (12 hex chars): SURVEY F19,
+    * `nba_insights_scraper.py:509-510`. */
+  def md5Id(cols: Column*): Column =
+    substring(md5(concat_ws("_", cols: _*)), 1, 12)
+
+  /** Spread/total parse `('CLE by 3.5', 'o/u 224.5')`: SURVEY F21,
+    * `lineup_scraper.py:71-78`. Returns struct(favorite, spread,
+    * over_under). */
+  def parseSpreadTotal(c: Column): Column =
+    struct(
+      regexp_extract(c, "([A-Z]{3})\\s+by\\s+(\\d+\\.?\\d*)", 1).as("favorite"),
+      regexp_extract(c, "([A-Z]{3})\\s+by\\s+(\\d+\\.?\\d*)", 2).try_cast("double").as("spread"),
+      regexp_extract(c, "(?i)o/u\\s*(\\d+\\.?\\d*)", 1).try_cast("double").as("over_under"))
+
+  /** Stateful page-text scan (SURVEY S7 + W1): one text blob per match →
+    * one row per line with the most recent player-name line and prop-type
+    * header carried forward onto subsequent odds lines.
+    *
+    * Spark-first shape: `split` + `posexplode` fans the blob out into
+    * distributed rows; the carried state is `last(_, ignoreNulls)` over an
+    * ordered window partitioned by the blob key — no driver-side loop, and
+    * each blob's window is independent so the stage scales with the number
+    * of blobs.
+    */
+  def lineScan(df: DataFrame, keyCol: String, textCol: String,
+      propTypes: Seq[String] = Seq("Points", "Rebounds", "Assists",
+        "Threes", "Steals", "Blocks")): DataFrame = {
+    val lines = df.select(col(keyCol),
+        posexplode(split(col(textCol), "\\n")).as(Seq("line_no", "line")))
+      .withColumn("line", trim(col("line")))
+      .filter(length(col("line")) >= 3) // SURVEY P10 short-text skip
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("line_no"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    lines
+      .withColumn("player",
+        last(when(isPlayerName(col("line")), col("line")), ignoreNulls = true).over(w))
+      .withColumn("prop_type",
+        last(when(col("line").isin(propTypes: _*), col("line")), ignoreNulls = true).over(w))
+      .withColumn("odds", extractOdds(col("line")))
+      .withColumn("line_value", extractLineValue(col("line")))
+      .filter(size(col("odds")) > 0 && col("line_value").isNotNull &&
+        col("player").isNotNull && col("prop_type").isNotNull)
+      .withColumn("ou", assignOverUnder(col("line"), col("odds")))
+      .select(col(keyCol), col("line_no"), col("player"), col("prop_type"),
+        col("line_value").as("line"),
+        col("ou.over_odds"), col("ou.under_odds"), col("odds"))
+  }
+}
