@@ -18,12 +18,24 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     _root_.graft.queries.Relational.q2RevenueByNation(spark, "/root/testdata/sf0.001")
 
-  /** One entry per implemented operator from SURVEY.md §2. */
+  /** One entry per implemented operator from SURVEY.md §2 plus the
+    * training-data extensions (dedup, similarity, text analysis,
+    * enrichment, event-time windows). */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    _root_.graft.queries.Relational.defs
+    _root_.graft.queries.Relational.defs ++
+      _root_.graft.queries.Dedup.defs ++
+      _root_.graft.queries.Similarity.defs ++
+      _root_.graft.queries.TextAnalysis.defs ++
+      _root_.graft.queries.Enrich.defs ++
+      _root_.graft.streaming.EventWindows.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    _root_.graft.queries.Relational.oracle
+    _root_.graft.queries.Relational.oracle ++
+      _root_.graft.queries.Dedup.oracle ++
+      _root_.graft.queries.Similarity.oracle ++
+      _root_.graft.queries.TextAnalysis.oracle ++
+      _root_.graft.queries.Enrich.oracle ++
+      _root_.graft.streaming.EventWindows.oracle
 }

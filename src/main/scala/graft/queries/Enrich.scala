@@ -1,0 +1,107 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** Enrichment / reshape operators: the alias-dimension broadcast join
+  * (SURVEY J1 + F15/F17), groupBy-pivot reshaping (SURVEY §1.1 #3), and
+  * JSON field extraction from the `events.props` payload column.
+  */
+object Enrich {
+
+  /** E1 — team-alias-style canonicalization: messy name strings (upper
+    * case, trailing `(n-7)` record suffixes — built deterministically from
+    * `nation`) are cleaned (suffix strip F17, whitespace normalize F4) and
+    * resolved against a broadcast alias dimension (J1). At scale the alias
+    * dim is always bounded (≤ thousands of rows) — broadcast hash join,
+    * the fact side never shuffles.
+    */
+  def e1AliasCanonicalize(s: SparkSession, d: String): DataFrame = {
+    val messy = nation(s, d).select(col("n_nationkey"),
+      concat(upper(col("n_name")),
+        when(pmod(col("n_nationkey"), lit(3)) === 0,
+          concat(lit(" ("), col("n_nationkey").cast("string"), lit("-7)")))
+          .otherwise(lit(""))).as("raw_name"))
+    val cleaned = messy.withColumn("cleaned",
+      trim(regexp_replace(col("raw_name"), "\\s*\\([^)]*\\)\\s*$", "")))
+    val aliasDim = nation(s, d)
+      .select(upper(col("n_name")).as("alias"), col("n_name").as("canonical"))
+    cleaned.join(broadcast(aliasDim), col("cleaned") === col("alias"), "left")
+      .select(col("n_nationkey"), col("raw_name"), col("canonical"))
+      .orderBy("n_nationkey")
+  }
+
+  val e1Sql: String =
+    """WITH messy AS (
+      |  SELECT n_nationkey,
+      |    upper(n_name) || CASE WHEN n_nationkey % 3 = 0
+      |      THEN ' (' || n_nationkey || '-7)' ELSE '' END AS raw_name
+      |  FROM nation),
+      |cleaned AS (
+      |  SELECT n_nationkey, raw_name,
+      |    trim(regexp_replace(raw_name, '\s*\([^)]*\)\s*$', '')) AS cleaned
+      |  FROM messy),
+      |alias_dim AS (SELECT upper(n_name) AS alias, n_name AS canonical FROM nation)
+      |SELECT c.n_nationkey, c.raw_name, a.canonical
+      |FROM cleaned c LEFT JOIN alias_dim a ON c.cleaned = a.alias
+      |ORDER BY c.n_nationkey""".stripMargin
+
+  /** E2 — groupBy + pivot: documents per (source × lang) as a wide table,
+    * the relational form of the reference's `data[pos][timeframe]` cube
+    * (SURVEY §1.1 #3). Pivot values are enumerated, so Spark skips the
+    * extra distinct-values job (important at scale).
+    */
+  def e2PivotCube(s: SparkSession, d: String): DataFrame = {
+    val langs = Seq("de", "en", "es", "zh")
+    val p = documents(s, d)
+      .groupBy(col("source"))
+      .pivot("lang", langs)
+      .agg(count(lit(1)))
+    p.select(col("source") +: langs.map(l =>
+        coalesce(col(l), lit(0L)).as(l)): _*)
+      .orderBy("source")
+  }
+
+  val e2Sql: String =
+    """SELECT source,
+      |  count(*) FILTER (WHERE lang = 'de') AS de,
+      |  count(*) FILTER (WHERE lang = 'en') AS en,
+      |  count(*) FILTER (WHERE lang = 'es') AS es,
+      |  count(*) FILTER (WHERE lang = 'zh') AS zh
+      |FROM documents GROUP BY source ORDER BY source""".stripMargin
+
+  /** E3 — JSON payload extraction: pull a typed field out of the string
+    * JSON `props` column (codegen'd path expression, no UDF), aggregate
+    * per event type.
+    */
+  def e3JsonExtract(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("int").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(col("k")).as("n"),
+        sum(col("k")).as("k_sum"),
+        min(col("k")).as("k_min"),
+        max(col("k")).as("k_max"))
+      .orderBy("event_type")
+
+  val e3Sql: String =
+    """SELECT event_type, count(k) AS n, sum(k) AS k_sum,
+      |  min(k) AS k_min, max(k) AS k_max
+      |FROM (SELECT event_type, json_extract_string(props, '$.k')::INT AS k
+      |      FROM events)
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e1_alias_canonicalize" -> e1AliasCanonicalize,
+    "e2_pivot_cube" -> e2PivotCube,
+    "e3_json_extract" -> e3JsonExtract,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "e1_alias_canonicalize" -> e1Sql,
+    "e2_pivot_cube" -> e2Sql,
+    "e3_json_extract" -> e3Sql,
+  )
+}

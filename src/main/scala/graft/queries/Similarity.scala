@@ -1,0 +1,149 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables._
+
+/** Similarity search over the `embeddings` table (`Array[Float]`, 64-dim):
+  * brute-force cosine top-k as the correctness baseline and a
+  * sign-hyperplane LSH bucketed variant as the scale path.
+  *
+  * Cross-engine determinism: cosine is computed as a strict left fold
+  * (`aggregate` with 0.0 seed in Spark ≡ `list_reduce` with prepended 0.0
+  * in DuckDB) over float→double exact casts, so dot products and norms are
+  * bit-identical in both engines; ranking on the raw double is therefore
+  * stable, and displayed values are rounded.
+  *
+  * Scale design: the query set is the small side and is broadcast — the
+  * big embeddings table is scanned once, never shuffled, for brute force.
+  * The LSH variant replaces the all-pairs product with an equi-join on
+  * bucket key: shuffle partitions by bucket, candidate count bounded by
+  * bucket sizes (expected n/2^bits per bucket). Top-k per query goes
+  * through `row_number` over a per-query window (TakeOrdered-style:
+  * only k rows per query survive the window filter).
+  */
+object Similarity {
+
+  /** Strict-left-fold cosine similarity between two float-array columns. */
+  def cosine(a: Column, b: Column): Column = {
+    def fold(arr: Column): Column =
+      aggregate(arr, lit(0.0), (acc, x) => acc + x)
+    val dot = fold(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")))
+    val na = fold(transform(a, x => x.cast("double") * x.cast("double")))
+    val nb = fold(transform(b, x => x.cast("double") * x.cast("double")))
+    dot / (sqrt(na) * sqrt(nb))
+  }
+
+  /** DuckDB rendering of [[cosine]] with identical fold order. */
+  private def cosineSql(a: String, b: String): String = {
+    def fold(items: String) =
+      s"list_reduce(list_prepend(0.0, $items), (acc, x) -> acc + x)"
+    val dot = fold(s"list_transform(range(1, len($a)+1), i -> $a[i]::DOUBLE * $b[i]::DOUBLE)")
+    val na = fold(s"list_transform(range(1, len($a)+1), i -> $a[i]::DOUBLE * $a[i]::DOUBLE)")
+    val nb = fold(s"list_transform(range(1, len($b)+1), i -> $b[i]::DOUBLE * $b[i]::DOUBLE)")
+    s"$dot / (sqrt($na) * sqrt($nb))"
+  }
+
+  /** S1 — brute-force cosine top-k: for each query vector (vec_id < 10),
+    * the 5 nearest neighbors among all other vectors. The query side is
+    * broadcast; the full table is scanned exactly once.
+    */
+  def s1BruteForceTopK(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d)
+    val q = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(desc("cos"), col("vec_id"))
+    emb.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .withColumn("cos", cosine(col("qe"), col("embedding")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"),
+        round(col("cos"), 6).as("cos_sim"))
+      .orderBy("query_id", "rank")
+  }
+
+  val s1Sql: String = {
+    val cos = cosineSql("q.qe", "e.embedding")
+    s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+      |  FROM embeddings WHERE vec_id < 10)
+      |SELECT query_id, neighbor_id, rank, round(cos, 6) AS cos_sim FROM (
+      |  SELECT q.query_id, e.vec_id AS neighbor_id,
+      |    $cos AS cos,
+      |    row_number() OVER (PARTITION BY q.query_id
+      |      ORDER BY $cos DESC, e.vec_id) AS rank
+      |  FROM embeddings e JOIN q ON e.vec_id <> q.query_id) t
+      |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** S2 — sign-hyperplane LSH near-dup pairs: bucket key = sign bits of
+    * the first 8 components (axis-aligned hyperplanes); exact cosine only
+    * within buckets; report pairs with cosine ≥ 0.3.
+    */
+  def s2LshNearDup(s: SparkSession, d: String): DataFrame = {
+    val keyed = embeddings(s, d).withColumn("bucket",
+      concat((1 to 8).map(i =>
+        when(try_element_at(col("embedding"), lit(i)) >= 0f, lit("1"))
+          .otherwise(lit("0"))): _*))
+    val pairs = keyed.as("a").join(keyed.as("b"),
+        col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cos", cosine(col("a.embedding"), col("b.embedding")))
+      .filter(round(col("cos"), 6) >= 0.3)
+    pairs.select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        round(col("cos"), 6).as("cos_sim"))
+      .orderBy("vec_a", "vec_b")
+  }
+
+  val s2Sql: String = {
+    val bucket = (1 to 8)
+      .map(i => s"CASE WHEN embedding[$i] >= 0 THEN '1' ELSE '0' END")
+      .mkString(" || ")
+    val cos = cosineSql("a.embedding", "b.embedding")
+    s"""WITH keyed AS (SELECT vec_id, embedding, $bucket AS bucket
+      |  FROM embeddings)
+      |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+      |  round($cos, 6) AS cos_sim
+      |FROM keyed a JOIN keyed b
+      |  ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+      |WHERE round($cos, 6) >= 0.3
+      |ORDER BY vec_a, vec_b""".stripMargin
+  }
+
+  /** S3 — exact embedding near-dup detection: all pairs with cosine ≥ 0.35
+    * (brute force; the correctness oracle for what S2 approximates).
+    * At 100 TB this is the one operator that cannot stay all-pairs — the
+    * LSH variant (S2) is the production path; this exists as the recall
+    * reference and for bounded candidate sets.
+    */
+  def s3EmbeddingNearDup(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d).select(col("vec_id"), col("embedding"))
+    e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cos", cosine(col("a.embedding"), col("b.embedding")))
+      .filter(round(col("cos"), 6) >= 0.35)
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        round(col("cos"), 6).as("cos_sim"))
+      .orderBy("vec_a", "vec_b")
+  }
+
+  val s3Sql: String = {
+    val cos = cosineSql("a.embedding", "b.embedding")
+    s"""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, round($cos, 6) AS cos_sim
+      |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      |WHERE round($cos, 6) >= 0.35
+      |ORDER BY vec_a, vec_b""".stripMargin
+  }
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s1_bruteforce_topk" -> s1BruteForceTopK,
+    "s2_lsh_neardup" -> s2LshNearDup,
+    "s3_embedding_neardup" -> s3EmbeddingNearDup,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "s1_bruteforce_topk" -> s1Sql,
+    "s2_lsh_neardup" -> s2Sql,
+    "s3_embedding_neardup" -> s3Sql,
+  )
+}

@@ -1,0 +1,69 @@
+package graft.sink
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
+
+/** Sink layer (SURVEY §2.1 S8-S13): partitioned directory layout,
+  * metadata-envelope outputs, run summaries, overwrite-or-create
+  * semantics.
+  *
+  * Design divergence from the reference, on purpose: the reference nests
+  * whole tables inside one JSON document (`{"metadata": ..., "data":
+  * [...]}`), which serializes the entire dataset through one writer. Here
+  * data files stay partition-parallel (parquet/json per partition) and the
+  * envelope metadata is written as a tiny sidecar aggregate — same
+  * information, no parallelism loss at 100 TB.
+  */
+object Sinks {
+
+  /** S9/S10 — partitioned write with overwrite-or-create per partition:
+    * only partitions present in `df` are replaced (dynamic overwrite),
+    * mirroring the reference's same-filename-per-(team,page) replacement.
+    */
+  def writePartitioned(df: DataFrame, path: String, partitionCols: Seq[String],
+      format: String = "parquet"): Unit = {
+    df.sparkSession.conf
+      .set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    df.write
+      .mode(SaveMode.Overwrite)
+      .partitionBy(partitionCols: _*)
+      .format(format)
+      .save(path)
+  }
+
+  /** S8 — metadata-envelope output: data files written partition-parallel
+    * under `path/data`, metadata (row count + caller-supplied context +
+    * a parameterized timestamp for reproducible runs, SURVEY §7.5 #7)
+    * as a single small JSON under `path/_meta`.
+    */
+  def writeEnveloped(df: DataFrame, path: String,
+      source: String, runTimestamp: String): Unit = {
+    val spark = df.sparkSession
+    df.write.mode(SaveMode.Overwrite).parquet(s"$path/data")
+    val written = spark.read.parquet(s"$path/data")
+    written.agg(count(lit(1)).as("record_count"))
+      .withColumn("source", lit(source))
+      .withColumn("scraped_at", lit(runTimestamp))
+      .withColumn("columns", lit(df.columns.mkString(",")))
+      .coalesce(1)
+      .write.mode(SaveMode.Overwrite).json(s"$path/_meta")
+  }
+
+  /** S11 — run-summary sink: per-status tallies of an operation ledger. */
+  def writeRunSummary(statusDf: DataFrame, statusCol: String, path: String): Unit =
+    statusDf.groupBy(col(statusCol))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(statusCol)
+      .coalesce(1)
+      .write.mode(SaveMode.Overwrite).json(path)
+
+  /** S13 — incremental skip-if-exists: true iff the partition directory
+    * already exists at `path` (job-level gate, not a per-row filter).
+    */
+  def partitionExists(df: DataFrame, path: String): Boolean = {
+    val hadoopPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hadoopPath.getFileSystem(
+      df.sparkSession.sparkContext.hadoopConfiguration)
+    fs.exists(hadoopPath)
+  }
+}
