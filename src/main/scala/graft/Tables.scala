@@ -37,6 +37,16 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 
+  /** `documents` spread across all cores for per-row compute-heavy
+    * stages (tokenize/hash/HOF). The test parquet arrives as ONE split
+    * (single row group), so without this the whole map side runs in one
+    * task; on a real multi-split table the shuffle is proportionally
+    * negligible. Keyed by doc_id so the layout is deterministic.
+    */
+  def documentsSpread(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+
   /** Exact cross-engine-reproducible sum of a double column.
     *
     * A plain `sum(double)` depends on reduction order, which differs

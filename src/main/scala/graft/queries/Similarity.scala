@@ -4,29 +4,38 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables._
+import graft.plans.GraftExtensions
 
 /** Similarity search over the `embeddings` table (`Array[Float]`, 64-dim):
   * brute-force cosine top-k as the correctness baseline and a
   * sign-hyperplane LSH bucketed variant as the scale path.
   *
-  * Cross-engine determinism: cosine is computed as a strict left fold
-  * (`aggregate` with 0.0 seed in Spark ≡ `list_reduce` with prepended 0.0
-  * in DuckDB) over float→double exact casts, so dot products and norms are
-  * bit-identical in both engines; ranking on the raw double is therefore
-  * stable, and displayed values are rounded.
+  * Hot path: the codegen'd [[graft.functions.DotProduct]] expression
+  * (`graft_dot`) — the higher-order-function composition it replaces is
+  * CodegenFallback in Spark and was ~10× slower on the all-pairs queries.
+  * Norms are computed once per vector and joined, so each candidate pair
+  * costs exactly one 64-float dot product inside whole-stage codegen.
+  *
+  * Cross-engine determinism: `graft_dot` accumulates strictly
+  * left-to-right in double (bit-identical to the DuckDB oracle's
+  * `list_reduce` rendering); cosine = dot / (sqrt(dot(a,a)) *
+  * sqrt(dot(b,b))) with the left vector's norm always first, so products
+  * round identically and ranking on the raw double is stable.
   *
   * Scale design: the query set is the small side and is broadcast — the
   * big embeddings table is scanned once, never shuffled, for brute force.
   * The LSH variant replaces the all-pairs product with an equi-join on
   * bucket key: shuffle partitions by bucket, candidate count bounded by
   * bucket sizes (expected n/2^bits per bucket). Top-k per query goes
-  * through `row_number` over a per-query window (TakeOrdered-style:
-  * only k rows per query survive the window filter).
+  * through `row_number` over a per-query window.
   */
 object Similarity {
 
-  /** Strict-left-fold cosine similarity between two float-array columns. */
-  def cosine(a: Column, b: Column): Column = {
+  /** Reference (slow-path) cosine via builtin higher-order functions —
+    * kept as the numerics oracle for [[graft.functions.DotProduct]];
+    * specs assert bit-equality between the two.
+    */
+  def cosineHof(a: Column, b: Column): Column = {
     def fold(arr: Column): Column =
       aggregate(arr, lit(0.0), (acc, x) => acc + x)
     val dot = fold(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")))
@@ -35,7 +44,14 @@ object Similarity {
     dot / (sqrt(na) * sqrt(nb))
   }
 
-  /** DuckDB rendering of [[cosine]] with identical fold order. */
+  /** Embeddings with the L2 norm precomputed once per vector. */
+  private def withNorm(s: SparkSession, d: String): DataFrame = {
+    GraftExtensions.ensureRegistered(s)
+    embeddings(s, d)
+      .withColumn("nrm", sqrt(expr("graft_dot(embedding, embedding)")))
+  }
+
+  /** DuckDB rendering of the same strict-left-fold cosine. */
   private def cosineSql(a: String, b: String): String = {
     def fold(items: String) =
       s"list_reduce(list_prepend(0.0, $items), (acc, x) -> acc + x)"
@@ -50,13 +66,15 @@ object Similarity {
     * broadcast; the full table is scanned exactly once.
     */
   def s1BruteForceTopK(s: SparkSession, d: String): DataFrame = {
-    val emb = embeddings(s, d)
+    val emb = withNorm(s, d)
     val q = emb.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        col("nrm").as("qnrm"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(desc("cos"), col("vec_id"))
     emb.join(broadcast(q), col("vec_id") =!= col("query_id"))
-      .withColumn("cos", cosine(col("qe"), col("embedding")))
+      .withColumn("cos",
+        expr("graft_dot(qe, embedding)") / (col("qnrm") * col("nrm")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 5)
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"),
@@ -82,16 +100,18 @@ object Similarity {
     * within buckets; report pairs with cosine ≥ 0.3.
     */
   def s2LshNearDup(s: SparkSession, d: String): DataFrame = {
-    val keyed = embeddings(s, d).withColumn("bucket",
+    val keyed = withNorm(s, d).withColumn("bucket",
       concat((1 to 8).map(i =>
         when(try_element_at(col("embedding"), lit(i)) >= 0f, lit("1"))
           .otherwise(lit("0"))): _*))
-    val pairs = keyed.as("a").join(keyed.as("b"),
+    keyed.as("a").join(keyed.as("b"),
         col("a.bucket") === col("b.bucket") &&
           col("a.vec_id") < col("b.vec_id"))
-      .withColumn("cos", cosine(col("a.embedding"), col("b.embedding")))
+      .withColumn("cos",
+        expr("graft_dot(a.embedding, b.embedding)") /
+          (col("a.nrm") * col("b.nrm")))
       .filter(round(col("cos"), 6) >= 0.3)
-    pairs.select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
         round(col("cos"), 6).as("cos_sim"))
       .orderBy("vec_a", "vec_b")
   }
@@ -112,15 +132,17 @@ object Similarity {
   }
 
   /** S3 — exact embedding near-dup detection: all pairs with cosine ≥ 0.35
-    * (brute force; the correctness oracle for what S2 approximates).
+    * (brute force; the recall reference for what S2 approximates).
     * At 100 TB this is the one operator that cannot stay all-pairs — the
     * LSH variant (S2) is the production path; this exists as the recall
     * reference and for bounded candidate sets.
     */
   def s3EmbeddingNearDup(s: SparkSession, d: String): DataFrame = {
-    val e = embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val e = withNorm(s, d).select(col("vec_id"), col("embedding"), col("nrm"))
     e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
-      .withColumn("cos", cosine(col("a.embedding"), col("b.embedding")))
+      .withColumn("cos",
+        expr("graft_dot(a.embedding, b.embedding)") /
+          (col("a.nrm") * col("b.nrm")))
       .filter(round(col("cos"), 6) >= 0.35)
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
         round(col("cos"), 6).as("cos_sim"))

@@ -32,7 +32,7 @@ object TextAnalysis {
   def t1LangId(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val lex = lexicon.toDF("word", "cand_lang")
-    val toks = documents(s, d)
+    val toks = documentsSpread(s, d)
       .select(col("doc_id"), explode(split(col("text"), "\\s+")).as("word"))
     val votes = toks.join(broadcast(lex), "word")
       .groupBy(col("doc_id"), col("cand_lang"))
@@ -78,7 +78,7 @@ object TextAnalysis {
     * instead of boolean filters.
     */
   def t2QualityScore(s: SparkSession, d: String): DataFrame =
-    documents(s, d)
+    documentsSpread(s, d)
       .withColumn("w", split(col("text"), "\\s+"))
       .withColumn("n_tokens", size(col("w")))
       .withColumn("stop_ratio", expr(
@@ -116,7 +116,7 @@ object TextAnalysis {
     * training-data pipeline runs before packing sequences.
     */
   def t3TokenCount(s: SparkSession, d: String): DataFrame =
-    documents(s, d)
+    documentsSpread(s, d)
       .select(col("doc_id"),
         size(split(trim(col("text")), "\\s+")).as("ws_tokens"),
         size(regexp_extract_all(col("text"), lit("\\w+|[^\\w\\s]"), lit(0)))
@@ -137,7 +137,7 @@ object TextAnalysis {
     * so equal fingerprints ⇒ same word sequence modulo collisions.
     */
   def t4Fingerprint(s: SparkSession, d: String): DataFrame =
-    documents(s, d)
+    documentsSpread(s, d)
       .withColumn("w", split(col("text"), "\\s+"))
       .withColumn("hashes",
         transform(col("w"), x => md5Hash32(x)))
