@@ -1,0 +1,109 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+import graft.clean.Clean
+import graft.extract.Extract
+
+/** Scalar-function operator queries (SURVEY F1, F5-F7): the
+  * data-dependent coercion decision emitted as data, and the multi-field
+  * prop-line parse — both over deterministic strings derived from
+  * `orders` so the DuckDB oracle replays them exactly.
+  */
+object Functions {
+
+  /** Deterministically messy string columns derived from orders: one
+    * mostly-numeric (25% 'N/A'), one mostly-text (25% numeric). */
+  private def messy(s: SparkSession, d: String): DataFrame =
+    orders(s, d).select(
+      col("o_orderkey"),
+      expr("CASE WHEN o_orderkey % 4 = 0 THEN 'N/A' " +
+        "ELSE CAST(o_totalprice AS STRING) END").as("mostly_num"),
+      expr("CASE WHEN o_orderkey % 4 = 3 THEN CAST(o_custkey AS STRING) " +
+        "ELSE o_orderpriority END").as("mostly_str"))
+
+  /** F1 — guarded numeric coercion, decision emitted as data: per
+    * candidate column, the global non-null/castable counts and the ≥½
+    * keep-the-cast verdict (`unified_nba_scraper.py:194-207` semantics:
+    * float division, global statistics — never per-partition).
+    */
+  def f1GuardedCoercion(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val stats = Clean.coercionStats(messy(s, d), Seq("mostly_num", "mostly_str"))
+    stats.map(st => (st.column, st.nonNull, st.castable, st.coerce))
+      .toDF("col_name", "non_null", "castable", "coerced")
+      .orderBy("col_name")
+  }
+
+  val f1Sql: String =
+    """WITH m AS (
+      |  SELECT CASE WHEN o_orderkey % 4 = 0 THEN 'N/A'
+      |           ELSE CAST(o_totalprice AS VARCHAR) END AS mostly_num,
+      |         CASE WHEN o_orderkey % 4 = 3 THEN CAST(o_custkey AS VARCHAR)
+      |           ELSE o_orderpriority END AS mostly_str
+      |  FROM orders)
+      |SELECT * FROM (
+      |  SELECT 'mostly_num' AS col_name, count(mostly_num) AS non_null,
+      |    count(TRY_CAST(mostly_num AS DOUBLE)) AS castable,
+      |    count(TRY_CAST(mostly_num AS DOUBLE)) >= count(mostly_num) / 2.0 AS coerced
+      |  FROM m
+      |  UNION ALL
+      |  SELECT 'mostly_str', count(mostly_str),
+      |    count(TRY_CAST(mostly_str AS DOUBLE)),
+      |    count(TRY_CAST(mostly_str AS DOUBLE)) >= count(mostly_str) / 2.0
+      |  FROM m)
+      |ORDER BY col_name""".stripMargin
+
+  /** F5/F6/F7 — prop-line parse: American-odds array extraction, line
+    * value with fallback, over/under odds assignment — one regex suite
+    * over deterministic synthetic prop text.
+    */
+  def f5PropLineParse(s: SparkSession, d: String): DataFrame = {
+    val txt = expr(
+      "concat(CASE WHEN o_orderkey % 2 = 0 THEN 'Over ' ELSE 'Under ' END, " +
+        "o_orderkey % 40 + 10, '.5 -', 100 + o_orderkey % 800, " +
+        "' +', 100 + o_custkey % 800)")
+    orders(s, d)
+      .select(col("o_orderkey"), txt.as("line_text"))
+      .withColumn("odds", Extract.extractOdds(col("line_text")))
+      .withColumn("line", Extract.extractLineValue(col("line_text")))
+      .withColumn("ou", Extract.assignOverUnder(col("line_text"), col("odds")))
+      .select(col("o_orderkey"), col("line"),
+        col("ou.over_odds").as("over_odds"),
+        col("ou.under_odds").as("under_odds"), col("odds"))
+      .orderBy("o_orderkey")
+  }
+
+  val f5Sql: String =
+    """WITH t AS (
+      |  SELECT o_orderkey,
+      |    (CASE WHEN o_orderkey % 2 = 0 THEN 'Over ' ELSE 'Under ' END ||
+      |     (o_orderkey % 40 + 10) || '.5 -' || (100 + o_orderkey % 800) ||
+      |     ' +' || (100 + o_custkey % 800)) AS line_text
+      |  FROM orders),
+      |p AS (
+      |  SELECT o_orderkey, line_text,
+      |    regexp_extract_all(line_text, '[+-]\d{3,4}') AS odds,
+      |    TRY_CAST(CASE
+      |      WHEN regexp_extract(line_text, '(?i)[OU]\s*(\d+\.?\d*)', 1) <> ''
+      |        THEN regexp_extract(line_text, '(?i)[OU]\s*(\d+\.?\d*)', 1)
+      |      ELSE regexp_extract(line_text, '\b(\d+\.5)\b', 1) END AS DOUBLE) AS line,
+      |    contains(lower(line_text), 'over') AS over_first
+      |  FROM t)
+      |SELECT o_orderkey, line,
+      |  CASE WHEN over_first THEN odds[1] ELSE odds[2] END AS over_odds,
+      |  CASE WHEN over_first THEN odds[2] ELSE odds[1] END AS under_odds,
+      |  odds
+      |FROM p ORDER BY o_orderkey""".stripMargin
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "f1_guarded_coercion" -> f1GuardedCoercion,
+    "f5_prop_line_parse" -> f5PropLineParse,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "f1_guarded_coercion" -> f1Sql,
+    "f5_prop_line_parse" -> f5Sql,
+  )
+}

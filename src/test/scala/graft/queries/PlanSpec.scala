@@ -1,0 +1,56 @@
+package graft.queries
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.DataFrame
+import graft.streaming.EventWindows
+
+/** Physical-plan contracts: the scale properties the queries are designed
+  * around, locked in as assertions so a refactor that silently degrades a
+  * plan (lost broadcast, lost pushdown, lost top-k pushthrough) fails CI,
+  * not the cluster.
+  */
+class PlanSpec extends SparkSpecBase {
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("dimension joins broadcast (q2 star join, e1 alias dim, t1 lexicon)") {
+    assert(plan(Relational.q2RevenueByNation(spark, sf))
+      .contains("BroadcastHashJoin"))
+    assert(plan(Enrich.e1AliasCanonicalize(spark, sf))
+      .contains("BroadcastHashJoin"))
+    assert(plan(TextAnalysis.t1LangId(spark, sf))
+      .contains("BroadcastHashJoin"))
+  }
+
+  test("filters and pruned columns reach the parquet scan (q4)") {
+    val p = plan(Relational.q4FilterTally(spark, sf))
+    assert(p.contains("PushedFilters") && p.contains("In(o_orderstatus"),
+      s"expected o_orderstatus filter pushed to scan:\n$p")
+    // projection pruned: lineitem-free query must not read more than the
+    // 3 referenced orders columns
+    assert(p.contains("ReadSchema") &&
+      !p.contains("o_orderdate"), "column pruning lost")
+  }
+
+  test("top-k pushes through the sort (q3 TakeOrderedAndProject)") {
+    assert(plan(Relational.q3TopOrders(spark, sf))
+      .contains("TakeOrderedAndProject"))
+  }
+
+  test("similarity hot path uses graft_dot, not interpreted HOFs") {
+    val p = plan(Similarity.s3EmbeddingNearDup(spark, sf))
+    assert(p.contains("graft_dot"))
+    // norms precomputed once per side, never per pair
+    assert(p.contains("SQRT(graft_dot"))
+    // no CodegenFallback HOF composition may reappear on this path
+    assert(!p.contains("zip_with") && !p.contains("aggregate("),
+      s"interpreted HOF found on similarity hot path:\n$p")
+  }
+
+  test("streaming aggregation plans with watermark state (tumbling)") {
+    // batch plan: single shuffle on (window, event_type)
+    val p = plan(EventWindows.st1Tumbling(spark, sf))
+    assert(p.contains("HashAggregate") || p.contains("SortAggregate"))
+  }
+}
