@@ -28,7 +28,9 @@ object SparkEntry {
       _root_.graft.queries.Similarity.defs ++
       _root_.graft.queries.TextAnalysis.defs ++
       _root_.graft.queries.Enrich.defs ++
-      _root_.graft.streaming.EventWindows.defs
+      _root_.graft.queries.Multimodal.defs ++
+      _root_.graft.streaming.EventWindows.defs ++
+      _root_.graft.streaming.Sessionize.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -39,5 +41,7 @@ object SparkEntry {
       _root_.graft.queries.Similarity.oracle ++
       _root_.graft.queries.TextAnalysis.oracle ++
       _root_.graft.queries.Enrich.oracle ++
-      _root_.graft.streaming.EventWindows.oracle
+      _root_.graft.queries.Multimodal.oracle ++
+      _root_.graft.streaming.EventWindows.oracle ++
+      _root_.graft.streaming.Sessionize.oracle
 }

@@ -31,8 +31,12 @@ object Tables {
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // `ts div 1000`, NOT `ts / 1000`: epoch nanos (~1.7e18) exceed
+    // double's 2^53 integer precision, so float division rounds the
+    // microsecond value off by one. Integer div truncates exactly like
+    // DuckDB's nanos→micros read.
     table(s, d, "events")
-      .withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")

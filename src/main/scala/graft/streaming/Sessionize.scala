@@ -1,0 +1,125 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import graft.Tables._
+
+/** Gap-based sessionization over `events` — the custom-state streaming
+  * surface (`flatMapGroupsWithState`) with a batch window-function twin
+  * that the DuckDB oracle can verify.
+  *
+  * A session is a maximal run of a user's events with consecutive gaps
+  * ≤ 10 minutes. Batch: `lag` + running sum of session-break flags (two
+  * windows over the same (user × time) sort — one shuffle). Streaming:
+  * per-user open-session state carried across micro-batches; closed
+  * sessions are emitted as they seal, the open session is re-emitted each
+  * update (Update output mode, latest-wins per key).
+  *
+  * Scale: state per user is ONE open session (constant size), not the
+  * event history; with event-time timeout the state store stays bounded
+  * by active users in the gap horizon.
+  */
+object Sessionize {
+
+  val gapMinutes = 10L
+
+  /** ST3 — batch sessionization (oracle-comparable). */
+  def st3Sessionize(s: SparkSession, d: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val runSum = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events(s, d)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_sess",
+        when(col("prev_ts").isNotNull &&
+          unix_micros(col("ts")) - unix_micros(col("prev_ts")) <= gapMinutes * 60000000L,
+          lit(0)).otherwise(lit(1)))
+      .withColumn("session_seq", sum(col("new_sess")).over(runSum))
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        dsum(col("value")).as("total_value"))
+      .orderBy("user_id", "session_seq")
+  }
+
+  val st3Sql: String =
+    """SELECT user_id, session_seq, count(*) AS n_events,
+      |  min(ts) AS session_start, max(ts) AS session_end,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+      |FROM (
+      |  SELECT user_id, ts, value,
+      |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+      |  FROM (
+      |    SELECT user_id, event_id, ts, value,
+      |      CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |                IS NOT NULL
+      |            AND epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id
+      |                ORDER BY ts, event_id)) <= 600000000
+      |        THEN 0 ELSE 1 END AS new_sess
+      |    FROM events))
+      |GROUP BY user_id, session_seq ORDER BY user_id, session_seq""".stripMargin
+
+  // ---- streaming path -----------------------------------------------
+
+  final case class Ev(event_id: Long, user_id: Long, tsMicros: Long, value: Double)
+  final case class OpenSession(start: Long, end: Long, n: Long, total: Double)
+  final case class SessionOut(user_id: Long, session_start: Long,
+      session_end: Long, n_events: Long, total_value: Double, open: Boolean)
+
+  /** Merge a batch of events (any order) into the open-session state,
+    * returning (closed sessions, new open session). Pure — unit-testable
+    * without a stream. */
+  def advance(open: Option[OpenSession], batch: Seq[Ev]): (Seq[OpenSession], Option[OpenSession]) = {
+    val gapMicros = gapMinutes * 60L * 1000000L
+    val sorted = batch.sortBy(e => (e.tsMicros, e.event_id))
+    var closed = Vector.empty[OpenSession]
+    var cur = open
+    sorted.foreach { e =>
+      cur match {
+        case Some(s) if e.tsMicros - s.end <= gapMicros =>
+          cur = Some(OpenSession(s.start, math.max(s.end, e.tsMicros),
+            s.n + 1, s.total + e.value))
+        case Some(s) =>
+          closed :+= s
+          cur = Some(OpenSession(e.tsMicros, e.tsMicros, 1L, e.value))
+        case None =>
+          cur = Some(OpenSession(e.tsMicros, e.tsMicros, 1L, e.value))
+      }
+    }
+    (closed, cur)
+  }
+
+  /** Stateful streaming sessionization: one OpenSession per user carried
+    * across micro-batches; closed sessions emitted once, the open session
+    * re-emitted (open=true) every update. */
+  def sessionizeStream(evs: Dataset[Ev]): Dataset[SessionOut] = {
+    val spark = evs.sparkSession
+    import spark.implicits._
+    evs.groupByKey(_.user_id)
+      .flatMapGroupsWithState[OpenSession, SessionOut](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        case (user: Long, it: Iterator[Ev], state: GroupState[OpenSession]) =>
+          val (closed, openNow) = advance(state.getOption, it.toSeq)
+          openNow match {
+            case Some(s) => state.update(s)
+            case None => state.remove()
+          }
+          (closed.map(s =>
+            SessionOut(user, s.start, s.end, s.n, s.total, open = false)) ++
+            openNow.map(s =>
+              SessionOut(user, s.start, s.end, s.n, s.total, open = true))).iterator
+      }
+  }
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st3_sessionize" -> st3Sessionize,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "st3_sessionize" -> st3Sql,
+  )
+}

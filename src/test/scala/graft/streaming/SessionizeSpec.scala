@@ -1,0 +1,68 @@
+package graft.streaming
+
+import graft.{SparkSpecBase, Tables}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+class SessionizeSpec extends SparkSpecBase {
+
+  test("advance: pure session merge handles gaps, order, carry-over") {
+    import Sessionize._
+    val m = 60L * 1000000L // one minute in micros
+    // out-of-order batch: sorted internally
+    val (closed0, open0) = advance(None, Seq(
+      Ev(2, 1, 5 * m, 2.0), Ev(1, 1, 0 * m, 1.0), Ev(3, 1, 30 * m, 3.0)))
+    assert(closed0 == Seq(OpenSession(0, 5 * m, 2, 3.0)))
+    assert(open0.contains(OpenSession(30 * m, 30 * m, 1, 3.0)))
+    // next batch continues the open session then breaks it
+    val (closed1, open1) = advance(open0, Seq(
+      Ev(4, 1, 35 * m, 1.5), Ev(5, 1, 120 * m, 9.0)))
+    assert(closed1 == Seq(OpenSession(30 * m, 35 * m, 2, 4.5)))
+    assert(open1.contains(OpenSession(120 * m, 120 * m, 1, 9.0)))
+    // empty batch: state unchanged
+    val (closed2, open2) = advance(open1, Seq.empty)
+    assert(closed2.isEmpty && open2 == open1)
+  }
+
+  test("streaming flatMapGroupsWithState == batch sessionization") {
+    import spark.implicits._
+    val batchEv = Tables.events(spark, sf)
+    val dir = java.nio.file.Files.createTempDirectory("graft-sess")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"),
+      dir.resolve("events.parquet"))
+    val rawSchema = spark.read.parquet(s"$sf/events.parquet").schema
+    val streamEvs = spark.readStream
+      .schema(rawSchema)
+      .parquet(dir.toString)
+      .select(col("event_id"), col("user_id"),
+        expr("ts div 1000").as("tsMicros"), col("value"))
+      .as[Sessionize.Ev]
+
+    val q = Sessionize.sessionizeStream(streamEvs)
+      .writeStream.format("memory").queryName("sessions_stream")
+      .outputMode("update").trigger(Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(120000), "stream did not finish")
+
+    // latest update per (user, session_start) wins; with one AvailableNow
+    // batch every session appears exactly once (closed or open)
+    val streamed = spark.table("sessions_stream")
+      .groupBy("user_id", "session_start")
+      .agg(max(struct(col("session_end"), col("n_events"), col("total_value"))).as("s"))
+      .select(col("user_id"), col("session_start"),
+        col("s.session_end"), col("s.n_events"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+
+    val batch = Sessionize.st3Sessionize(spark, sf)
+      .select(col("user_id"), unix_micros(col("session_start")),
+        unix_micros(col("session_end")), col("n_events"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+
+    assert(streamed.nonEmpty)
+    assert(streamed == batch)
+  }
+}

@@ -22,7 +22,7 @@ class StreamingSpec extends SparkSpecBase {
     val streamEv = spark.readStream
       .schema(rawSchema)
       .parquet(dir.toString)
-      .withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
       .withWatermark("ts", "10 minutes")
 
     val q = EventWindows.tumbling(streamEv)
