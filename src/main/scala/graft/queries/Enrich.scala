@@ -71,6 +71,34 @@ object Enrich {
       |  count(*) FILTER (WHERE lang = 'zh') AS zh
       |FROM documents GROUP BY source ORDER BY source""".stripMargin
 
+  /** E4 / SURVEY J2 — two-sided substring-containment match: re-find the
+    * "game container" whose text mentions both entities — re-expressed as
+    * a theta join of documents against a bounded keyword pair dimension.
+    * Physical shape: BroadcastNestedLoopJoin with the keyword side built
+    * (the only join type that can evaluate `contains` predicates); sound
+    * at scale ONLY because the broadcast side is bounded — the fact side
+    * still streams through once.
+    */
+  def e4ContainsJoin(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val pairs = Seq(("customer", "order"), ("supplier", "part"),
+      ("join", "window"), ("stream", "batch")).toDF("kw1", "kw2")
+    documents(s, d)
+      .join(broadcast(pairs),
+        col("text").contains(col("kw1")) && col("text").contains(col("kw2")))
+      .groupBy(col("kw1"), col("kw2"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"))
+      .orderBy("kw1", "kw2")
+  }
+
+  val e4Sql: String =
+    """SELECT kw1, kw2, count(*) AS n_docs, min(doc_id) AS first_doc
+      |FROM documents
+      |JOIN (VALUES ('customer','order'), ('supplier','part'),
+      |      ('join','window'), ('stream','batch')) AS kw(kw1, kw2)
+      |  ON contains(text, kw1) AND contains(text, kw2)
+      |GROUP BY kw1, kw2 ORDER BY kw1, kw2""".stripMargin
+
   /** E3 — JSON payload extraction: pull a typed field out of the string
     * JSON `props` column (codegen'd path expression, no UDF), aggregate
     * per event type.
@@ -97,11 +125,13 @@ object Enrich {
     "e1_alias_canonicalize" -> e1AliasCanonicalize,
     "e2_pivot_cube" -> e2PivotCube,
     "e3_json_extract" -> e3JsonExtract,
+    "e4_contains_join" -> e4ContainsJoin,
   )
 
   val oracle: Map[String, String] = Map(
     "e1_alias_canonicalize" -> e1Sql,
     "e2_pivot_cube" -> e2Sql,
     "e3_json_extract" -> e3Sql,
+    "e4_contains_join" -> e4Sql,
   )
 }
