@@ -32,6 +32,13 @@ class DvpPipelineSpec extends SparkSpecBase {
     assert(unknown.count() == 0)
   }
 
+  test("canonicalized output is expressible as the typed Dataset[DvpRow]") {
+    val ds = canonDf.as[graft.model.DvpRow]
+    val row = ds.filter(_.row_idx == 0L).head()
+    assert(row.position == "PG" && row.canonical != null && row.pts.nonEmpty)
+    assert(ds.count() == 120)
+  }
+
   test("completeness grid: all position x timeframe cells populated") {
     val pos = Seq("PG", "SG").toDF("position")
     val tf = Seq("2025-26", "Last 7").toDF("timeframe")
