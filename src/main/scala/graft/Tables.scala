@@ -71,6 +71,18 @@ object Tables {
   /** Cross-engine-reproducible average: exact decimal sum over exact count. */
   def davg(c: Column): Column = dsum(c) / count(c)
 
+  /** Cross-engine-identical 6-decimal rounding: `floor(x*1e6 + 0.5)/1e6`
+    * is pure double arithmetic, so two engines that computed the same
+    * double produce the same rounded value — unlike `round(x, 6)`, whose
+    * tie-breaking differs (Java BigDecimal-of-double HALF_UP vs scaled
+    * nearbyint) exactly when `x*1e6` lands on a representable .5.
+    * Half-up toward +infinity for all signs, by construction.
+    */
+  def r6(c: Column): Column = floor(c * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
+
+  /** DuckDB rendering of [[r6]] — identical arithmetic. */
+  def r6Sql(x: String): String = s"floor(($x) * 1000000.0 + 0.5) / 1000000.0"
+
   /** Portable 32-bit positive hash: first 8 hex chars of md5, as a long.
     * Same value is computable in DuckDB as ('0x'||substr(md5(x),1,8))::BIGINT,
     * which is what the oracle SQL uses. Used by minhash/simhash/LSH so the

@@ -380,15 +380,15 @@ object Relational {
       .orderBy(col("ts"), col("event_id"))
       .rowsBetween(-6, Window.currentRow)
     events(s, d)
-      .withColumn("avg_value_7", round(avg(col("value")).over(w), 4))
+      .withColumn("avg_value_7", floor(avg(col("value")).over(w) * lit(10000.0) + lit(0.5)) / lit(10000.0))
       .select(col("user_id"), col("event_id"), col("avg_value_7"))
       .orderBy("user_id", "event_id")
   }
 
   val w3Sql: String =
     """SELECT user_id, event_id,
-      |round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
-      |  ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS avg_value_7
+      |floor(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |  ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) * 10000.0 + 0.5) / 10000.0 AS avg_value_7
       |FROM events ORDER BY user_id, event_id""".stripMargin
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(

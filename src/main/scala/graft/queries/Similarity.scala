@@ -78,7 +78,7 @@ object Similarity {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 5)
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"),
-        round(col("cos"), 6).as("cos_sim"))
+        r6(col("cos")).as("cos_sim"))
       .orderBy("query_id", "rank")
   }
 
@@ -86,7 +86,7 @@ object Similarity {
     val cos = cosineSql("q.qe", "e.embedding")
     s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe
       |  FROM embeddings WHERE vec_id < 10)
-      |SELECT query_id, neighbor_id, rank, round(cos, 6) AS cos_sim FROM (
+      |SELECT query_id, neighbor_id, rank, floor(cos * 1000000.0 + 0.5) / 1000000.0 AS cos_sim FROM (
       |  SELECT q.query_id, e.vec_id AS neighbor_id,
       |    $cos AS cos,
       |    row_number() OVER (PARTITION BY q.query_id
@@ -110,9 +110,9 @@ object Similarity {
       .withColumn("cos",
         expr("graft_dot(a.embedding, b.embedding)") /
           (col("a.nrm") * col("b.nrm")))
-      .filter(round(col("cos"), 6) >= 0.3)
+      .filter(r6(col("cos")) >= 0.3)
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        round(col("cos"), 6).as("cos_sim"))
+        r6(col("cos")).as("cos_sim"))
       .orderBy("vec_a", "vec_b")
   }
 
@@ -124,10 +124,10 @@ object Similarity {
     s"""WITH keyed AS (SELECT vec_id, embedding, $bucket AS bucket
       |  FROM embeddings)
       |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-      |  round($cos, 6) AS cos_sim
+      |  floor(($cos) * 1000000.0 + 0.5) / 1000000.0 AS cos_sim
       |FROM keyed a JOIN keyed b
       |  ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-      |WHERE round($cos, 6) >= 0.3
+      |WHERE floor(($cos) * 1000000.0 + 0.5) / 1000000.0 >= 0.3
       |ORDER BY vec_a, vec_b""".stripMargin
   }
 
@@ -143,17 +143,17 @@ object Similarity {
       .withColumn("cos",
         expr("graft_dot(a.embedding, b.embedding)") /
           (col("a.nrm") * col("b.nrm")))
-      .filter(round(col("cos"), 6) >= 0.35)
+      .filter(r6(col("cos")) >= 0.35)
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        round(col("cos"), 6).as("cos_sim"))
+        r6(col("cos")).as("cos_sim"))
       .orderBy("vec_a", "vec_b")
   }
 
   val s3Sql: String = {
     val cos = cosineSql("a.embedding", "b.embedding")
-    s"""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, round($cos, 6) AS cos_sim
+    s"""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, floor(($cos) * 1000000.0 + 0.5) / 1000000.0 AS cos_sim
       |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-      |WHERE round($cos, 6) >= 0.35
+      |WHERE floor(($cos) * 1000000.0 + 0.5) / 1000000.0 >= 0.35
       |ORDER BY vec_a, vec_b""".stripMargin
   }
 

@@ -88,20 +88,20 @@ object TextAnalysis {
       .withColumn("punct_ratio", expr(
         "size(regexp_extract_all(text, '[^\\\\w\\\\s]', 0)) / n_chars"))
       .withColumn("quality", expr(
-        "round(0.4 * stop_ratio + 0.3 * least(avg_wlen / 10.0, 1.0) + 0.3 * (1.0 - punct_ratio), 6)"))
+        "floor((0.4 * stop_ratio + 0.3 * least(avg_wlen / 10.0, 1.0) + 0.3 * (1.0 - punct_ratio)) * 1000000.0 + 0.5) / 1000000.0"))
       .select(col("doc_id"), col("n_tokens"),
-        round(col("stop_ratio"), 6).as("stop_ratio"),
-        round(col("avg_wlen"), 6).as("avg_wlen"),
-        round(col("punct_ratio"), 6).as("punct_ratio"),
+        r6(col("stop_ratio")).as("stop_ratio"),
+        r6(col("avg_wlen")).as("avg_wlen"),
+        r6(col("punct_ratio")).as("punct_ratio"),
         col("quality"))
       .orderBy("doc_id")
 
   val t2Sql: String =
     """SELECT doc_id, n_tokens,
-      |  round(stop_ratio, 6) AS stop_ratio,
-      |  round(avg_wlen, 6) AS avg_wlen,
-      |  round(punct_ratio, 6) AS punct_ratio,
-      |  round(0.4 * stop_ratio + 0.3 * least(avg_wlen / 10.0, 1.0) + 0.3 * (1.0 - punct_ratio), 6) AS quality
+      |  floor(stop_ratio * 1000000.0 + 0.5) / 1000000.0 AS stop_ratio,
+      |  floor(avg_wlen * 1000000.0 + 0.5) / 1000000.0 AS avg_wlen,
+      |  floor(punct_ratio * 1000000.0 + 0.5) / 1000000.0 AS punct_ratio,
+      |  floor((0.4 * stop_ratio + 0.3 * least(avg_wlen / 10.0, 1.0) + 0.3 * (1.0 - punct_ratio)) * 1000000.0 + 0.5) / 1000000.0 AS quality
       |FROM (
       |  SELECT doc_id,
       |    len(w) AS n_tokens,
