@@ -391,7 +391,30 @@ object Relational {
       |  ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) * 10000.0 + 0.5) / 10000.0 AS avg_value_7
       |FROM events ORDER BY user_id, event_id""".stripMargin
 
+  /** Multi-level aggregation: ROLLUP over (status, priority) — subtotals
+    * and grand total in one pass (partial aggs expand the grouping sets
+    * map-side; one shuffle). Rolled-up nulls are coalesced to 'ALL' so
+    * ordering is engine-neutral (no NULLS FIRST/LAST divergence).
+    */
+  def a10RollupTotals(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .rollup(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+      .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("n"), col("total"))
+      .orderBy("status", "priority")
+
+  val a10Sql: String =
+    """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+      |  coalesce(o_orderpriority, 'ALL') AS priority,
+      |  count(*) AS n,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total
+      |FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+      |ORDER BY status, priority""".stripMargin
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a10_rollup_totals" -> a10RollupTotals,
     "q1_pricing_summary" -> q1PricingSummary,
     "q2_revenue_by_nation" -> q2RevenueByNation,
     "q3_top_orders" -> q3TopOrders,
@@ -414,6 +437,7 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    "a10_rollup_totals" -> a10Sql,
     "q1_pricing_summary" -> q1Sql,
     "q2_revenue_by_nation" -> q2Sql,
     "q3_top_orders" -> q3Sql,

@@ -157,15 +157,78 @@ object Similarity {
       |ORDER BY vec_a, vec_b""".stripMargin
   }
 
+  /** S4 — IVF-style ANN: a deterministic coarse quantizer (the first 8
+    * vectors act as centroids), every vector assigned to its nearest
+    * centroid (one broadcast pass), queries probe only their own cell.
+    * The second scale path next to sign-LSH (S2): assignment is
+    * O(n × k) with the centroid set broadcast, and the probe join is an
+    * equi-join on cell id — the full table is never self-joined.
+    */
+  def s4IvfTopK(s: SparkSession, d: String): DataFrame = {
+    val e = withNorm(s, d)
+    val cent = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("ce"),
+        col("nrm").as("cnrm"))
+    val assignW = Window.partitionBy(col("vec_id"))
+      .orderBy(desc("ccos"), col("cent_id"))
+    val assigned = e.crossJoin(broadcast(cent))
+      .withColumn("ccos",
+        expr("graft_dot(embedding, ce)") / (col("nrm") * col("cnrm")))
+      .withColumn("crn", row_number().over(assignW))
+      .filter(col("crn") === 1)
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("cent_id"))
+    val q = assigned.filter(col("vec_id") >= 8 && col("vec_id") < 13)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        col("nrm").as("qnrm"), col("cent_id").as("qcell"))
+    val probeW = Window.partitionBy(col("query_id"))
+      .orderBy(desc("cos"), col("vec_id"))
+    assigned.join(broadcast(q),
+        col("cent_id") === col("qcell") && col("vec_id") =!= col("query_id"))
+      .withColumn("cos",
+        expr("graft_dot(qe, embedding)") / (col("qnrm") * col("nrm")))
+      .withColumn("rank", row_number().over(probeW))
+      .filter(col("rank") <= 3)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"),
+        r6(col("cos")).as("cos_sim"))
+      .orderBy("query_id", "rank")
+  }
+
+  val s4Sql: String = {
+    val assignCos = cosineSql("e.embedding", "c.ce")
+    val probeCos = cosineSql("q.qe", "a.embedding")
+    s"""WITH cent AS (SELECT vec_id AS cent_id, embedding AS ce
+      |  FROM embeddings WHERE vec_id < 8),
+      |assigned AS (
+      |  SELECT vec_id, embedding, cent_id FROM (
+      |    SELECT e.vec_id, e.embedding, c.cent_id,
+      |      row_number() OVER (PARTITION BY e.vec_id
+      |        ORDER BY $assignCos DESC, c.cent_id) AS crn
+      |    FROM embeddings e CROSS JOIN cent c) t
+      |  WHERE crn = 1),
+      |q AS (SELECT vec_id AS query_id, embedding AS qe, cent_id AS qcell
+      |  FROM assigned WHERE vec_id >= 8 AND vec_id < 13)
+      |SELECT query_id, neighbor_id, rank,
+      |  floor(cos * 1000000.0 + 0.5) / 1000000.0 AS cos_sim FROM (
+      |  SELECT q.query_id, a.vec_id AS neighbor_id,
+      |    $probeCos AS cos,
+      |    row_number() OVER (PARTITION BY q.query_id
+      |      ORDER BY $probeCos DESC, a.vec_id) AS rank
+      |  FROM q JOIN assigned a
+      |    ON a.cent_id = q.qcell AND a.vec_id <> q.query_id) t
+      |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s1_bruteforce_topk" -> s1BruteForceTopK,
     "s2_lsh_neardup" -> s2LshNearDup,
     "s3_embedding_neardup" -> s3EmbeddingNearDup,
+    "s4_ivf_topk" -> s4IvfTopK,
   )
 
   val oracle: Map[String, String] = Map(
     "s1_bruteforce_topk" -> s1Sql,
     "s2_lsh_neardup" -> s2Sql,
     "s3_embedding_neardup" -> s3Sql,
+    "s4_ivf_topk" -> s4Sql,
   )
 }
