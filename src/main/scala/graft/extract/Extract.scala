@@ -130,6 +130,7 @@ object Extract {
   def lineScan(df: DataFrame, keyCol: String, textCol: String,
       propTypes: Seq[String] = Seq("Points", "Rebounds", "Assists",
         "Threes", "Steals", "Blocks")): DataFrame = {
+    graft.plans.GraftExtensions.ensureRegistered(df.sparkSession)
     val lines = df.select(col(keyCol),
         posexplode(split(col(textCol), "\\n")).as(Seq("line_no", "line")))
       .withColumn("line", trim(col("line")))
@@ -141,13 +142,14 @@ object Extract {
         last(when(isPlayerName(col("line")), col("line")), ignoreNulls = true).over(w))
       .withColumn("prop_type",
         last(when(col("line").isin(propTypes: _*), col("line")), ignoreNulls = true).over(w))
-      .withColumn("odds", extractOdds(col("line")))
-      .withColumn("line_value", extractLineValue(col("line")))
-      .filter(size(col("odds")) > 0 && col("line_value").isNotNull &&
+      // one-pass native parse (bit-identical to the F5-F7 builtins)
+      .withColumn("pp", expr("graft_parse_prop_line(line)"))
+      .filter(size(col("pp.odds")) > 0 && col("pp.line").isNotNull &&
         col("player").isNotNull && col("prop_type").isNotNull)
-      .withColumn("ou", assignOverUnder(col("line"), col("odds")))
       .select(col(keyCol), col("line_no"), col("player"), col("prop_type"),
-        col("line_value").as("line"),
-        col("ou.over_odds"), col("ou.under_odds"), col("odds"))
+        col("pp.line").as("line"),
+        col("pp.over_odds").as("over_odds"),
+        col("pp.under_odds").as("under_odds"),
+        col("pp.odds").as("odds"))
   }
 }

@@ -5,7 +5,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.DotProduct
+import graft.functions.{DotProduct, ParsePropLine}
 
 /** Session extensions registering graft's native Catalyst expressions.
   *
@@ -28,7 +28,10 @@ object GraftExtensions {
   private val functions: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     ("graft_dot",
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
-      (args: Seq[Expression]) => DotProduct(args(0), args(1))))
+      (args: Seq[Expression]) => DotProduct(args(0), args(1))),
+    ("graft_parse_prop_line",
+      new ExpressionInfo(classOf[ParsePropLine].getName, "graft_parse_prop_line"),
+      (args: Seq[Expression]) => ParsePropLine(args(0))))
 
   /** Register graft functions on an existing session (idempotent). */
   def ensureRegistered(spark: SparkSession): Unit = {

@@ -55,23 +55,25 @@ object Functions {
       |  FROM m)
       |ORDER BY col_name""".stripMargin
 
-  /** F5/F6/F7 — prop-line parse: American-odds array extraction, line
-    * value with fallback, over/under odds assignment — one regex suite
-    * over deterministic synthetic prop text.
+  /** F5/F6/F7 — prop-line parse via the one-pass native expression
+    * [[graft.functions.ParsePropLine]] (`graft_parse_prop_line`):
+    * American-odds array, line value with fallback, over/under
+    * assignment — semantically identical to the builtin regex
+    * composition (bit-equality spec'd), one string traversal per field
+    * family instead of five.
     */
   def f5PropLineParse(s: SparkSession, d: String): DataFrame = {
+    graft.plans.GraftExtensions.ensureRegistered(s)
     val txt = expr(
       "concat(CASE WHEN o_orderkey % 2 = 0 THEN 'Over ' ELSE 'Under ' END, " +
         "o_orderkey % 40 + 10, '.5 -', 100 + o_orderkey % 800, " +
         "' +', 100 + o_custkey % 800)")
     orders(s, d)
       .select(col("o_orderkey"), txt.as("line_text"))
-      .withColumn("odds", Extract.extractOdds(col("line_text")))
-      .withColumn("line", Extract.extractLineValue(col("line_text")))
-      .withColumn("ou", Extract.assignOverUnder(col("line_text"), col("odds")))
-      .select(col("o_orderkey"), col("line"),
-        col("ou.over_odds").as("over_odds"),
-        col("ou.under_odds").as("under_odds"), col("odds"))
+      .withColumn("pp", expr("graft_parse_prop_line(line_text)"))
+      .select(col("o_orderkey"), col("pp.line").as("line"),
+        col("pp.over_odds").as("over_odds"),
+        col("pp.under_odds").as("under_odds"), col("pp.odds").as("odds"))
       .orderBy("o_orderkey")
   }
 
