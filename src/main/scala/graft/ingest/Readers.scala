@@ -49,8 +49,13 @@ object Readers {
     val headers: Seq[String] = raw.select("headers").limit(1).collect()
       .headOption.map(_.getSeq[String](0))
       .getOrElse(Seq.empty)
+    // a scraped "Team"/"Page"/"Tab" header would collide (case-
+    // insensitively under Spark's default resolution) with the fixed
+    // metadata columns — suffix such headers before the positional dedup
+    val reserved = Set("team", "page", "tab", "row_idx")
     val names = Columns.dedupSuffix(
-      headers.map(h => Columns.canonicalName(Columns.flattenHeader(Seq(h)))))
+      headers.map(h => Columns.canonicalName(Columns.flattenHeader(Seq(h))))
+        .map(n => if (reserved(n.toLowerCase)) s"${n}_col" else n))
     val cols = col("team") +: col("page") +: col("tab") +: col("row_idx") +:
       names.zipWithIndex.map { case (n, i) =>
         try_element_at(col("cells"), lit(i + 1)).as(n)
@@ -71,7 +76,9 @@ object Readers {
       .option("header", "true")
       .option("encoding", "UTF-8")
       .csv(path)
-    val keep = df.columns.filter(c => c.trim.nonEmpty && !c.startsWith("_c"))
+    // drop empty-named columns and Spark's auto-generated _c<N>
+    // placeholders only — a legitimate header like "_category" survives
+    val keep = df.columns.filter(c => c.trim.nonEmpty && !c.matches("_c\\d+"))
     val cleaned = keep.map(c => trim(col(s"`$c`")).as(c.trim.stripPrefix("﻿")))
     df.select(cleaned: _*)
   }

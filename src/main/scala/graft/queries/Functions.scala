@@ -46,12 +46,14 @@ object Functions {
       |SELECT * FROM (
       |  SELECT 'mostly_num' AS col_name, count(mostly_num) AS non_null,
       |    count(TRY_CAST(mostly_num AS DOUBLE)) AS castable,
-      |    count(TRY_CAST(mostly_num AS DOUBLE)) >= count(mostly_num) / 2.0 AS coerced
+      |    count(mostly_num) > 0 AND
+      |      count(TRY_CAST(mostly_num AS DOUBLE)) >= count(mostly_num) / 2.0 AS coerced
       |  FROM m
       |  UNION ALL
       |  SELECT 'mostly_str', count(mostly_str),
       |    count(TRY_CAST(mostly_str AS DOUBLE)),
-      |    count(TRY_CAST(mostly_str AS DOUBLE)) >= count(mostly_str) / 2.0
+      |    count(mostly_str) > 0 AND
+      |      count(TRY_CAST(mostly_str AS DOUBLE)) >= count(mostly_str) / 2.0
       |  FROM m)
       |ORDER BY col_name""".stripMargin
 
@@ -91,7 +93,8 @@ object Functions {
       |      WHEN regexp_extract(line_text, '(?i)[OU]\s*(\d+\.?\d*)', 1) <> ''
       |        THEN regexp_extract(line_text, '(?i)[OU]\s*(\d+\.?\d*)', 1)
       |      ELSE regexp_extract(line_text, '\b(\d+\.5)\b', 1) END AS DOUBLE) AS line,
-      |    contains(lower(line_text), 'over') AS over_first
+      |    (contains(lower(line_text), 'over') OR
+      |     regexp_matches(lower(line_text), '^o\b|\bo\s*\d')) AS over_first
       |  FROM t)
       |SELECT o_orderkey, line,
       |  CASE WHEN over_first THEN odds[1] ELSE odds[2] END AS over_odds,

@@ -72,7 +72,16 @@ object Sessionize {
 
   /** Merge a batch of events (any order) into the open-session state,
     * returning (closed sessions, new open session). Pure — unit-testable
-    * without a stream. */
+    * without a stream.
+    *
+    * Out-of-order handling across batches: an event inside the open
+    * session's gap envelope `[start - gap, end + gap]` extends it (start
+    * min-updated, not only end); an event OLDER than `start - gap` is a
+    * straggler from a session the state can no longer reconstruct — it is
+    * sealed immediately as its own singleton session (documented
+    * approximation; with a watermark ≤ gap such stragglers are dropped
+    * upstream before reaching here).
+    */
   def advance(open: Option[OpenSession], batch: Seq[Ev]): (Seq[OpenSession], Option[OpenSession]) = {
     val gapMicros = gapMinutes * 60L * 1000000L
     val sorted = batch.sortBy(e => (e.tsMicros, e.event_id))
@@ -80,9 +89,13 @@ object Sessionize {
     var cur = open
     sorted.foreach { e =>
       cur match {
-        case Some(s) if e.tsMicros - s.end <= gapMicros =>
-          cur = Some(OpenSession(s.start, math.max(s.end, e.tsMicros),
-            s.n + 1, s.total + e.value))
+        case Some(s) if e.tsMicros >= s.start - gapMicros &&
+            e.tsMicros - s.end <= gapMicros =>
+          cur = Some(OpenSession(math.min(s.start, e.tsMicros),
+            math.max(s.end, e.tsMicros), s.n + 1, s.total + e.value))
+        case Some(s) if e.tsMicros < s.start - gapMicros =>
+          // straggler older than the open session: seal it alone
+          closed :+= OpenSession(e.tsMicros, e.tsMicros, 1L, e.value)
         case Some(s) =>
           closed :+= s
           cur = Some(OpenSession(e.tsMicros, e.tsMicros, 1L, e.value))
@@ -95,23 +108,45 @@ object Sessionize {
 
   /** Stateful streaming sessionization: one OpenSession per user carried
     * across micro-batches; closed sessions emitted once, the open session
-    * re-emitted (open=true) every update. */
-  def sessionizeStream(evs: Dataset[Ev]): Dataset[SessionOut] = {
+    * re-emitted (open=true) every update.
+    *
+    * `idleTimeout` (default: one gap) seals idle users' open sessions via
+    * a processing-time timeout and removes their state, keeping the state
+    * store bounded by users active within the gap horizon instead of all
+    * users ever seen. Pass `None` for finite catch-up runs
+    * (`Trigger.AvailableNow`): pending timeouts would otherwise keep the
+    * query alive for the full idle duration after the data is exhausted.
+    */
+  def sessionizeStream(evs: Dataset[Ev],
+      idleTimeout: Option[String] = Some(s"$gapMinutes minutes")): Dataset[SessionOut] = {
     val spark = evs.sparkSession
     import spark.implicits._
+    val timeoutConf =
+      if (idleTimeout.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
     evs.groupByKey(_.user_id)
       .flatMapGroupsWithState[OpenSession, SessionOut](
-        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Update(), timeoutConf) {
         case (user: Long, it: Iterator[Ev], state: GroupState[OpenSession]) =>
-          val (closed, openNow) = advance(state.getOption, it.toSeq)
-          openNow match {
-            case Some(s) => state.update(s)
-            case None => state.remove()
+          if (idleTimeout.isDefined && state.hasTimedOut) {
+            // idle past the gap: seal the open session, free the state
+            val sealedOut = state.getOption.map(s =>
+              SessionOut(user, s.start, s.end, s.n, s.total, open = false))
+            state.remove()
+            sealedOut.iterator
+          } else {
+            val (closed, openNow) = advance(state.getOption, it.toSeq)
+            openNow match {
+              case Some(s) =>
+                state.update(s)
+                idleTimeout.foreach(state.setTimeoutDuration)
+              case None => state.remove()
+            }
+            (closed.map(s =>
+              SessionOut(user, s.start, s.end, s.n, s.total, open = false)) ++
+              openNow.map(s =>
+                SessionOut(user, s.start, s.end, s.n, s.total, open = true))).iterator
           }
-          (closed.map(s =>
-            SessionOut(user, s.start, s.end, s.n, s.total, open = false)) ++
-            openNow.map(s =>
-              SessionOut(user, s.start, s.end, s.n, s.total, open = true))).iterator
       }
   }
 

@@ -21,6 +21,19 @@ class RawTablePipelineSpec extends SparkSpecBase {
     assert(df.count() == 5)
   }
 
+  test("scraped headers colliding with metadata columns get suffixed") {
+    val tmp = java.nio.file.Files.createTempFile("rawtable", ".json")
+    java.nio.file.Files.writeString(tmp,
+      """{"team":"BOS","page":"p","tab":"t","table_id":"x","row_idx":0,""" +
+        """"headers":["Team","PTS"],"cells":["Boston","12"]}""")
+    val df = Readers.rawTable(spark, tmp.toString, "x")
+    assert(df.columns.toSeq ==
+      Seq("team", "page", "tab", "row_idx", "Team_col", "PTS"))
+    // unambiguous under case-insensitive resolution
+    val r = df.select("team", "Team_col").head()
+    assert(r.getString(0) == "BOS" && r.getString(1) == "Boston")
+  }
+
   test("full cleaning lifecycle produces typed, repaired rows") {
     val raw = Readers.rawTable(spark, fixture, "roster")
     val cleaned = Clean.guardedNumericCoercion(

@@ -24,6 +24,18 @@ class SessionizeSpec extends SparkSpecBase {
     assert(closed2.isEmpty && open2 == open1)
   }
 
+  test("advance: cross-batch out-of-order events extend or seal, never corrupt") {
+    import Sessionize._
+    val m = 60L * 1000000L
+    val open = Some(OpenSession(100 * m, 105 * m, 2, 5.0))
+    val (closed, openNow) = advance(open, Seq(
+      Ev(9, 1, 10 * m, 1.0), // straggler far older than the session
+      Ev(10, 1, 95 * m, 2.0), // inside [start-gap, end+gap]: extends start
+      Ev(11, 1, 103 * m, 3.0)))
+    assert(closed == Seq(OpenSession(10 * m, 10 * m, 1, 1.0)))
+    assert(openNow.contains(OpenSession(95 * m, 105 * m, 4, 10.0)))
+  }
+
   test("streaming flatMapGroupsWithState == batch sessionization") {
     import spark.implicits._
     val batchEv = Tables.events(spark, sf)
@@ -39,7 +51,8 @@ class SessionizeSpec extends SparkSpecBase {
         expr("ts div 1000").as("tsMicros"), col("value"))
       .as[Sessionize.Ev]
 
-    val q = Sessionize.sessionizeStream(streamEvs)
+    // finite AvailableNow run: no idle timeout (see sessionizeStream doc)
+    val q = Sessionize.sessionizeStream(streamEvs, idleTimeout = None)
       .writeStream.format("memory").queryName("sessions_stream")
       .outputMode("update").trigger(Trigger.AvailableNow()).start()
     assert(q.awaitTermination(120000), "stream did not finish")
