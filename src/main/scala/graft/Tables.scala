@@ -35,6 +35,9 @@ object Tables {
     // double's 2^53 integer precision, so float division rounds the
     // microsecond value off by one. Integer div truncates exactly like
     // DuckDB's nanos→micros read.
+    // The nanosAsLong conf is session-global by necessity (it is read at
+    // scan planning, not a per-read option); any later TIMESTAMP(NANOS)
+    // parquet read in this session also comes back as long.
     table(s, d, "events")
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }

@@ -44,7 +44,12 @@ object Extract {
 
   /** Matchup `ABC @ XYZ` extraction: SURVEY F8,
     * `nba_insights_scraper.py:396-404`. Returns struct(team, opponent,
-    * matchup). */
+    * matchup).
+    *
+    * `[@vs]+` is a character CLASS (any run of @, v, s), reproduced
+    * verbatim from the reference — which means uppercase "VS" does not
+    * match there either. Kept bug-compatible on purpose; a cleaner
+    * separator would be `(?:@|vs?\.?)` case-insensitive. */
   def extractMatchup(c: Column): Column = {
     val pat = "([A-Z]{3})\\s*[@vs]+\\s*([A-Z]{3})"
     val t = regexp_extract(c, pat, 1)
