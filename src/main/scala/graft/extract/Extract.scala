@@ -69,6 +69,49 @@ object Extract {
       nz(regexp_extract(c, "(\\d{1,2}:\\d{2}\\s*[AP]M)", 1)))
   }
 
+  /** Insight description: SURVEY F10, `nba_insights_scraper.py:419-442`.
+    * First a performance-pattern sentence ("has failed/exceeded … games"),
+    * else the first line mentioning a stat keyword, else empty.
+    */
+  def extractDescription(c: Column): Column = {
+    val perf = regexp_extract(c,
+      "(?i)((?:has|have) (?:failed|exceeded|hit|missed|reached)[^.\\n]{0,80})", 1)
+    val keywordLine = try_element_at(
+      filter(split(c, "\\n"),
+        x => x.rlike("(?i)(points|rebounds|assists|threes|steals|blocks)")),
+      lit(1))
+    when(perf =!= "", perf).otherwise(coalesce(trim(keywordLine), lit("")))
+  }
+
+  /** Prop outcome/line/type parse: SURVEY F11,
+    * `nba_insights_scraper.py:444-464`. Three alternative patterns,
+    * first match wins; returns struct(outcome, prop_line, prop_type).
+    */
+  def parsePropOutcome(c: Column): Column = {
+    // "Under 3.5 Three Pointers" | "Over 27.5 Points"
+    val p1 = "(?i)\\b(Over|Under)\\s+(\\d+\\.?\\d*)\\s+([A-Za-z][A-Za-z ]{2,30})"
+    // "25+ points" style
+    val p2 = "(?i)\\b(\\d+)\\+\\s+([A-Za-z][A-Za-z ]{2,30})"
+    // "to record 10 rebounds"
+    val p3 = "(?i)to record\\s+(\\d+\\.?\\d*)\\s+([A-Za-z][A-Za-z ]{2,30})"
+    val m1 = regexp_extract(c, p1, 1)
+    struct(
+      when(m1 =!= "", initcap(m1))
+        .when(regexp_extract(c, p2, 1) =!= "", lit("Over"))
+        .when(regexp_extract(c, p3, 1) =!= "", lit("Over"))
+        .otherwise(lit(null)).as("outcome"),
+      coalesce(
+        when(regexp_extract(c, p1, 2) =!= "", regexp_extract(c, p1, 2)),
+        when(regexp_extract(c, p2, 1) =!= "", regexp_extract(c, p2, 1)),
+        when(regexp_extract(c, p3, 1) =!= "", regexp_extract(c, p3, 1)))
+        .try_cast("double").as("prop_line"),
+      coalesce(
+        when(regexp_extract(c, p1, 3) =!= "", trim(regexp_extract(c, p1, 3))),
+        when(regexp_extract(c, p2, 2) =!= "", trim(regexp_extract(c, p2, 2))),
+        when(regexp_extract(c, p3, 2) =!= "", trim(regexp_extract(c, p3, 2))))
+        .as("prop_type"))
+  }
+
   /** Hit-rate percentage → int: SURVEY F12, `nba_insights_scraper.py:466-471`. */
   def extractHitRate(c: Column): Column =
     when(regexp_extract(c, "(\\d{1,3})\\s*%", 1) =!= "",

@@ -26,16 +26,21 @@ object Insights {
           filter(split(col("text"), "\n"),
             x => Extract.isPlayerName(trim(x))), lit(1)))
       .withColumn("game_time", Extract.extractGameTime(col("text")))
-      .withColumn("prop_line", Extract.extractLineValue(col("text")))
+      .withColumn("po", Extract.parsePropOutcome(col("text")))
+      .withColumn("prop_line",
+        coalesce(col("po.prop_line"), Extract.extractLineValue(col("text"))))
       .withColumn("hit_rate_pct", Extract.extractHitRate(col("text")))
       .withColumn("sportsbook", Extract.detectSportsbook(col("text")))
+      .withColumn("description", Extract.extractDescription(col("text")))
       .withColumn("id",
         Extract.md5Id(col("player_name"), col("m.matchup"),
           col("prop_line").cast("string")))
       .select(col("card_idx"), col("id"), col("player_name"),
         col("m.team").as("team"), col("m.opponent").as("opponent"),
         col("m.matchup").as("matchup"), col("game_time"),
-        col("prop_line"), col("hit_rate_pct"), col("sportsbook"),
+        col("po.outcome").as("outcome"),
+        col("prop_line"), col("po.prop_type").as("prop_type"),
+        col("hit_rate_pct"), col("sportsbook"), col("description"),
         col("url"))
   }
 }

@@ -9,6 +9,7 @@ class InsightsSpec extends SparkSpecBase {
     """Jayson Tatum
       |BOS @ LAL Today 7:30 PM
       |Under 27.5 Points
+      |has exceeded 25 points in 8 of last 10 games
       |hit in 80% of last games
       |-135 on DraftKings""".stripMargin
 
@@ -28,6 +29,10 @@ class InsightsSpec extends SparkSpecBase {
     assert(r.getAs[String]("matchup") == "BOS @ LAL")
     assert(r.getAs[String]("game_time") == "Today 7:30 PM")
     assert(r.getAs[Double]("prop_line") == 27.5)
+    assert(r.getAs[String]("outcome") == "Under")
+    assert(r.getAs[String]("prop_type") == "Points")
+    assert(r.getAs[String]("description")
+      .startsWith("has exceeded 25 points"))
     assert(r.getAs[Int]("hit_rate_pct") == 80)
     assert(r.getAs[String]("sportsbook") == "DraftKings")
     assert(r.getAs[String]("id").matches("[0-9a-f]{12}"))
