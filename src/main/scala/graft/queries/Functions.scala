@@ -102,13 +102,77 @@ object Functions {
       |  odds
       |FROM p ORDER BY o_orderkey""".stripMargin
 
+  private val insightTxt =
+    "concat(CASE CAST(o_orderkey % 3 AS INT) " +
+      "WHEN 0 THEN concat('Over ', o_orderkey % 30 + 5, '.5 Points') " +
+      "WHEN 1 THEN concat(o_orderkey % 30 + 5, '+ rebounds tonight') " +
+      "ELSE concat('to record ', o_orderkey % 10 + 2, ' assists for the game') END, " +
+      "' -- ', CASE WHEN o_orderkey % 2 = 0 " +
+      "THEN 'has exceeded 20 points in 7 of 10 games' ELSE 'no history' END)"
+
+  /** F10/F11 — insight description + prop outcome cascade over
+    * deterministic synthetic insight text: three alternative prop
+    * patterns (Over/Under line, N+ stat, "to record N stat") with
+    * first-match-wins binding, and the performance-sentence description
+    * with stat-keyword fallback.
+    */
+  def f10InsightParse(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .select(col("o_orderkey"), expr(insightTxt).as("txt"))
+      .withColumn("po", Extract.parsePropOutcome(col("txt")))
+      .withColumn("description", Extract.extractDescription(col("txt")))
+      .select(col("o_orderkey"),
+        col("po.outcome").as("outcome"),
+        col("po.prop_line").as("prop_line"),
+        col("po.prop_type").as("prop_type"),
+        col("description"))
+      .orderBy("o_orderkey")
+
+  val f10Sql: String =
+    """WITH t AS (
+      |  SELECT o_orderkey,
+      |    (CASE CAST(o_orderkey % 3 AS INT)
+      |      WHEN 0 THEN 'Over ' || (o_orderkey % 30 + 5) || '.5 Points'
+      |      WHEN 1 THEN (o_orderkey % 30 + 5) || '+ rebounds tonight'
+      |      ELSE 'to record ' || (o_orderkey % 10 + 2) || ' assists for the game' END
+      |     || ' -- ' || CASE WHEN o_orderkey % 2 = 0
+      |      THEN 'has exceeded 20 points in 7 of 10 games' ELSE 'no history' END) AS txt
+      |  FROM orders),
+      |p AS (
+      |  SELECT o_orderkey, txt,
+      |    regexp_extract(txt, '(?i)\b(Over|Under)\s+(\d+\.?\d*)\s+([A-Za-z][A-Za-z ]{2,30})', 1) AS m1o,
+      |    regexp_extract(txt, '(?i)\b(Over|Under)\s+(\d+\.?\d*)\s+([A-Za-z][A-Za-z ]{2,30})', 2) AS m1l,
+      |    regexp_extract(txt, '(?i)\b(Over|Under)\s+(\d+\.?\d*)\s+([A-Za-z][A-Za-z ]{2,30})', 3) AS m1t,
+      |    regexp_extract(txt, '(?i)\b(\d+)\+\s+([A-Za-z][A-Za-z ]{2,30})', 1) AS m2l,
+      |    regexp_extract(txt, '(?i)\b(\d+)\+\s+([A-Za-z][A-Za-z ]{2,30})', 2) AS m2t,
+      |    regexp_extract(txt, '(?i)to record\s+(\d+\.?\d*)\s+([A-Za-z][A-Za-z ]{2,30})', 1) AS m3l,
+      |    regexp_extract(txt, '(?i)to record\s+(\d+\.?\d*)\s+([A-Za-z][A-Za-z ]{2,30})', 2) AS m3t,
+      |    regexp_extract(txt, '(?i)((?:has|have) (?:failed|exceeded|hit|missed|reached)[^.\n]{0,80})', 1) AS perf
+      |  FROM t)
+      |SELECT o_orderkey,
+      |  CASE WHEN m1o <> '' THEN m1o
+      |       WHEN m2l <> '' THEN 'Over'
+      |       WHEN m3l <> '' THEN 'Over' END AS outcome,
+      |  TRY_CAST(CASE WHEN m1l <> '' THEN m1l
+      |       WHEN m2l <> '' THEN m2l
+      |       WHEN m3l <> '' THEN m3l END AS DOUBLE) AS prop_line,
+      |  CASE WHEN m1t <> '' THEN trim(m1t)
+      |       WHEN m2t <> '' THEN trim(m2t)
+      |       WHEN m3t <> '' THEN trim(m3t) END AS prop_type,
+      |  CASE WHEN perf <> '' THEN perf
+      |       WHEN regexp_matches(txt, '(?i)(points|rebounds|assists|threes|steals|blocks)')
+      |         THEN trim(txt) ELSE '' END AS description
+      |FROM p ORDER BY o_orderkey""".stripMargin
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "f1_guarded_coercion" -> f1GuardedCoercion,
     "f5_prop_line_parse" -> f5PropLineParse,
+    "f10_insight_parse" -> f10InsightParse,
   )
 
   val oracle: Map[String, String] = Map(
     "f1_guarded_coercion" -> f1Sql,
     "f5_prop_line_parse" -> f5Sql,
+    "f10_insight_parse" -> f10Sql,
   )
 }

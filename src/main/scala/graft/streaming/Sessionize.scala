@@ -150,6 +150,49 @@ object Sessionize {
       }
   }
 
+  /** Timestamped event for the event-time sessionize variant. */
+  final case class EvT(event_id: Long, user_id: Long,
+      ts: java.sql.Timestamp, value: Double)
+
+  /** Event-time sessionization: like [[sessionizeStream]] but sessions
+    * seal deterministically when the WATERMARK passes `end + gap` —
+    * independent of processing speed, the production-correct variant.
+    * Input must carry `withWatermark("ts", ...)` upstream; closed
+    * sessions are emitted exactly once (on data or on event-time
+    * timeout), the open session is re-emitted per update.
+    */
+  def sessionizeStreamEventTime(evs: Dataset[EvT]): Dataset[SessionOut] = {
+    val spark = evs.sparkSession
+    import spark.implicits._
+    val gapMs = gapMinutes * 60L * 1000L
+    evs.groupByKey(_.user_id)
+      .flatMapGroupsWithState[OpenSession, SessionOut](
+        OutputMode.Update(), GroupStateTimeout.EventTimeTimeout()) {
+        case (user: Long, it: Iterator[EvT], state: GroupState[OpenSession]) =>
+          if (state.hasTimedOut) {
+            val sealedOut = state.getOption.map(s =>
+              SessionOut(user, s.start, s.end, s.n, s.total, open = false))
+            state.remove()
+            sealedOut.iterator
+          } else {
+            val batch = it.map(e =>
+              Ev(e.event_id, e.user_id, e.ts.getTime * 1000L, e.value)).toSeq
+            val (closed, openNow) = advance(state.getOption, batch)
+            openNow match {
+              case Some(s) =>
+                state.update(s)
+                // seal when the watermark passes session end + gap
+                state.setTimeoutTimestamp(s.end / 1000L + gapMs)
+              case None => state.remove()
+            }
+            (closed.map(s =>
+              SessionOut(user, s.start, s.end, s.n, s.total, open = false)) ++
+              openNow.map(s =>
+                SessionOut(user, s.start, s.end, s.n, s.total, open = true))).iterator
+          }
+      }
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st3_sessionize" -> st3Sessionize,
   )

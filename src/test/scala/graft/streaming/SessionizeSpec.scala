@@ -36,6 +36,40 @@ class SessionizeSpec extends SparkSpecBase {
     assert(openNow.contains(OpenSession(95 * m, 105 * m, 4, 10.0)))
   }
 
+  test("event-time sessionize seals sessions when the watermark passes") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val mem = MemoryStream[(Long, Long, java.sql.Timestamp, Double)]
+    def ts(min: Int): java.sql.Timestamp =
+      java.sql.Timestamp.valueOf(f"2024-01-01 03:$min%02d:00")
+
+    val evs = mem.toDF().toDF("event_id", "user_id", "ts", "value")
+      .withWatermark("ts", "0 seconds")
+      .as[Sessionize.EvT]
+    val q = Sessionize.sessionizeStreamEventTime(evs)
+      .writeStream.format("memory").queryName("et_sessions")
+      .outputMode("update").start()
+    try {
+      // user 1: two events, 3-minute gap → one session
+      mem.addData((1L, 1L, ts(0), 1.0), (2L, 1L, ts(3), 2.0))
+      q.processAllAvailable()
+      // watermark jumps past end+gap via another user's event at 03:30
+      mem.addData((3L, 2L, ts(30), 9.0))
+      q.processAllAvailable()
+      // trigger one more batch so the event-time timeout fires
+      mem.addData((4L, 2L, ts(31), 1.0))
+      q.processAllAvailable()
+
+      val sealedU1 = spark.table("et_sessions")
+        .filter(col("user_id") === 1 && !col("open")).collect()
+      assert(sealedU1.length == 1, "user 1 session not sealed by watermark")
+      val s = sealedU1.head
+      assert(s.getAs[Long]("n_events") == 2 &&
+        s.getAs[Double]("total_value") == 3.0)
+    } finally q.stop()
+  }
+
   test("streaming flatMapGroupsWithState == batch sessionization") {
     import spark.implicits._
     val batchEv = Tables.events(spark, sf)
