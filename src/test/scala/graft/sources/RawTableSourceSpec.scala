@@ -1,0 +1,39 @@
+package graft.sources
+
+import graft.SparkSpecBase
+import graft.ingest.Readers
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+
+class RawTableSourceSpec extends SparkSpecBase {
+
+  private def load() = spark.read
+    .format("graft.sources.RawTableSource")
+    .option("path", getClass.getResource("/fixtures/raw_table.json").getPath)
+    .option("tableId", "roster")
+    .load()
+
+  test("DSv2 source exposes the normalized wide schema and same rows") {
+    val v2 = load()
+    val v1 = Readers.rawTable(spark,
+      getClass.getResource("/fixtures/raw_table.json").getPath, "roster")
+    assert(v2.schema.fieldNames.toSeq == v1.schema.fieldNames.toSeq)
+    val a = v2.orderBy("row_idx").collect().map(_.toSeq).toSeq
+    val b = v1.orderBy("row_idx").collect().map(_.toSeq).toSeq
+    assert(a == b)
+    assert(a.size == 5)
+  }
+
+  test("column pruning is pushed into the source scan") {
+    val pruned = load().select("Player", "row_idx")
+    val scans = pruned.queryExecution.executedPlan.collect {
+      case b: BatchScanExec => b
+    }
+    assert(scans.nonEmpty, "no BatchScanExec found")
+    assert(scans.head.schema.fieldNames.toSet == Set("Player", "row_idx"),
+      s"scan not pruned: ${scans.head.schema.fieldNames.mkString(",")}")
+  }
+
+  test("scan parallelizes across line-range partitions") {
+    assert(load().rdd.getNumPartitions > 1)
+  }
+}
