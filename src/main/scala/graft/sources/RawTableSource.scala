@@ -7,6 +7,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -87,21 +88,43 @@ class RawTableTable(path: String, tableId: String, tableSchema: StructType)
 }
 
 class RawTableScanBuilder(path: String, tableId: String, full: StructType)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters {
 
   private var required: StructType = full
+  private var pushed: Array[Filter] = Array.empty
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = new RawTableScan(path, tableId, full, required)
+  /** Accept `team` equality and `row_idx` range predicates — they are
+    * evaluated while scanning lines, so filtered rows never become
+    * InternalRows. Everything else stays with Spark as residual. */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (sup, residual) = filters.partition {
+      case EqualTo("team", _: String) => true
+      case GreaterThan("row_idx", _) | GreaterThanOrEqual("row_idx", _) |
+           LessThan("row_idx", _) | LessThanOrEqual("row_idx", _) => true
+      case _ => false
+    }
+    pushed = sup
+    residual
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def build(): Scan =
+    new RawTableScan(path, tableId, full, required, pushed)
 }
 
 class RawTableScan(path: String, tableId: String,
-    full: StructType, required: StructType) extends Scan with Batch {
+    full: StructType, required: StructType,
+    pushed: Array[Filter]) extends Scan with Batch {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+  override def description(): String =
+    s"RawTableScan(tableId=$tableId, pushed=[${pushed.mkString(", ")}])"
 
   override def planInputPartitions(): Array[InputPartition] = {
     val n = RawTableSource.readLines(path, tableId).size
@@ -113,13 +136,14 @@ class RawTableScan(path: String, tableId: String,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new RawTableReaderFactory(path, tableId, full, required)
+    new RawTableReaderFactory(path, tableId, full, required, pushed)
 }
 
 case class RawTableRange(start: Int, end: Int) extends InputPartition
 
 class RawTableReaderFactory(path: String, tableId: String,
-    full: StructType, required: StructType) extends PartitionReaderFactory {
+    full: StructType, required: StructType,
+    pushed: Array[Filter]) extends PartitionReaderFactory {
 
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val range = p.asInstanceOf[RawTableRange]
@@ -131,24 +155,39 @@ class RawTableReaderFactory(path: String, tableId: String,
       private val ordinals = required.fieldNames.map(full.fieldIndex)
       private var current: InternalRow = _
 
-      override def next(): Boolean =
-        if (!lines.hasNext) false
-        else {
-          val node = mapper.readTree(lines.next())
-          val cells = node.path("cells").elements().asScala
-            .map(_.asText(null)).toIndexedSeq
-          def fullValue(i: Int): Any = i match {
-            case 0 => UTF8String.fromString(node.path("team").asText())
-            case 1 => UTF8String.fromString(node.path("page").asText())
-            case 2 => UTF8String.fromString(node.path("tab").asText())
-            case 3 => node.path("row_idx").asLong()
-            case c =>
-              cells.lift(c - 4).flatMap(Option(_))
-                .map(UTF8String.fromString).orNull
-          }
-          current = InternalRow.fromSeq(ordinals.toIndexedSeq.map(fullValue))
-          true
+      private def passes(team: String, rowIdx: Long): Boolean =
+        pushed.forall {
+          case EqualTo("team", v: String) => team == v
+          case GreaterThan("row_idx", v) => rowIdx > v.asInstanceOf[Number].longValue()
+          case GreaterThanOrEqual("row_idx", v) => rowIdx >= v.asInstanceOf[Number].longValue()
+          case LessThan("row_idx", v) => rowIdx < v.asInstanceOf[Number].longValue()
+          case LessThanOrEqual("row_idx", v) => rowIdx <= v.asInstanceOf[Number].longValue()
+          case _ => true
         }
+
+      override def next(): Boolean = {
+        while (lines.hasNext) {
+          val node = mapper.readTree(lines.next())
+          val team = node.path("team").asText()
+          val rowIdx = node.path("row_idx").asLong()
+          if (passes(team, rowIdx)) {
+            val cells = node.path("cells").elements().asScala
+              .map(_.asText(null)).toIndexedSeq
+            def fullValue(i: Int): Any = i match {
+              case 0 => UTF8String.fromString(team)
+              case 1 => UTF8String.fromString(node.path("page").asText())
+              case 2 => UTF8String.fromString(node.path("tab").asText())
+              case 3 => rowIdx
+              case c =>
+                cells.lift(c - 4).flatMap(Option(_))
+                  .map(UTF8String.fromString).orNull
+            }
+            current = InternalRow.fromSeq(ordinals.toIndexedSeq.map(fullValue))
+            return true
+          }
+        }
+        false
+      }
 
       override def get(): InternalRow = current
       override def close(): Unit = ()

@@ -36,4 +36,19 @@ class RawTableSourceSpec extends SparkSpecBase {
   test("scan parallelizes across line-range partitions") {
     assert(load().rdd.getNumPartitions > 1)
   }
+
+  test("team/row_idx filters push into the source scan") {
+    import org.apache.spark.sql.functions.col
+    val filtered = load()
+      .filter(col("team") === "BOS" && col("row_idx") >= 1 && col("row_idx") < 4)
+    // pushed filters appear in the scan description
+    val plan = filtered.queryExecution.executedPlan.toString
+    assert(plan.contains("EqualTo(team,BOS)") &&
+      plan.contains("GreaterThanOrEqual(row_idx,1)"),
+      s"filters not pushed:\n$plan")
+    // and the source applies them correctly
+    assert(filtered.count() == 3)
+    assert(filtered.select("row_idx").collect()
+      .map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L))
+  }
 }
