@@ -49,13 +49,7 @@ object Readers {
     val headers: Seq[String] = raw.select("headers").limit(1).collect()
       .headOption.map(_.getSeq[String](0))
       .getOrElse(Seq.empty)
-    // a scraped "Team"/"Page"/"Tab" header would collide (case-
-    // insensitively under Spark's default resolution) with the fixed
-    // metadata columns — suffix such headers before the positional dedup
-    val reserved = Set("team", "page", "tab", "row_idx")
-    val names = Columns.dedupSuffix(
-      headers.map(h => Columns.canonicalName(Columns.flattenHeader(Seq(h))))
-        .map(n => if (reserved(n.toLowerCase)) s"${n}_col" else n))
+    val names = Columns.normalizeRawHeaders(headers)
     val cols = col("team") +: col("page") +: col("tab") +: col("row_idx") +:
       names.zipWithIndex.map { case (n, i) =>
         try_element_at(col("cells"), lit(i + 1)).as(n)

@@ -117,6 +117,18 @@ object Columns {
     }
   }
 
+  /** Header normalization shared by every raw-table read path
+    * (`ingest.Readers.rawTable`, `sources.RawTableSource`): flatten +
+    * canonical rename, suffix names that would collide (case-
+    * insensitively) with reserved metadata columns, then positional
+    * dedup. Both paths MUST use this so their schemas stay identical.
+    */
+  def normalizeRawHeaders(headers: Seq[String],
+      reserved: Set[String] = Set("team", "page", "tab", "row_idx")): Seq[String] =
+    dedupSuffix(
+      headers.map(h => canonicalName(flattenHeader(Seq(h))))
+        .map(n => if (reserved(n.toLowerCase)) s"${n}_col" else n))
+
   /** Full normalization: flatten already done at ingest; canonical-rename
     * then dedup-suffix every column of `df`.
     */

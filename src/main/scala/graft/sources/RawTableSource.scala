@@ -25,8 +25,9 @@ import graft.normalize.Columns
   *    column algebra, no data pass);
   *  - `SupportsPushDownRequiredColumns`: column pruning reaches the
   *    source — pruned cells are never materialized into rows;
-  *  - line-range input partitions: the file splits into `parallelism`
-  *    ranges so the scan parallelizes like any multi-split source.
+  *  - line-range input partitions: the file splits into `slices` ranges
+  *    (option `slices`, default 4) so the scan parallelizes like any
+  *    multi-split source.
   *
   * Usage:
   * {{{
@@ -42,19 +43,27 @@ class RawTableSource extends TableProvider {
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table = {
     val opts = new CaseInsensitiveStringMap(properties)
-    new RawTableTable(opts.get("path"), opts.get("tableId"), schema)
+    val slices = Option(opts.get("slices")).map(_.toInt).getOrElse(4)
+    new RawTableTable(opts.get("path"), opts.get("tableId"), schema, slices)
   }
 }
 
 object RawTableSource {
   private val mapper = new ObjectMapper()
 
-  private[sources] def readLines(path: String, tableId: String): Seq[String] = {
-    val all = java.nio.file.Files.readAllLines(
-      java.nio.file.Paths.get(path)).asScala.toSeq
-    all.filter { l =>
-      l.nonEmpty && mapper.readTree(l).path("table_id").asText() == tableId
-    }
+  /** Parse the file ONCE per caller into the table's JsonNodes.
+    * Fixture files are immutable by contract; on mutable storage the
+    * line count used for partition planning and a retried reader's
+    * re-read could diverge — a real source would plan byte offsets
+    * against an immutable snapshot instead. */
+  private[sources] def readNodes(path: String, tableId: String)
+      : IndexedSeq[com.fasterxml.jackson.databind.JsonNode] = {
+    java.nio.file.Files.readAllLines(java.nio.file.Paths.get(path))
+      .asScala.iterator
+      .filter(_.nonEmpty)
+      .map(mapper.readTree)
+      .filter(_.path("table_id").asText() == tableId)
+      .toIndexedSeq
   }
 
   /** Metadata columns + normalized header columns (strings at ingest). */
@@ -62,21 +71,17 @@ object RawTableSource {
     val meta = Seq(
       StructField("team", StringType), StructField("page", StringType),
       StructField("tab", StringType), StructField("row_idx", LongType))
-    val headerFields = readLines(path, tableId).headOption.map { line =>
-      val headers = mapper.readTree(line).path("headers")
+    val headerFields = readNodes(path, tableId).headOption.map { node =>
+      val headers = node.path("headers")
         .elements().asScala.map(_.asText()).toSeq
-      val reserved = Set("team", "page", "tab", "row_idx")
-      Columns.dedupSuffix(
-        headers.map(h => Columns.canonicalName(Columns.flattenHeader(Seq(h))))
-          .map(n => if (reserved(n.toLowerCase)) s"${n}_col" else n))
-        .map(StructField(_, StringType))
+      Columns.normalizeRawHeaders(headers).map(StructField(_, StringType))
     }.getOrElse(Seq.empty)
     StructType(meta ++ headerFields)
   }
 }
 
-class RawTableTable(path: String, tableId: String, tableSchema: StructType)
-    extends Table with SupportsRead {
+class RawTableTable(path: String, tableId: String, tableSchema: StructType,
+    slices: Int) extends Table with SupportsRead {
 
   override def name(): String = s"raw_table($tableId)"
   override def schema(): StructType = tableSchema
@@ -84,10 +89,11 @@ class RawTableTable(path: String, tableId: String, tableSchema: StructType)
     util.EnumSet.of(TableCapability.BATCH_READ)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new RawTableScanBuilder(path, tableId, tableSchema)
+    new RawTableScanBuilder(path, tableId, tableSchema, slices)
 }
 
-class RawTableScanBuilder(path: String, tableId: String, full: StructType)
+class RawTableScanBuilder(path: String, tableId: String, full: StructType,
+    slices: Int)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters {
 
@@ -114,12 +120,12 @@ class RawTableScanBuilder(path: String, tableId: String, full: StructType)
   override def pushedFilters(): Array[Filter] = pushed
 
   override def build(): Scan =
-    new RawTableScan(path, tableId, full, required, pushed)
+    new RawTableScan(path, tableId, full, required, pushed, slices)
 }
 
 class RawTableScan(path: String, tableId: String,
     full: StructType, required: StructType,
-    pushed: Array[Filter]) extends Scan with Batch {
+    pushed: Array[Filter], slices: Int) extends Scan with Batch {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -127,9 +133,9 @@ class RawTableScan(path: String, tableId: String,
     s"RawTableScan(tableId=$tableId, pushed=[${pushed.mkString(", ")}])"
 
   override def planInputPartitions(): Array[InputPartition] = {
-    val n = RawTableSource.readLines(path, tableId).size
-    val slices = math.max(1, math.min(4, n))
-    val per = math.max(1, (n + slices - 1) / slices)
+    val n = RawTableSource.readNodes(path, tableId).size
+    val k = math.max(1, math.min(slices, n))
+    val per = math.max(1, (n + k - 1) / k)
     (0 until n by per)
       .map(start => RawTableRange(start, math.min(start + per, n)))
       .toArray[InputPartition]
@@ -148,36 +154,51 @@ class RawTableReaderFactory(path: String, tableId: String,
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val range = p.asInstanceOf[RawTableRange]
     new PartitionReader[InternalRow] {
-      private val mapper = new ObjectMapper()
-      private val lines = RawTableSource.readLines(path, tableId)
+      private val nodes = RawTableSource.readNodes(path, tableId)
         .slice(range.start, range.end).iterator
       // source-side projection: only required ordinals materialize
       private val ordinals = required.fieldNames.map(full.fieldIndex)
       private var current: InternalRow = _
 
-      private def passes(team: String, rowIdx: Long): Boolean =
+      // SQL three-valued logic: a NULL operand fails every predicate
+      private def passes(team: String, rowIdx: java.lang.Long): Boolean =
         pushed.forall {
-          case EqualTo("team", v: String) => team == v
-          case GreaterThan("row_idx", v) => rowIdx > v.asInstanceOf[Number].longValue()
-          case GreaterThanOrEqual("row_idx", v) => rowIdx >= v.asInstanceOf[Number].longValue()
-          case LessThan("row_idx", v) => rowIdx < v.asInstanceOf[Number].longValue()
-          case LessThanOrEqual("row_idx", v) => rowIdx <= v.asInstanceOf[Number].longValue()
+          case EqualTo("team", v: String) => team != null && team == v
+          case GreaterThan("row_idx", v) =>
+            rowIdx != null && rowIdx > v.asInstanceOf[Number].longValue()
+          case GreaterThanOrEqual("row_idx", v) =>
+            rowIdx != null && rowIdx >= v.asInstanceOf[Number].longValue()
+          case LessThan("row_idx", v) =>
+            rowIdx != null && rowIdx < v.asInstanceOf[Number].longValue()
+          case LessThanOrEqual("row_idx", v) =>
+            rowIdx != null && rowIdx <= v.asInstanceOf[Number].longValue()
           case _ => true
         }
 
+      // null-safe metadata access: JSON null / missing field -> SQL NULL,
+      // never the string "null" (Jackson asText() on NullNode) or 0
+      private def strOrNull(node: com.fasterxml.jackson.databind.JsonNode,
+          field: String): String = {
+        val n = node.get(field)
+        if (n == null || n.isNull) null else n.asText()
+      }
+
       override def next(): Boolean = {
-        while (lines.hasNext) {
-          val node = mapper.readTree(lines.next())
-          val team = node.path("team").asText()
-          val rowIdx = node.path("row_idx").asLong()
+        while (nodes.hasNext) {
+          val node = nodes.next()
+          val team = strOrNull(node, "team")
+          val rowIdx: java.lang.Long = {
+            val n = node.get("row_idx")
+            if (n == null || n.isNull) null else java.lang.Long.valueOf(n.asLong())
+          }
           if (passes(team, rowIdx)) {
             val cells = node.path("cells").elements().asScala
               .map(_.asText(null)).toIndexedSeq
             def fullValue(i: Int): Any = i match {
-              case 0 => UTF8String.fromString(team)
-              case 1 => UTF8String.fromString(node.path("page").asText())
-              case 2 => UTF8String.fromString(node.path("tab").asText())
-              case 3 => rowIdx
+              case 0 => Option(team).map(UTF8String.fromString).orNull
+              case 1 => Option(strOrNull(node, "page")).map(UTF8String.fromString).orNull
+              case 2 => Option(strOrNull(node, "tab")).map(UTF8String.fromString).orNull
+              case 3 => if (rowIdx == null) null else rowIdx.longValue()
               case c =>
                 cells.lift(c - 4).flatMap(Option(_))
                   .map(UTF8String.fromString).orNull

@@ -85,25 +85,35 @@ object Sessionize {
   def advance(open: Option[OpenSession], batch: Seq[Ev]): (Seq[OpenSession], Option[OpenSession]) = {
     val gapMicros = gapMinutes * 60L * 1000000L
     val sorted = batch.sortBy(e => (e.tsMicros, e.event_id))
-    var closed = Vector.empty[OpenSession]
-    var cur = open
-    sorted.foreach { e =>
-      cur match {
-        case Some(s) if e.tsMicros >= s.start - gapMicros &&
-            e.tsMicros - s.end <= gapMicros =>
-          cur = Some(OpenSession(math.min(s.start, e.tsMicros),
-            math.max(s.end, e.tsMicros), s.n + 1, s.total + e.value))
-        case Some(s) if e.tsMicros < s.start - gapMicros =>
-          // straggler older than the open session: seal it alone
-          closed :+= OpenSession(e.tsMicros, e.tsMicros, 1L, e.value)
-        case Some(s) =>
-          closed :+= s
-          cur = Some(OpenSession(e.tsMicros, e.tsMicros, 1L, e.value))
-        case None =>
-          cur = Some(OpenSession(e.tsMicros, e.tsMicros, 1L, e.value))
+    // stragglers older than the open session's envelope form their own
+    // session chain (merged among themselves, all sealed); the rest
+    // extend the open session
+    val (early, rest) = sorted.partition(e =>
+      open.exists(s => e.tsMicros < s.start - gapMicros))
+
+    def chain(init: Option[OpenSession], events: Seq[Ev]): (Vector[OpenSession], Option[OpenSession]) = {
+      var closed = Vector.empty[OpenSession]
+      var cur = init
+      events.foreach { e =>
+        cur match {
+          case Some(s) if e.tsMicros >= s.start - gapMicros &&
+              e.tsMicros - s.end <= gapMicros =>
+            cur = Some(OpenSession(math.min(s.start, e.tsMicros),
+              math.max(s.end, e.tsMicros), s.n + 1, s.total + e.value))
+          case Some(s) =>
+            closed :+= s
+            cur = Some(OpenSession(e.tsMicros, e.tsMicros, 1L, e.value))
+          case None =>
+            cur = Some(OpenSession(e.tsMicros, e.tsMicros, 1L, e.value))
+        }
       }
+      (closed, cur)
     }
-    (closed, cur)
+
+    val (closedEarly, lastEarly) = chain(None, early)
+    val (closedRest, openNow) = chain(open, rest)
+    // every early-chain session ends before open.start - gap: sealed
+    (closedEarly ++ lastEarly.toSeq ++ closedRest, openNow)
   }
 
   /** Stateful streaming sessionization: one OpenSession per user carried
@@ -175,8 +185,12 @@ object Sessionize {
             state.remove()
             sealedOut.iterator
           } else {
+            // getTime is ms-truncated; re-add the sub-ms micros from
+            // getNanos so event time stays µs-exact like the batch twin
             val batch = it.map(e =>
-              Ev(e.event_id, e.user_id, e.ts.getTime * 1000L, e.value)).toSeq
+              Ev(e.event_id, e.user_id,
+                e.ts.getTime * 1000L + (e.ts.getNanos / 1000L) % 1000L,
+                e.value)).toSeq
             val (closed, openNow) = advance(state.getOption, batch)
             openNow match {
               case Some(s) =>

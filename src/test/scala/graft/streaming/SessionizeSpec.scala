@@ -34,6 +34,13 @@ class SessionizeSpec extends SparkSpecBase {
       Ev(11, 1, 103 * m, 3.0)))
     assert(closed == Seq(OpenSession(10 * m, 10 * m, 1, 1.0)))
     assert(openNow.contains(OpenSession(95 * m, 105 * m, 4, 10.0)))
+
+    // multiple stragglers within a gap of each other merge into ONE
+    // sealed session, matching batch semantics
+    val (closedM, openM) = advance(Some(OpenSession(100 * m, 105 * m, 2, 5.0)),
+      Seq(Ev(20, 1, 5 * m, 1.0), Ev(21, 1, 7 * m, 2.0)))
+    assert(closedM == Seq(OpenSession(5 * m, 7 * m, 2, 3.0)))
+    assert(openM.contains(OpenSession(100 * m, 105 * m, 2, 5.0)))
   }
 
   test("event-time sessionize seals sessions when the watermark passes") {
