@@ -413,8 +413,30 @@ object Relational {
       |FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
       |ORDER BY status, priority""".stripMargin
 
+  /** Exact percentiles per group (linear interpolation — same method as
+    * DuckDB's quantile_cont): the distributional summary the reference's
+    * scraped "averages" never had. Exact percentile sorts within groups —
+    * fine for bounded group counts; at extreme cardinality the approx
+    * sketch variant is the scale path (see ConvertAndApproxSpec).
+    */
+  def a11Percentiles(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy(col("event_type"))
+      .agg(r6(expr("percentile(value, 0.5)")).as("p50"),
+        r6(expr("percentile(value, 0.9)")).as("p90"),
+        count(lit(1)).as("n"))
+      .orderBy("event_type")
+
+  val a11Sql: String =
+    """SELECT event_type,
+      |  floor(quantile_cont(value, 0.5) * 1000000.0 + 0.5) / 1000000.0 AS p50,
+      |  floor(quantile_cont(value, 0.9) * 1000000.0 + 0.5) / 1000000.0 AS p90,
+      |  count(*) AS n
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a10_rollup_totals" -> a10RollupTotals,
+    "a11_percentiles" -> a11Percentiles,
     "q1_pricing_summary" -> q1PricingSummary,
     "q2_revenue_by_nation" -> q2RevenueByNation,
     "q3_top_orders" -> q3TopOrders,
@@ -438,6 +460,7 @@ object Relational {
 
   val oracle: Map[String, String] = Map(
     "a10_rollup_totals" -> a10Sql,
+    "a11_percentiles" -> a11Sql,
     "q1_pricing_summary" -> q1Sql,
     "q2_revenue_by_nation" -> q2Sql,
     "q3_top_orders" -> q3Sql,

@@ -218,7 +218,33 @@ object Similarity {
       |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
   }
 
+  /** S5 — per-label centroids: embeddings exploded to (label, dim, v)
+    * long form — the layout that scales (vector ops become plain grouped
+    * aggregation, partial-agg combined; no array state in the
+    * aggregator) — then exact decimal-backed means per (label, dim).
+    */
+  def s5LabelCentroids(s: SparkSession, d: String): DataFrame =
+    embeddings(s, d)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
+      .groupBy(col("label"), col("dim"))
+      .agg(count(lit(1)).as("n"), r6(davg(col("v"))).as("centroid_v"))
+      .filter(col("dim") < 4) // bounded output; every dim computes identically
+      .orderBy("label", "dim")
+
+  val s5Sql: String =
+    """SELECT label, dim, count(*) AS n,
+      |  floor((CAST(SUM(CAST(v AS DECIMAL(18,6))) AS DOUBLE) / COUNT(v))
+      |        * 1000000.0 + 0.5) / 1000000.0 AS centroid_v
+      |FROM (
+      |  SELECT label,
+      |    unnest(generate_series(0, len(embedding) - 1)) AS dim,
+      |    unnest(embedding) AS v
+      |  FROM embeddings)
+      |WHERE dim < 4
+      |GROUP BY label, dim ORDER BY label, dim""".stripMargin
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s5_label_centroids" -> s5LabelCentroids,
     "s1_bruteforce_topk" -> s1BruteForceTopK,
     "s2_lsh_neardup" -> s2LshNearDup,
     "s3_embedding_neardup" -> s3EmbeddingNearDup,
@@ -226,6 +252,7 @@ object Similarity {
   )
 
   val oracle: Map[String, String] = Map(
+    "s5_label_centroids" -> s5Sql,
     "s1_bruteforce_topk" -> s1Sql,
     "s2_lsh_neardup" -> s2Sql,
     "s3_embedding_neardup" -> s3Sql,
