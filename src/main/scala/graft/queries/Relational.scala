@@ -434,9 +434,56 @@ object Relational {
       |  count(*) AS n
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Set intersection: nations hosting BOTH a high-balance customer and
+    * a high-balance supplier (hash-based INTERSECT — a semi-join shape
+    * at scale, no row explosion).
+    */
+  def o8Intersect(s: SparkSession, d: String): DataFrame = {
+    val custNations = customer(s, d).filter(col("c_acctbal") > 5000.0)
+      .select(col("c_nationkey").as("nationkey"))
+    val suppNations = supplier(s, d).filter(col("s_acctbal") > 5000.0)
+      .select(col("s_nationkey").as("nationkey"))
+    custNations.intersect(suppNations).orderBy("nationkey")
+  }
+
+  val o8Sql: String =
+    """SELECT c_nationkey AS nationkey FROM customer WHERE c_acctbal > 5000.0
+      |INTERSECT
+      |SELECT s_nationkey FROM supplier WHERE s_acctbal > 5000.0
+      |ORDER BY nationkey""".stripMargin
+
+  /** lead/lag analytics: per event, the gap (seconds) to the user's
+    * previous and next event — the inter-arrival profile underlying the
+    * sessionization gap threshold. One shuffle on user_id; both offsets
+    * ride the same window sort.
+    */
+  def w4LeadLag(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    // integer `div`, not `/ then cast`: double division + cast truncates
+    // in Spark but rounds in DuckDB — div floors identically in both
+    events(s, d)
+      .withColumn("prev_us", unix_micros(lag(col("ts"), 1).over(w)))
+      .withColumn("next_us", unix_micros(lead(col("ts"), 1).over(w)))
+      .withColumn("cur_us", unix_micros(col("ts")))
+      .select(col("user_id"), col("event_id"),
+        expr("(cur_us - prev_us) div 1000000").as("prev_gap_s"),
+        expr("(next_us - cur_us) div 1000000").as("next_gap_s"))
+      .orderBy("user_id", "event_id")
+  }
+
+  val w4Sql: String =
+    """SELECT user_id, event_id,
+      |  (epoch_us(ts) - epoch_us(lag(ts) OVER w)) // 1000000 AS prev_gap_s,
+      |  (epoch_us(lead(ts) OVER w) - epoch_us(ts)) // 1000000 AS next_gap_s
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |ORDER BY user_id, event_id""".stripMargin
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a10_rollup_totals" -> a10RollupTotals,
     "a11_percentiles" -> a11Percentiles,
+    "o8_intersect" -> o8Intersect,
+    "w4_lead_lag" -> w4LeadLag,
     "q1_pricing_summary" -> q1PricingSummary,
     "q2_revenue_by_nation" -> q2RevenueByNation,
     "q3_top_orders" -> q3TopOrders,
@@ -461,6 +508,8 @@ object Relational {
   val oracle: Map[String, String] = Map(
     "a10_rollup_totals" -> a10Sql,
     "a11_percentiles" -> a11Sql,
+    "o8_intersect" -> o8Sql,
+    "w4_lead_lag" -> w4Sql,
     "q1_pricing_summary" -> q1Sql,
     "q2_revenue_by_nation" -> q2Sql,
     "q3_top_orders" -> q3Sql,
