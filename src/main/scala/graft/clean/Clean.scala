@@ -22,10 +22,14 @@ object Clean {
 
   /** Per-column coercion statistics for the guarded numeric cast. */
   final case class CoercionStat(column: String, nonNull: Long, castable: Long) {
-    /** pandas semantics: keep the cast only if coerced non-nulls are at
-      * least half of the original non-nulls (float division,
-      * `unified_nba_scraper.py:194-207`). */
-    def coerce: Boolean = nonNull > 0 && castable.toDouble >= nonNull.toDouble / 2.0
+    /** pandas semantics: keep the cast if the column had no non-null
+      * values at all, OR coerced non-nulls are at least half of the
+      * original non-nulls (float division,
+      * `unified_nba_scraper.py:199-204`:
+      * `if orig_non_null == 0 or coerced_non_null >= orig_non_null / 2`).
+      * The all-null branch matters: an empty/all-null column becomes
+      * numeric in the reference, not string. */
+    def coerce: Boolean = nonNull == 0L || castable.toDouble >= nonNull.toDouble / 2.0
   }
 
   /** Compute coercion stats for `cols` in ONE aggregate pass over `df`

@@ -21,6 +21,12 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * replaces and to the DuckDB oracle's `list_reduce` rendering — cosine =
   * `graft_dot(a,b) / (sqrt(graft_dot(a,a)) * sqrt(graft_dot(b,b)))`
   * reproduces exactly.
+  *
+  * Null contract (same as the HOF composition): NULL if either input is
+  * NULL, if the lengths differ (`zip_with` pads the short side with
+  * nulls → null products → null fold), or if any element is NULL. The
+  * function is registered session-wide, so it must not return a
+  * plausible-but-truncated sum on ragged input.
   */
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -38,15 +44,21 @@ case class DotProduct(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
 
+  // Result can be NULL even for non-null inputs (ragged lengths / null
+  // elements), so nullability is unconditional.
+  override def nullable: Boolean = true
+
   override def prettyName: String = "graft_dot"
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var sum = 0.0
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       sum += x.getFloat(i).toDouble * y.getFloat(i).toDouble
       i += 1
     }
@@ -58,13 +70,16 @@ case class DotProduct(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
       val sum = ctx.freshName("sum")
+      val bad = ctx.freshName("bad")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $n = $a.numElements();
+         |boolean $bad = $n != $b.numElements();
          |double $sum = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
+         |for (int $i = 0; !$bad && $i < $n; $i++) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($i)) { $bad = true; break; }
          |  $sum += ((double) $a.getFloat($i)) * ((double) $b.getFloat($i));
          |}
-         |${ev.value} = $sum;
+         |if ($bad) { ${ev.isNull} = true; } else { ${ev.value} = $sum; }
        """.stripMargin
     })
 

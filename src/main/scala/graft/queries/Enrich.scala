@@ -115,7 +115,7 @@ object Enrich {
       .orderBy("event_type")
 
   val e3Sql: String =
-    """SELECT event_type, count(k) AS n, sum(k) AS k_sum,
+    """SELECT event_type, count(k) AS n, CAST(sum(k) AS BIGINT) AS k_sum,
       |  min(k) AS k_min, max(k) AS k_max
       |FROM (SELECT event_type, json_extract_string(props, '$.k')::INT AS k
       |      FROM events)

@@ -24,9 +24,10 @@ object Functions {
         "ELSE o_orderpriority END").as("mostly_str"))
 
   /** F1 — guarded numeric coercion, decision emitted as data: per
-    * candidate column, the global non-null/castable counts and the ≥½
-    * keep-the-cast verdict (`unified_nba_scraper.py:194-207` semantics:
-    * float division, global statistics — never per-partition).
+    * candidate column, the global non-null/castable counts and the
+    * keep-the-cast verdict: all-null columns coerce, else castable ≥ ½
+    * non-null (`unified_nba_scraper.py:199-204` semantics: float
+    * division, global statistics — never per-partition).
     */
   def f1GuardedCoercion(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
@@ -46,14 +47,14 @@ object Functions {
       |SELECT * FROM (
       |  SELECT 'mostly_num' AS col_name, count(mostly_num) AS non_null,
       |    count(TRY_CAST(mostly_num AS DOUBLE)) AS castable,
-      |    count(mostly_num) > 0 AND
-      |      count(TRY_CAST(mostly_num AS DOUBLE)) >= count(mostly_num) / 2.0 AS coerced
+      |    (count(mostly_num) = 0 OR
+      |      count(TRY_CAST(mostly_num AS DOUBLE)) >= count(mostly_num) / 2.0) AS coerced
       |  FROM m
       |  UNION ALL
       |  SELECT 'mostly_str', count(mostly_str),
       |    count(TRY_CAST(mostly_str AS DOUBLE)),
-      |    count(mostly_str) > 0 AND
-      |      count(TRY_CAST(mostly_str AS DOUBLE)) >= count(mostly_str) / 2.0
+      |    (count(mostly_str) = 0 OR
+      |      count(TRY_CAST(mostly_str AS DOUBLE)) >= count(mostly_str) / 2.0)
       |  FROM m)
       |ORDER BY col_name""".stripMargin
 
@@ -75,7 +76,11 @@ object Functions {
       .withColumn("pp", expr("graft_parse_prop_line(line_text)"))
       .select(col("o_orderkey"), col("pp.line").as("line"),
         col("pp.over_odds").as("over_odds"),
-        col("pp.under_odds").as("under_odds"), col("pp.odds").as("odds"))
+        col("pp.under_odds").as("under_odds"),
+        // CSV-serialized for the driver's comparator (raw array cells are
+        // unhashable in its pandas sort); the expression still returns the
+        // typed array — see ParsePropLineSpec for the array-level contract.
+        array_join(col("pp.odds"), ",").as("odds"))
       .orderBy("o_orderkey")
   }
 
@@ -99,7 +104,7 @@ object Functions {
       |SELECT o_orderkey, line,
       |  CASE WHEN over_first THEN odds[1] ELSE odds[2] END AS over_odds,
       |  CASE WHEN over_first THEN odds[2] ELSE odds[1] END AS under_odds,
-      |  odds
+      |  array_to_string(odds, ',') AS odds
       |FROM p ORDER BY o_orderkey""".stripMargin
 
   private val insightTxt =

@@ -199,13 +199,16 @@ object Relational {
       .groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_events"),
         countDistinct(col("event_type")).as("n_types"),
-        sort_array(collect_set(col("event_type"))).as("types"))
+        // The collected set is the operator under test; the verified
+        // projection serializes it to CSV because the driver's comparator
+        // (pandas sort_values) cannot hash raw array cells.
+        array_join(sort_array(collect_set(col("event_type"))), ",").as("types"))
       .orderBy("user_id")
 
   val a2Sql: String =
     """SELECT user_id, COUNT(*) AS n_events,
       |COUNT(DISTINCT event_type) AS n_types,
-      |list_sort(list_distinct(list(event_type))) AS types
+      |array_to_string(list_sort(list_distinct(list(event_type))), ',') AS types
       |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
 
   /** Bucket categorization: SURVEY A3 (keyword market routing re-expressed

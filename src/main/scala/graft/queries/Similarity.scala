@@ -35,10 +35,18 @@ object Similarity {
     * kept as the numerics oracle for [[graft.functions.DotProduct]];
     * specs assert bit-equality between the two.
     */
+  /** Reference dot product via builtin HOFs — the null-semantics oracle
+    * for `graft_dot` (ragged lengths / null elements fold to NULL).
+    */
+  def dotHof(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
   def cosineHof(a: Column, b: Column): Column = {
     def fold(arr: Column): Column =
       aggregate(arr, lit(0.0), (acc, x) => acc + x)
-    val dot = fold(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")))
+    val dot = dotHof(a, b)
     val na = fold(transform(a, x => x.cast("double") * x.cast("double")))
     val nb = fold(transform(b, x => x.cast("double") * x.cast("double")))
     dot / (sqrt(na) * sqrt(nb))

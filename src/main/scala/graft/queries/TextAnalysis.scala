@@ -87,8 +87,13 @@ object TextAnalysis {
         "length(replace(text, ' ', '')) / n_tokens"))
       .withColumn("punct_ratio", expr(
         "size(regexp_extract_all(text, '[^\\\\w\\\\s]', 0)) / n_chars"))
-      .withColumn("quality", expr(
-        "floor((0.4 * stop_ratio + 0.3 * least(avg_wlen / 10.0, 1.0) + 0.3 * (1.0 - punct_ratio)) * 1000000.0 + 0.5) / 1000000.0"))
+      // Column API with double lits, not expr() with SQL decimal literals:
+      // SQL `0.4` is DECIMAL and promotes the whole floor-rounding to
+      // DECIMAL(30,9), while the oracle emits DOUBLE (dtype-sensitive gate).
+      .withColumn("quality", r6(
+        lit(0.4) * col("stop_ratio")
+          + lit(0.3) * least(col("avg_wlen") / lit(10.0), lit(1.0))
+          + lit(0.3) * (lit(1.0) - col("punct_ratio"))))
       .select(col("doc_id"), col("n_tokens"),
         r6(col("stop_ratio")).as("stop_ratio"),
         r6(col("avg_wlen")).as("avg_wlen"),

@@ -51,8 +51,8 @@ object Sessionize {
       |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
       |FROM (
       |  SELECT user_id, ts, value,
-      |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+      |    CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
       |  FROM (
       |    SELECT user_id, event_id, ts, value,
       |      CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)

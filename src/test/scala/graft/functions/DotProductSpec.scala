@@ -27,13 +27,29 @@ class DotProductSpec extends SparkSpecBase {
     val df = Seq(
       (Array(1f, 2f, 3f), Array(4f, 5f, 6f)), // 32.0
       (Array[Float](), Array[Float]()), // 0.0
-      (Array(1f, 2f), Array(3f)), // min-length: 3.0
     ).toDF("a", "b")
     val r = df.select(expr("graft_dot(a, b)")).collect().map(_.getDouble(0))
-    assert(r.toSeq == Seq(32.0, 0.0, 3.0))
+    assert(r.toSeq == Seq(32.0, 0.0))
     val n = Seq((Option.empty[Array[Float]], Option(Array(1f))))
       .toDF("a", "b").select(expr("graft_dot(a, b)")).head()
     assert(n.isNullAt(0))
+  }
+
+  test("graft_dot matches HOF null semantics: ragged lengths and null elements → NULL") {
+    GraftExtensions.ensureRegistered(spark)
+    import spark.implicits._
+    // zip_with pads the short side with nulls → null products → null fold;
+    // graft_dot must agree, not silently truncate to min-length.
+    val ragged = Seq((Array(1f, 2f), Array(3f)))
+      .toDF("a", "b")
+    assert(ragged.select(expr("graft_dot(a, b)")).head().isNullAt(0))
+    assert(ragged.select(
+      Similarity.dotHof(col("a"), col("b")).as("d")).head().isNullAt(0))
+    val nullElem = Seq((Seq(Option(1f), None), Seq(Option(3f), Option(4f))))
+      .toDF("a", "b")
+    assert(nullElem.select(expr("graft_dot(a, b)")).head().isNullAt(0))
+    assert(nullElem.select(
+      Similarity.dotHof(col("a"), col("b")).as("d")).head().isNullAt(0))
   }
 
   test("codegen and interpreted paths agree") {

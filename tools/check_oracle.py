@@ -9,6 +9,14 @@ same parquet tables, then compares: column names (sorted), row counts, and
 values (rows sorted by all columns, exact equality; floats compared exactly
 since queries are engineered to be bit-deterministic).
 
+Mirrors two driver-comparator strictnesses learned in round 1:
+- dtype-sensitive: pandas dtypes must match between the Spark parquet and
+  the DuckDB result (int64 vs float64, object/Decimal vs float64 all FAIL
+  even when values are numerically equal);
+- array-typed cells are a hard FAIL (the driver's pandas sort_values
+  raises "unhashable type: numpy.ndarray" on them — serialize arrays to
+  strings in the verified projection instead).
+
 Dev tooling only — not part of the shipped library.
 """
 import json
@@ -77,6 +85,32 @@ def main():
         g, e = canon(got), canon(exp)
         if list(g.columns) != list(e.columns):
             print(f"FAIL {name}: columns spark={list(g.columns)} oracle={list(e.columns)}")
+            n_fail += 1
+            continue
+        arr_cols = [c for c in g.columns if len(g) > 0 and any(
+            isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray"
+            for v in (g[c].iloc[0], e[c].iloc[0]))]
+        if arr_cols:
+            print(f"FAIL {name}: array-typed cols {arr_cols} break the driver comparator")
+            n_fail += 1
+            continue
+        def family(s):
+            k = s.dtype.kind
+            if k in "iu":
+                return "int"
+            if k == "f":
+                return "float"
+            if k == "M":
+                return "datetime"
+            if k == "b":
+                return "bool"
+            if k == "O" and len(s) > 0 and type(s.iloc[0]).__name__ == "Decimal":
+                return "decimal"
+            return str(s.dtype) if k != "O" else "object"
+        dt_bad = [(c, family(g[c]), family(e[c])) for c in g.columns
+                  if family(g[c]) != family(e[c])]
+        if dt_bad:
+            print(f"FAIL {name}: dtype mismatch {dt_bad}")
             n_fail += 1
             continue
         if len(g) != len(e):
