@@ -14,7 +14,15 @@ object Bench {
     // otherwise absorbs ~3-5s of one-time session cost into its number
     spark.range(1000000).selectExpr("sum(id * 2)").collect()
     SparkEntry.entry(spark).count()
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // Local-profiling filter: SPARK_GRAFT_ONLY=q1,q2 limits the run to
+    // the named queries. Unset (the driver's invocation) runs everything.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val selected = only match {
+      case Some(names) => SparkEntry.queries.filter { case (n, _) => names(n) }
+      case None => SparkEntry.queries
+    }
+    val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
