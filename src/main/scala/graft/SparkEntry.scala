@@ -23,6 +23,7 @@ object SparkEntry {
     * enrichment, event-time windows). */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     _root_.graft.queries.Relational.defs ++
+      _root_.graft.queries.Joins.defs ++
       _root_.graft.queries.Functions.defs ++
       _root_.graft.queries.Dedup.defs ++
       _root_.graft.queries.Similarity.defs ++
@@ -36,6 +37,7 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     _root_.graft.queries.Relational.oracle ++
+      _root_.graft.queries.Joins.oracle ++
       _root_.graft.queries.Functions.oracle ++
       _root_.graft.queries.Dedup.oracle ++
       _root_.graft.queries.Similarity.oracle ++
