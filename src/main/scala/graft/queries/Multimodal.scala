@@ -62,8 +62,8 @@ object Multimodal {
       |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
       |    ELSE 'video' END AS kind,
       |  length(text) AS n_bytes,
-      |  CAST(list_sum(list_transform(range(1, length(text)+1),
-      |    i -> ascii(text[i]))) AS BIGINT) AS checksum,
+      |  CAST(coalesce(list_sum(list_transform(range(1, length(text)+1),
+      |    i -> ascii(text[i]))), 0) AS BIGINT) AS checksum,
       |  CASE WHEN w <= 128 AND h <= 128 THEN w
       |       WHEN w >= h THEN 128
       |       ELSE greatest(1, (w * 128) // h) END AS thumb_w,

@@ -87,9 +87,10 @@ def main():
             print(f"FAIL {name}: columns spark={list(g.columns)} oracle={list(e.columns)}")
             n_fail += 1
             continue
-        arr_cols = [c for c in g.columns if len(g) > 0 and any(
+        arr_cols = [c for c in g.columns if any(
             isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray"
-            for v in (g[c].iloc[0], e[c].iloc[0]))]
+            for side in (g, e) if len(side) > 0
+            for v in (side[c].iloc[0],))]
         if arr_cols:
             print(f"FAIL {name}: array-typed cols {arr_cols} break the driver comparator")
             n_fail += 1
