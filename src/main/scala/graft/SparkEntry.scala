@@ -25,6 +25,9 @@ object SparkEntry {
     _root_.graft.queries.Relational.defs ++
       _root_.graft.queries.Joins.defs ++
       _root_.graft.queries.Functions.defs ++
+      _root_.graft.queries.Scalars.defs ++
+      _root_.graft.queries.Normalize.defs ++
+      _root_.graft.queries.Incremental.defs ++
       _root_.graft.queries.Dedup.defs ++
       _root_.graft.queries.Similarity.defs ++
       _root_.graft.queries.TextAnalysis.defs ++
@@ -39,6 +42,9 @@ object SparkEntry {
     _root_.graft.queries.Relational.oracle ++
       _root_.graft.queries.Joins.oracle ++
       _root_.graft.queries.Functions.oracle ++
+      _root_.graft.queries.Scalars.oracle ++
+      _root_.graft.queries.Normalize.oracle ++
+      _root_.graft.queries.Incremental.oracle ++
       _root_.graft.queries.Dedup.oracle ++
       _root_.graft.queries.Similarity.oracle ++
       _root_.graft.queries.TextAnalysis.oracle ++

@@ -121,11 +121,84 @@ object Enrich {
       |      FROM events)
       |GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Raw team-name variants exercising every stage of the full F15/F16
+    * pipeline: direct alias forms (full name, city, abbreviation, mascot),
+    * period-stripping, record-suffix stripping, the mascot-strip RETRY
+    * (trailing unknown word, and a double-space form that only resolves
+    * after the strip), order-sensitive bare LOS ANGELES, and an
+    * unresolvable name (null canonical — the validator path).
+    */
+  private val teamForms = Seq(
+    "Chicago Bulls", "GOLDEN STATE", "BKN", "Mavs", "L.A. Lakers",
+    "Boston Celtics (10-5)", "CLEVELAND CAVALIERS FANS", "LOS ANGELES",
+    "Utah  Jazz", "Phoenix Suns Basketball", "UNKNOWN SQUAD", "Raptors (3-2)")
+
+  /** E5 / F15 full path — [[graft.enrich.Teams.canonicalize]] end-to-end
+    * under the oracle: normalize → broadcast alias-dict join →
+    * mascot-strip retry join → stateful LA disambiguation
+    * (`DEFENSEVSPOSTION.PY:162-188`), over deterministic raw names cycled
+    * from `customer`. The oracle replays the identical alias dimension
+    * (generated from [[graft.enrich.Teams.aliases]] — single source of
+    * truth) and the same two-stage lookup in SQL.
+    */
+  def e5TeamCanonicalize(s: SparkSession, d: String): DataFrame = {
+    val raw = customer(s, d).select(
+      col("c_custkey").as("row_idx"),
+      expr("element_at(array(" +
+        teamForms.map(v => s"'$v'").mkString(", ") +
+        "), cast(c_custkey % 12 as int) + 1)").as("raw_name"),
+      expr("element_at(array('PG','SG','SF','PF','C'), " +
+        "cast(c_custkey % 5 as int) + 1)").as("position"),
+      expr("CASE WHEN c_custkey % 2 = 0 THEN 'season' ELSE 'l10' END")
+        .as("timeframe"))
+    graft.enrich.Teams.canonicalize(raw, "raw_name")
+      .select("row_idx", "raw_name", "position", "timeframe", "canonical")
+      .orderBy("row_idx")
+  }
+
+  val e5Sql: String = {
+    val dim = graft.enrich.Teams.aliases
+      .map { case (a, c) => s"('$a', '$c')" }
+      .mkString(",\n    ")
+    val forms = teamForms.map(v => s"'$v'").mkString(", ")
+    s"""WITH dim(alias, canonical_dim) AS (VALUES
+      |    $dim),
+      |raw AS (
+      |  SELECT c_custkey AS row_idx,
+      |    [$forms][CAST(c_custkey % 12 AS INT) + 1] AS raw_name,
+      |    ['PG','SG','SF','PF','C'][CAST(c_custkey % 5 AS INT) + 1] AS position,
+      |    CASE WHEN c_custkey % 2 = 0 THEN 'season' ELSE 'l10' END AS timeframe
+      |  FROM customer),
+      |normed AS (
+      |  SELECT *, trim(regexp_replace(regexp_replace(upper(raw_name),
+      |    '\\.', '', 'g'), '\\s*\\([^)]*\\)\\s*$$', '')) AS norm
+      |  FROM raw),
+      |joined AS (
+      |  SELECT n.*, d.canonical_dim,
+      |    regexp_replace(n.norm, '\\s+\\S+$$', '') AS stripped
+      |  FROM normed n LEFT JOIN dim d ON n.norm = d.alias),
+      |retried AS (
+      |  SELECT j.*, r.canonical_dim AS canonical_retry
+      |  FROM joined j LEFT JOIN dim r
+      |    ON j.canonical_dim IS NULL AND j.stripped = r.alias),
+      |ranked AS (
+      |  SELECT *, row_number() OVER (
+      |    PARTITION BY position, timeframe, (norm = 'LOS ANGELES')
+      |    ORDER BY row_idx) AS la_rank
+      |  FROM retried)
+      |SELECT row_idx, raw_name, position, timeframe,
+      |  CASE WHEN norm = 'LOS ANGELES'
+      |    THEN CASE WHEN la_rank = 1 THEN 'LA Lakers' ELSE 'LA Clippers' END
+      |    ELSE coalesce(canonical_dim, canonical_retry) END AS canonical
+      |FROM ranked ORDER BY row_idx""".stripMargin
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e1_alias_canonicalize" -> e1AliasCanonicalize,
     "e2_pivot_cube" -> e2PivotCube,
     "e3_json_extract" -> e3JsonExtract,
     "e4_contains_join" -> e4ContainsJoin,
+    "e5_team_canonicalize" -> e5TeamCanonicalize,
   )
 
   val oracle: Map[String, String] = Map(
@@ -133,5 +206,6 @@ object Enrich {
     "e2_pivot_cube" -> e2Sql,
     "e3_json_extract" -> e3Sql,
     "e4_contains_join" -> e4Sql,
+    "e5_team_canonicalize" -> e5Sql,
   )
 }
