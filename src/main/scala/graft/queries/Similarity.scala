@@ -53,7 +53,7 @@ object Similarity {
   }
 
   /** Embeddings with the L2 norm precomputed once per vector. */
-  private def withNorm(s: SparkSession, d: String): DataFrame = {
+  private[graft] def withNorm(s: SparkSession, d: String): DataFrame = {
     GraftExtensions.ensureRegistered(s)
     embeddings(s, d)
       .withColumn("nrm", sqrt(expr("graft_dot(embedding, embedding)")))
@@ -103,64 +103,128 @@ object Similarity {
       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
   }
 
-  /** S2 — sign-hyperplane LSH near-dup pairs: bucket key = sign bits of
-    * the first 8 components (axis-aligned hyperplanes); exact cosine only
-    * within buckets; report pairs with cosine ≥ 0.3.
+  private val lshBands = 4
+  private val lshBits = 8 // sign bits per band; bands cover dims 1..32
+
+  /** S2 — banded sign-hyperplane LSH near-dup pairs: a 32-char sign
+    * string per vector (axis-aligned hyperplanes over dims 1–32), split
+    * into 4 bands of 8 bits; vectors agreeing on ANY band are candidates
+    * (the same band/key equi-join shape as d3/d5 — never all-pairs), and
+    * only candidates pay the exact cosine, reported at ≥ 0.3.
+    *
+    * First-match emission (the d5 trick): a pair agreeing on several
+    * bands would be emitted once per band and then need a
+    * quadratic-volume `distinct` — instead a candidate survives only in
+    * the FIRST band where its sign substrings agree, a codegen'd string
+    * compare on the carried sign columns.
+    *
+    * Multi-band matters: per-band collision probability for similarity s
+    * is (1 - acos(s)/π)^8, so OR-ing 4 bands roughly quadruples recall at
+    * moderate similarity while keeping per-band bucket sizes ~n/256 —
+    * and exact clones (cos = 1) always collide on every band, so
+    * true-duplicate recall is 1 by construction (spec'd in
+    * `SimilarityRecallSpec`).
     */
-  def s2LshNearDup(s: SparkSession, d: String): DataFrame = {
-    val keyed = withNorm(s, d).withColumn("bucket",
-      concat((1 to 8).map(i =>
+  def s2LshNearDup(s: SparkSession, d: String): DataFrame =
+    lshNearDup(withNorm(s, d)).orderBy("vec_a", "vec_b")
+
+  /** The operator itself, parameterized on any (vec_id, embedding, nrm)
+    * frame — used by the registered query and by clone-recall tests over
+    * synthetically enlarged sets.
+    */
+  def lshNearDup(e: DataFrame): DataFrame = {
+    val keyed = e.withColumn("sgn",
+      concat((1 to lshBands * lshBits).map(i =>
         when(try_element_at(col("embedding"), lit(i)) >= 0f, lit("1"))
           .otherwise(lit("0"))): _*))
-    keyed.as("a").join(keyed.as("b"),
-        col("a.bucket") === col("b.bucket") &&
+    val bands = keyed.select(col("vec_id"), col("embedding"), col("nrm"),
+      col("sgn"), explode(array((0 until lshBands).map(b =>
+        struct(lit(b).as("band"),
+          substring(col("sgn"), b * lshBits + 1, lshBits).as("key"))): _*)).as("bk"))
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("sgn"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
+    val firstMatch = (0 until lshBands).map { b =>
+      val earlier = (0 until b).map(p =>
+        substring(col("a.sgn"), p * lshBits + 1, lshBits) =!=
+          substring(col("b.sgn"), p * lshBits + 1, lshBits))
+      earlier.foldLeft(col("a.band") === b)(_ && _)
+    }.reduce(_ || _)
+    bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
           col("a.vec_id") < col("b.vec_id"))
+      .filter(firstMatch)
       .withColumn("cos",
         expr("graft_dot(a.embedding, b.embedding)") /
           (col("a.nrm") * col("b.nrm")))
       .filter(r6(col("cos")) >= 0.3)
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
         r6(col("cos")).as("cos_sim"))
-      .orderBy("vec_a", "vec_b")
   }
 
   val s2Sql: String = {
-    val bucket = (1 to 8)
+    val sgn = (1 to lshBands * lshBits)
       .map(i => s"CASE WHEN embedding[$i] >= 0 THEN '1' ELSE '0' END")
       .mkString(" || ")
+    val bandRows = (0 until lshBands)
+      .map(b => s"($b)")
+      .mkString(", ")
+    val firstMatch = (0 until lshBands).map { b =>
+      val earlier = (0 until b).map(p =>
+        s"substr(a.sgn, ${p * lshBits + 1}, $lshBits) <> substr(b.sgn, ${p * lshBits + 1}, $lshBits)")
+      (s"a.band = $b" +: earlier).mkString("(", " AND ", ")")
+    }.mkString(" OR ")
     val cos = cosineSql("a.embedding", "b.embedding")
-    s"""WITH keyed AS (SELECT vec_id, embedding, $bucket AS bucket
-      |  FROM embeddings)
+    s"""WITH keyed AS (SELECT vec_id, embedding, $sgn AS sgn FROM embeddings),
+      |bands AS (
+      |  SELECT vec_id, embedding, sgn, band,
+      |    substr(sgn, band * $lshBits + 1, $lshBits) AS key
+      |  FROM keyed, (VALUES $bandRows) AS t(band))
       |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
       |  floor(($cos) * 1000000.0 + 0.5) / 1000000.0 AS cos_sim
-      |FROM keyed a JOIN keyed b
-      |  ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-      |WHERE floor(($cos) * 1000000.0 + 0.5) / 1000000.0 >= 0.3
+      |FROM bands a JOIN bands b
+      |  ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id
+      |WHERE ($firstMatch)
+      |  AND floor(($cos) * 1000000.0 + 0.5) / 1000000.0 >= 0.3
       |ORDER BY vec_a, vec_b""".stripMargin
   }
 
-  /** S3 — exact embedding near-dup detection: all pairs with cosine ≥ 0.35
-    * (brute force; the recall reference for what S2 approximates).
-    * At 100 TB this is the one operator that cannot stay all-pairs — the
-    * LSH variant (S2) is the production path; this exists as the recall
-    * reference and for bounded candidate sets.
+  /** Exact all-pairs near-dup over an already-bounded (vec_id, embedding,
+    * nrm) candidate frame: O(n²) BY DESIGN — the recall reference that S2
+    * (sign-LSH) and S4 (IVF) approximate, and the verify step after any
+    * blocking scheme. Callers own the bound; `SimilarityRecallSpec`
+    * measures the approximate paths against this.
     */
-  def s3EmbeddingNearDup(s: SparkSession, d: String): DataFrame = {
-    val e = withNorm(s, d).select(col("vec_id"), col("embedding"), col("nrm"))
+  def exactNearDupPairs(e: DataFrame, threshold: Double): DataFrame =
     e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
       .withColumn("cos",
         expr("graft_dot(a.embedding, b.embedding)") /
           (col("a.nrm") * col("b.nrm")))
-      .filter(r6(col("cos")) >= 0.35)
+      .filter(r6(col("cos")) >= threshold)
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
         r6(col("cos")).as("cos_sim"))
+
+  /** Deterministic candidate bound for the REGISTERED s3 query: no query
+    * on the surface is allowed to be unboundedly quadratic, so s3 runs
+    * the exact reference over the first [[s3Cap]] vector ids only — a
+    * fixed-size candidate set at every SF.
+    */
+  val s3Cap = 300
+
+  /** S3 — exact embedding near-dup detection over the bounded candidate
+    * set: all pairs among `vec_id < s3Cap` with cosine ≥ 0.35.
+    */
+  def s3EmbeddingNearDup(s: SparkSession, d: String): DataFrame =
+    exactNearDupPairs(
+      withNorm(s, d).filter(col("vec_id") < s3Cap)
+        .select(col("vec_id"), col("embedding"), col("nrm")),
+      0.35)
       .orderBy("vec_a", "vec_b")
-  }
 
   val s3Sql: String = {
     val cos = cosineSql("a.embedding", "b.embedding")
     s"""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, floor(($cos) * 1000000.0 + 0.5) / 1000000.0 AS cos_sim
-      |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      |FROM embeddings a JOIN embeddings b
+      |  ON a.vec_id < b.vec_id AND a.vec_id < $s3Cap AND b.vec_id < $s3Cap
       |WHERE floor(($cos) * 1000000.0 + 0.5) / 1000000.0 >= 0.35
       |ORDER BY vec_a, vec_b""".stripMargin
   }
