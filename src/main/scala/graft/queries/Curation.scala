@@ -1,0 +1,88 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** The end-to-end curation decision — the query a training-data pipeline
+  * actually ships: per document, the composed verdict of exact dedup
+  * (d1), near-dup clustering (d6), language ID (t1), and quality scoring
+  * (t2), cascaded into one keep/drop decision with the first failing
+  * gate as the reason. Every component is the SAME production operator
+  * the standalone queries verify; this registers their composition under
+  * the oracle.
+  *
+  * Scale shape: four doc-keyed relations joined on doc_id — each
+  * component keeps its own optimal plan (hash-group exact dedup,
+  * contracted label propagation, broadcast lexicon vote, embarrassingly
+  * parallel scoring), and the final join is doc_id-partitioned all the
+  * way.
+  */
+object Curation {
+
+  def c1CurationDecision(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val exact = docs
+      .groupBy(md5(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("exact_keep_id"))
+    val ex = docs.select(col("doc_id"), md5(col("text")).as("h"))
+      .join(exact, "h")
+      .select(col("doc_id"), col("exact_keep_id"))
+    val qual = TextAnalysis.withQualityCols(documentsSpread(s, d))
+      .select(col("doc_id"), col("quality"))
+    val lang = TextAnalysis.langPredictions(s, d)
+      .select(col("doc_id"), col("predicted_lang"))
+    val clus = Dedup.d6NeardupClusters(s, d)
+      .select(col("doc_id"), col("cluster_id"))
+    docs.select(col("doc_id"))
+      .join(ex, "doc_id").join(qual, "doc_id")
+      .join(lang, "doc_id").join(clus, "doc_id")
+      .withColumn("reason",
+        when(col("doc_id") =!= col("exact_keep_id"), "exact_dup")
+          .when(col("doc_id") =!= col("cluster_id"), "near_dup")
+          .when(col("predicted_lang") === "unknown", "lang")
+          .when(col("quality") < 0.5, "low_quality")
+          .otherwise("keep"))
+      .withColumn("keep", col("reason") === "keep")
+      .orderBy("doc_id")
+  }
+
+  val c1Sql: String = {
+    val lang = TextAnalysis.t1Sql.replace("ORDER BY d.doc_id", "")
+    val clusters = Dedup.d6Sql.replace("ORDER BY doc_id", "")
+    s"""SELECT *, (reason = 'keep') AS keep FROM (
+      |SELECT d.doc_id, e.exact_keep_id, q.quality, l.predicted_lang,
+      |  c.cluster_id,
+      |  CASE WHEN d.doc_id <> e.exact_keep_id THEN 'exact_dup'
+      |       WHEN d.doc_id <> c.cluster_id THEN 'near_dup'
+      |       WHEN l.predicted_lang = 'unknown' THEN 'lang'
+      |       WHEN q.quality < 0.5 THEN 'low_quality'
+      |       ELSE 'keep' END AS reason
+      |FROM documents d
+      |JOIN (SELECT md5(text) AS h, min(doc_id) AS exact_keep_id
+      |      FROM documents GROUP BY md5(text)) e ON md5(d.text) = e.h
+      |JOIN (SELECT doc_id,
+      |        floor((0.4 * stop_ratio + 0.3 * least(avg_wlen / 10.0, 1.0)
+      |               + 0.3 * (1.0 - punct_ratio)) * 1000000.0 + 0.5) / 1000000.0 AS quality
+      |      FROM (
+      |        SELECT doc_id,
+      |          len(list_filter(w, x -> x in ('the','a','of','and','in'))) / len(w) AS stop_ratio,
+      |          length(replace(text, ' ', '')) / len(w) AS avg_wlen,
+      |          len(regexp_extract_all(text, '[^\\w\\s]')) / n_chars AS punct_ratio
+      |        FROM (SELECT *, string_split_regex(text, '\\s+') AS w FROM documents))) q
+      |  ON d.doc_id = q.doc_id
+      |JOIN (SELECT doc_id, predicted_lang FROM ($lang) t) l
+      |  ON d.doc_id = l.doc_id
+      |JOIN (SELECT doc_id, cluster_id FROM ($clusters) t) c
+      |  ON d.doc_id = c.doc_id
+      |) ORDER BY doc_id""".stripMargin
+  }
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c1_curation_decision" -> c1CurationDecision,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "c1_curation_decision" -> c1Sql,
+  )
+}

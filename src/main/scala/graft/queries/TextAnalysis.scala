@@ -29,7 +29,13 @@ object TextAnalysis {
     * 'unknown'. The lexicon join is the classic broadcast dimension join;
     * the argmax is a bounded window over ≤ 4 rows per doc.
     */
-  def t1LangId(s: SparkSession, d: String): DataFrame = {
+  def t1LangId(s: SparkSession, d: String): DataFrame =
+    langPredictions(s, d).orderBy("doc_id")
+
+  /** The unordered T1 relation — shared by the t1 query and composites
+    * (c1 curation) that join it and must not pay an inner sort.
+    */
+  private[queries] def langPredictions(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val lex = lexicon.toDF("word", "cand_lang")
     val toks = documentsSpread(s, d)
@@ -48,7 +54,6 @@ object TextAnalysis {
         coalesce(col("cand_lang"), lit("unknown")).as("predicted_lang"),
         coalesce(col("hits"), lit(0L)).as("lexicon_hits"),
         col("actual_lang"))
-      .orderBy("doc_id")
   }
 
   val t1Sql: String = {
@@ -78,7 +83,19 @@ object TextAnalysis {
     * instead of boolean filters.
     */
   def t2QualityScore(s: SparkSession, d: String): DataFrame =
-    documentsSpread(s, d)
+    withQualityCols(documentsSpread(s, d))
+      .select(col("doc_id"), col("n_tokens"),
+        r6(col("stop_ratio")).as("stop_ratio"),
+        r6(col("avg_wlen")).as("avg_wlen"),
+        r6(col("punct_ratio")).as("punct_ratio"),
+        col("quality"))
+      .orderBy("doc_id")
+
+  /** The T2 scoring columns on any (doc_id, text, n_chars) frame — shared
+    * by the t2 query and composites (c1 curation).
+    */
+  private[queries] def withQualityCols(docs: DataFrame): DataFrame =
+    docs
       .withColumn("w", split(col("text"), "\\s+"))
       .withColumn("n_tokens", size(col("w")))
       .withColumn("stop_ratio", expr(
@@ -94,12 +111,6 @@ object TextAnalysis {
         lit(0.4) * col("stop_ratio")
           + lit(0.3) * least(col("avg_wlen") / lit(10.0), lit(1.0))
           + lit(0.3) * (lit(1.0) - col("punct_ratio"))))
-      .select(col("doc_id"), col("n_tokens"),
-        r6(col("stop_ratio")).as("stop_ratio"),
-        r6(col("avg_wlen")).as("avg_wlen"),
-        r6(col("punct_ratio")).as("punct_ratio"),
-        col("quality"))
-      .orderBy("doc_id")
 
   val t2Sql: String =
     """SELECT doc_id, n_tokens,
