@@ -19,12 +19,20 @@ object Sinks {
   /** S9/S10 — partitioned write with overwrite-or-create per partition:
     * only partitions present in `df` are replaced (dynamic overwrite),
     * mirroring the reference's same-filename-per-(team,page) replacement.
+    *
+    * `compact` (default) clusters rows by the partition columns before
+    * writing, so each output partition gets one file instead of one per
+    * upstream task — without it, N shuffle partitions × P values emit up
+    * to N×P tiny files, the classic 100 TB small-files failure. Disable
+    * it for heavily skewed partition values, where per-partition write
+    * parallelism matters more than file count (or pre-salt upstream).
     */
   def writePartitioned(df: DataFrame, path: String, partitionCols: Seq[String],
-      format: String = "parquet"): Unit = {
+      format: String = "parquet", compact: Boolean = true): Unit = {
     df.sparkSession.conf
       .set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    df.write
+    val out = if (compact) df.repartition(partitionCols.map(col): _*) else df
+    out.write
       .mode(SaveMode.Overwrite)
       .partitionBy(partitionCols: _*)
       .format(format)

@@ -53,4 +53,31 @@ class PlanSpec extends SparkSpecBase {
     val p = plan(EventWindows.st1Tumbling(spark, sf))
     assert(p.contains("HashAggregate") || p.contains("SortAggregate"))
   }
+
+  test("e5 full canonicalization: both alias lookups broadcast, LA fix windows") {
+    val p = plan(Enrich.e5TeamCanonicalize(spark, sf))
+    // two-stage lookup = two broadcast joins of the bounded alias dim;
+    // the fact side must never shuffle for the lookups themselves
+    assert(p.split("BroadcastHashJoin").length >= 3,
+      s"expected 2 broadcast alias joins:\n$p")
+    assert(p.contains("row_number"), "LA disambiguation window lost")
+  }
+
+  test("s2 banded LSH joins on band+key, never a cartesian") {
+    val p = plan(Similarity.s2LshNearDup(spark, sf))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"banded LSH degenerated to an unbanded product:\n$p")
+    assert(p.contains("graft_dot"))
+  }
+
+  test("f8/f21 scalar chains stay in one whole-stage codegen pass over orders") {
+    // regex scalar derivations must not introduce shuffles before the
+    // final sort: one scan, one projection chain
+    val p = plan(Scalars.f8InsightScalars(spark, sf))
+    // only the final sort's range exchange is allowed — a hash shuffle
+    // would mean the scalar chain stopped being a pure projection
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"unexpected shuffle in a per-row scalar query:\n$p")
+  }
 }
