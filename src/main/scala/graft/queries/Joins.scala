@@ -59,11 +59,75 @@ object Joins {
       |  ON p.user_id = s.user_id AND p.ts >= s.ts
       |ORDER BY p.event_id""".stripMargin
 
+  /** J2 — range (interval) join: for each order's ship window
+    * [orderdate, orderdate + 0..4 days] (every 100th order — interval
+    * joins are interval-side-bounded in practice), count all lineitem
+    * shipments falling inside the window.
+    *
+    * Spark-first shape: Spark has no native interval join, and the naive
+    * formulation (`JOIN ON p BETWEEN ws AND we`) plans as a
+    * BroadcastNestedLoopJoin — every point against every window. Instead
+    * the time axis is BINNED (weekly): windows explode into the ≤2 bins
+    * they overlap, points key into their single bin, and the join is a
+    * plain shuffle equi-join on bin with the exact BETWEEN as a residual
+    * filter. Each true (window, point) pair meets in EXACTLY one bin (the
+    * point's), so no dedup pass is needed — unlike multi-band LSH
+    * emission. Bin width is the scale knob: wider bins → fewer exploded
+    * rows, more residual-filtered candidates; at 100 TB pick it near the
+    * median interval length so both stay linear.
+    *
+    * The DuckDB oracle replays the naive range predicate directly (its
+    * IEJoin handles it natively) — an independent implementation of the
+    * same semantics.
+    */
+  def j2RangeJoin(s: SparkSession, d: String): DataFrame = {
+    def binOf(c: org.apache.spark.sql.Column) =
+      floor(datediff(c, to_date(lit("1992-01-01"))) / 7).cast("long")
+    val win = orders(s, d)
+      .filter(col("o_orderkey") % 100 === 0)
+      .select(col("o_orderkey"),
+        col("o_orderdate").cast("date").as("ws"),
+        date_add(col("o_orderdate").cast("date"),
+          (col("o_orderkey") % 5).cast("int")).as("we"))
+    val wbins = win.withColumn("bin",
+      explode(sequence(binOf(col("ws")), binOf(col("we")))))
+    val pts = lineitem(s, d)
+      .select(col("l_shipdate").cast("date").as("p"))
+      .withColumn("bin", binOf(col("p")))
+    val cnt = wbins.join(pts,
+        wbins("bin") === pts("bin") && col("p").between(col("ws"), col("we")))
+      .groupBy(col("o_orderkey")).agg(count(lit(1)).as("n_shipments"))
+    win.join(cnt, Seq("o_orderkey"), "left")
+      .select(col("o_orderkey"),
+        date_format(col("ws"), "yyyy-MM-dd").as("ws"),
+        date_format(col("we"), "yyyy-MM-dd").as("we"),
+        coalesce(col("n_shipments"), lit(0L)).as("n_shipments"))
+      .orderBy("o_orderkey")
+  }
+
+  val j2Sql: String =
+    """WITH win AS (
+      |  SELECT o_orderkey, CAST(o_orderdate AS DATE) AS ws,
+      |    CAST(o_orderdate AS DATE) + CAST(o_orderkey % 5 AS INT) AS we
+      |  FROM orders WHERE o_orderkey % 100 = 0),
+      |cnt AS (
+      |  SELECT w.o_orderkey, count(*) AS n_shipments
+      |  FROM win w JOIN lineitem l
+      |    ON CAST(l.l_shipdate AS DATE) BETWEEN w.ws AND w.we
+      |  GROUP BY w.o_orderkey)
+      |SELECT w.o_orderkey, strftime(w.ws, '%Y-%m-%d') AS ws,
+      |  strftime(w.we, '%Y-%m-%d') AS we,
+      |  coalesce(c.n_shipments, 0) AS n_shipments
+      |FROM win w LEFT JOIN cnt c USING (o_orderkey)
+      |ORDER BY o_orderkey""".stripMargin
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "j1_asof_join" -> j1AsofJoin,
+    "j2_range_join" -> j2RangeJoin,
   )
 
   val oracle: Map[String, String] = Map(
     "j1_asof_join" -> j1Sql,
+    "j2_range_join" -> j2Sql,
   )
 }
