@@ -83,12 +83,16 @@ object Joins {
   def j2RangeJoin(s: SparkSession, d: String): DataFrame = {
     def binOf(c: org.apache.spark.sql.Column) =
       floor(datediff(c, to_date(lit("1992-01-01"))) / 7).cast("long")
+    // Window length comes from (o_orderkey div 100) % 5, NOT
+    // o_orderkey % 5: the sampling modulus 100 is a multiple of 5, so the
+    // latter would make every sampled window zero-length and silently
+    // degrade the range join under test to same-day equality.
     val win = orders(s, d)
       .filter(col("o_orderkey") % 100 === 0)
       .select(col("o_orderkey"),
         col("o_orderdate").cast("date").as("ws"),
         date_add(col("o_orderdate").cast("date"),
-          (col("o_orderkey") % 5).cast("int")).as("we"))
+          (expr("o_orderkey div 100") % 5).cast("int")).as("we"))
     val wbins = win.withColumn("bin",
       explode(sequence(binOf(col("ws")), binOf(col("we")))))
     val pts = lineitem(s, d)
@@ -108,7 +112,7 @@ object Joins {
   val j2Sql: String =
     """WITH win AS (
       |  SELECT o_orderkey, CAST(o_orderdate AS DATE) AS ws,
-      |    CAST(o_orderdate AS DATE) + CAST(o_orderkey % 5 AS INT) AS we
+      |    CAST(o_orderdate AS DATE) + CAST((o_orderkey // 100) % 5 AS INT) AS we
       |  FROM orders WHERE o_orderkey % 100 = 0),
       |cnt AS (
       |  SELECT w.o_orderkey, count(*) AS n_shipments

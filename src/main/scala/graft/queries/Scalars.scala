@@ -25,8 +25,16 @@ object Scalars {
   private val timeForms = Seq("Today 7:30 PM", "12/25 8:00 PM", "Thursday 7:30 PM", "7:30 PM")
   private val bookForms = Seq("DraftKings", "FanDuel", "BetMGM", "Caesars", "no book")
 
+  /** DuckDB rendering of a value-cycled literal pick. */
   private def pick(vals: Seq[String], idx: String): String =
     s"[${vals.map(v => s"'$v'").mkString(", ")}][CAST($idx AS INT) + 1]"
+
+  /** Spark-SQL rendering of the SAME pick — both sides are generated from
+    * one Seq so the fixtures can never drift between engines.
+    */
+  private def pickSpark(vals: Seq[String], idx: String): String =
+    s"element_at(array(${vals.map(v => s"'$v'").mkString(", ")}), " +
+      s"cast($idx as int) + 1)"
 
   /** Deterministic insight text: `TEAM @ OPP <time> | <book> line, hit in
     * NN% of last 10`. A fifth of the rows use a lowercase `vs` separator
@@ -35,12 +43,12 @@ object Scalars {
     * documented bug-compatible behavior — those rows yield empty
     * matchups), and one book slot is a no-match sentinel.
     */
-  private val f8Txt =
-    "concat(element_at(array('BOS','MIA','DEN','LAL','GSW','NYK','PHI','CHI'), cast(o_orderkey % 8 as int) + 1), " +
+  private def f8Txt =
+    s"concat(${pickSpark(homeTeams, "o_orderkey % 8")}, " +
       "CASE WHEN o_orderkey % 5 = 0 THEN ' vs ' WHEN o_orderkey % 5 = 1 THEN ' VS ' ELSE ' @ ' END, " +
-      "element_at(array('ATL','CLE','DAL','HOU','MEM','MIL','ORL','PHX'), cast(o_custkey % 8 as int) + 1), " +
-      "' ', element_at(array('Today 7:30 PM','12/25 8:00 PM','Thursday 7:30 PM','7:30 PM'), cast(o_orderkey % 4 as int) + 1), " +
-      "' | ', element_at(array('DraftKings','FanDuel','BetMGM','Caesars','no book'), cast(o_orderkey % 5 as int) + 1), " +
+      s"${pickSpark(awayTeams, "o_custkey % 8")}, " +
+      s"' ', ${pickSpark(timeForms, "o_orderkey % 4")}, " +
+      s"' | ', ${pickSpark(bookForms, "o_orderkey % 5")}, " +
       "' line, hit in ', cast(o_orderkey % 101 as int), '% of last 10')"
 
   /** F8/F9/F12/F13 — the consolidated insight-scalar extraction: matchup
@@ -95,15 +103,17 @@ object Scalars {
 
   /** F14 — player-name classifier over a deterministic candidate mix:
     * true names (incl. hyphen/suffix forms), capitalized stop phrases
-    * (rejected by the stop list), and non-name strings (rejected by the
-    * shape regex).
+    * ('Player Props', 'Same Game Parlay' — shape-valid but rejected by
+    * the stop list), strings rejected by the shape regex ('over 25.5'
+    * lowercase, 'Points' single-word), and 'OKC Thunder' — a team name
+    * the reference classifier ACCEPTS (capitalized two-word shape, not a
+    * stop word); that known false positive is pinned here deliberately,
+    * reference-faithful like the F8 uppercase-VS case.
     */
   def f14NameClassify(s: SparkSession, d: String): DataFrame =
     orders(s, d)
       .select(col("o_orderkey"),
-        expr("element_at(array('LeBron James','Shai Gilgeous-Alexander'," +
-          "'Jaylen Brown Jr.','Player Props','Points','Same Game Parlay'," +
-          "'over 25.5','OKC Thunder'), cast(o_orderkey % 8 as int) + 1)").as("candidate"))
+        expr(pickSpark(nameForms, "o_orderkey % 8")).as("candidate"))
       .withColumn("is_player", Extract.isPlayerName(col("candidate")))
       .orderBy("o_orderkey")
 
@@ -152,8 +162,8 @@ object Scalars {
       |FROM t ORDER BY o_orderkey""".stripMargin
 
   /** Deterministic lineup text: `ABC by N.5, o/u NNN.5 ML -1xx +1yy`. */
-  private val f21Txt =
-    "concat(element_at(array('ATL','CLE','DAL','HOU','MEM','MIL','ORL','PHX'), cast(o_orderkey % 8 as int) + 1), " +
+  private def f21Txt =
+    s"concat(${pickSpark(awayTeams, "o_orderkey % 8")}, " +
       "' by ', cast(o_orderkey % 12 as int), '.5, o/u ', " +
       "cast(200 + o_orderkey % 40 as int), '.5 ML -', cast(100 + o_orderkey % 80 as int), " +
       "' +', cast(100 + o_custkey % 80 as int))"
