@@ -5,7 +5,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{DotProduct, ParsePropLine}
+import graft.functions.{DotProduct, ParsePropLine, TopKByScore}
 
 /** Session extensions registering graft's native Catalyst expressions.
   *
@@ -31,7 +31,10 @@ object GraftExtensions {
       (args: Seq[Expression]) => DotProduct(args(0), args(1))),
     ("graft_parse_prop_line",
       new ExpressionInfo(classOf[ParsePropLine].getName, "graft_parse_prop_line"),
-      (args: Seq[Expression]) => ParsePropLine(args(0))))
+      (args: Seq[Expression]) => ParsePropLine(args(0))),
+    ("graft_topk",
+      new ExpressionInfo(classOf[TopKByScore].getName, "graft_topk"),
+      (args: Seq[Expression]) => TopKByScore(args(0), args(1), args(2))))
 
   /** Register graft functions on an existing session (idempotent). */
   def ensureRegistered(spark: SparkSession): Unit = {

@@ -26,8 +26,10 @@ import graft.plans.GraftExtensions
   * big embeddings table is scanned once, never shuffled, for brute force.
   * The LSH variant replaces the all-pairs product with an equi-join on
   * bucket key: shuffle partitions by bucket, candidate count bounded by
-  * bucket sizes (expected n/2^bits per bucket). Top-k per query goes
-  * through `row_number` over a per-query window.
+  * bucket sizes (expected n/2^bits per band bucket). Top-k per query
+  * goes through the bounded-heap `graft_topk` aggregate
+  * ([[graft.functions.TopKByScore]]) — map-side partials keep ≤k rows
+  * per group, so the candidate set never window-sorts.
   */
 object Similarity {
 
@@ -71,9 +73,35 @@ object Similarity {
 
   /** S1 — brute-force cosine top-k: for each query vector (vec_id < 10),
     * the 5 nearest neighbors among all other vectors. The query side is
-    * broadcast; the full table is scanned exactly once.
+    * broadcast; the full table is scanned exactly once; per-query top-5
+    * comes from the bounded-heap [[graft.functions.TopKByScore]]
+    * aggregate (`graft_topk`) — map-side partials keep ≤k rows per query
+    * per partition, so the shuffle is partitions×queries×k rows instead
+    * of the window formulation's full candidates×queries sort
+    * ([[s1TopKWindowed]], kept as the semantics reference; bit-equality
+    * spec'd in `TopKAggSpec`).
     */
   def s1BruteForceTopK(s: SparkSession, d: String): DataFrame = {
+    val emb = withNorm(s, d)
+    val q = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        col("nrm").as("qnrm"))
+    emb.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .withColumn("cos",
+        expr("graft_dot(qe, embedding)") / (col("qnrm") * col("nrm")))
+      .groupBy(col("query_id"))
+      .agg(expr("graft_topk(cos, vec_id, 5)").as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("query_id"), col("t.id").as("neighbor_id"),
+        (col("pos") + 1).cast("int").as("rank"),
+        r6(col("t.score")).as("cos_sim"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** The window/row_number formulation of S1 — the semantics reference
+    * [[s1BruteForceTopK]]'s heap aggregate must match bit-for-bit.
+    */
+  def s1TopKWindowed(s: SparkSession, d: String): DataFrame = {
     val emb = withNorm(s, d)
     val q = emb.filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
@@ -241,27 +269,32 @@ object Similarity {
     val cent = e.filter(col("vec_id") < 8)
       .select(col("vec_id").as("cent_id"), col("embedding").as("ce"),
         col("nrm").as("cnrm"))
-    val assignW = Window.partitionBy(col("vec_id"))
-      .orderBy(desc("ccos"), col("cent_id"))
+    // nearest-centroid assignment as a k=1 heap aggregate (same
+    // (score desc, id asc) order as the row_number formulation): the
+    // n×k assignment rows partial-aggregate map-side to one row per
+    // vector instead of window-sorting the full product. embedding/nrm
+    // are constant within a vec_id group, so first() is deterministic.
     val assigned = e.crossJoin(broadcast(cent))
       .withColumn("ccos",
         expr("graft_dot(embedding, ce)") / (col("nrm") * col("cnrm")))
-      .withColumn("crn", row_number().over(assignW))
-      .filter(col("crn") === 1)
-      .select(col("vec_id"), col("embedding"), col("nrm"), col("cent_id"))
+      .groupBy(col("vec_id"))
+      .agg(first(col("embedding")).as("embedding"), first(col("nrm")).as("nrm"),
+        expr("graft_topk(ccos, cent_id, 1)").as("top"))
+      .select(col("vec_id"), col("embedding"), col("nrm"),
+        expr("top[0].id").as("cent_id"))
     val q = assigned.filter(col("vec_id") >= 8 && col("vec_id") < 13)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
         col("nrm").as("qnrm"), col("cent_id").as("qcell"))
-    val probeW = Window.partitionBy(col("query_id"))
-      .orderBy(desc("cos"), col("vec_id"))
     assigned.join(broadcast(q),
         col("cent_id") === col("qcell") && col("vec_id") =!= col("query_id"))
       .withColumn("cos",
         expr("graft_dot(qe, embedding)") / (col("qnrm") * col("nrm")))
-      .withColumn("rank", row_number().over(probeW))
-      .filter(col("rank") <= 3)
-      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"),
-        r6(col("cos")).as("cos_sim"))
+      .groupBy(col("query_id"))
+      .agg(expr("graft_topk(cos, vec_id, 3)").as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("query_id"), col("t.id").as("neighbor_id"),
+        (col("pos") + 1).cast("int").as("rank"),
+        r6(col("t.score")).as("cos_sim"))
       .orderBy("query_id", "rank")
   }
 

@@ -1,0 +1,56 @@
+package graft.functions
+
+import graft.SparkSpecBase
+import graft.plans.GraftExtensions
+import graft.queries.Similarity
+import org.apache.spark.sql.functions._
+
+/** Contracts for the bounded-heap `graft_topk` aggregate: bit-equality
+  * with the window/row_number formulation it replaces on the s1 hot
+  * path, plus unit behaviors (tie order, null skipping, k larger than
+  * the group).
+  */
+class TopKAggSpec extends SparkSpecBase {
+
+  test("s1 heap aggregate == window formulation, bit for bit") {
+    val viaAgg = Similarity.s1BruteForceTopK(spark, sf).collect().toSeq
+    val viaWin = Similarity.s1TopKWindowed(spark, sf).collect().toSeq
+    assert(viaAgg == viaWin)
+  }
+
+  test("ties break by ascending id; nulls are skipped; short groups truncate") {
+    GraftExtensions.ensureRegistered(spark)
+    import spark.implicits._
+    val df = Seq[(String, Option[Double], Long)](
+      ("g", Some(1.0), 30L), ("g", Some(1.0), 10L), ("g", Some(1.0), 20L),
+      ("g", Some(2.0), 99L), ("g", None, 1L),
+      ("h", Some(0.5), 7L))
+      .toDF("grp", "score", "id")
+    val out = df.groupBy("grp")
+      .agg(expr("graft_topk(score, id, 3)").as("top"))
+      .collect()
+      .map(r => r.getString(0) ->
+        r.getSeq[org.apache.spark.sql.Row](1).map(t => (t.getDouble(0), t.getLong(1))))
+      .toMap
+    // best first: 2.0 then the 1.0 ties by ascending id; null row ignored
+    assert(out("g") == Seq((2.0, 99L), (1.0, 10L), (1.0, 20L)))
+    // group smaller than k returns what exists
+    assert(out("h") == Seq((0.5, 7L)))
+  }
+
+  test("buffer compaction keeps exactly the global top-k across partitions") {
+    GraftExtensions.ensureRegistered(spark)
+    import spark.implicits._
+    // 10k rows, many partitions: the winner set is known by construction
+    val df = spark.range(10000)
+      .select(lit("g").as("grp"), (col("id") % 97).cast("double").as("score"),
+        col("id").as("id"))
+      .repartition(13)
+    val out = df.groupBy("grp")
+      .agg(expr("graft_topk(score, id, 4)").as("top"))
+      .selectExpr("inline(top)")
+      .collect().map(r => (r.getDouble(0), r.getLong(1))).toSeq
+    // score 96 occurs at ids 96, 193, 290, 387 -> top-4 by (score desc, id asc)
+    assert(out == Seq((96.0, 96L), (96.0, 193L), (96.0, 290L), (96.0, 387L)))
+  }
+}
