@@ -78,11 +78,78 @@ object Curation {
       |) ORDER BY doc_id""".stripMargin
   }
 
+  /** C2 — deterministic train/val/test split: hash-mod bucketing on a
+    * salted doc key (98/1/1). Hash-based splits are the only kind that
+    * stay stable under re-runs, re-partitioning, and incremental
+    * appends — row_number()-based splits reshuffle docs between splits
+    * whenever the corpus changes. Same md5-derived 32-bit hash the dedup
+    * family uses, so DuckDB replays the assignment bit-for-bit.
+    */
+  def c2TrainSplit(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"),
+        pmod(md5Hash32(concat(lit("split:"), col("doc_id"))), lit(100))
+          .as("bucket"))
+      .withColumn("split",
+        when(col("bucket") < 98, "train")
+          .when(col("bucket") === 98, "val")
+          .otherwise("test"))
+      .orderBy("doc_id")
+
+  val c2Sql: String =
+    """SELECT doc_id, bucket,
+      |  CASE WHEN bucket < 98 THEN 'train'
+      |       WHEN bucket = 98 THEN 'val' ELSE 'test' END AS split
+      |FROM (SELECT doc_id,
+      |        ('0x' || substr(md5('split:' || doc_id), 1, 8))::BIGINT % 100
+      |          AS bucket
+      |      FROM documents)
+      |ORDER BY doc_id""".stripMargin
+
+  private val packBudget = 2048
+
+  /** C3 — sequence packing: assign docs to fixed-token-budget packs for
+    * pretraining batch assembly. Greedy packing is inherently sequential,
+    * so the scalable form shards first (doc_id mod 32) and packs greedily
+    * WITHIN each shard: a running token sum per shard (one window, one
+    * shuffle) and pack_id = floor(preceding_sum / budget). Docs larger
+    * than the budget get a pack of their own, never split — the standard
+    * document-boundary-preserving variant.
+    */
+  def c3SequencePack(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = documentsSpread(s, d)
+      .select(col("doc_id"),
+        pmod(col("doc_id"), lit(32)).as("shard"),
+        size(split(trim(col("text")), "\\s+")).as("n_tokens"))
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+    toks
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .select(col("doc_id"), col("shard"), col("n_tokens"),
+        expr(s"(cum - n_tokens) div $packBudget").as("pack_id"))
+      .orderBy("doc_id")
+  }
+
+  val c3Sql: String =
+    s"""SELECT doc_id, shard, n_tokens,
+      |  CAST((cum - n_tokens) // $packBudget AS BIGINT) AS pack_id
+      |FROM (
+      |  SELECT doc_id, doc_id % 32 AS shard,
+      |    len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+      |    sum(len(string_split_regex(trim(text), '\\s+')))
+      |      OVER (PARTITION BY doc_id % 32 ORDER BY doc_id) AS cum
+      |  FROM documents)
+      |ORDER BY doc_id""".stripMargin
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c1_curation_decision" -> c1CurationDecision,
+    "c2_train_split" -> c2TrainSplit,
+    "c3_sequence_pack" -> c3SequencePack,
   )
 
   val oracle: Map[String, String] = Map(
     "c1_curation_decision" -> c1Sql,
+    "c2_train_split" -> c2Sql,
+    "c3_sequence_pack" -> c3Sql,
   )
 }
