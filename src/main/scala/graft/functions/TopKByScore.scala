@@ -24,11 +24,19 @@ import org.apache.spark.sql.types._
   * q queries) the shuffle shrinks from n×q rows to partitions×q×k.
   *
   * Determinism contract: the comparator is total (exact double compare
-  * descending — NaN sorts first, matching Spark's `desc` null/NaN
-  * semantics — then id ascending), so the result multiset is independent
-  * of row arrival order and partitioning. Null score or id rows are
-  * ignored, like builtin aggregates. The buffer is compacted whenever it
+  * descending — NaN sorts first, matching Spark's `desc` NaN semantics —
+  * then id ascending), so the result multiset is independent of row
+  * arrival order and partitioning. The buffer is compacted whenever it
   * exceeds 4k entries: amortized O(log k) per row, max memory O(k).
+  *
+  * NULL contract — where this deliberately DIFFERS from the window
+  * formulation: null score or id rows are SKIPPED, like builtin
+  * aggregates, whereas `row_number() OVER (ORDER BY score DESC)` ranks
+  * null scores last and still emits them. The two formulations are
+  * bit-identical exactly when every group has ≥ k non-null-score rows
+  * wanted in the result — true for the s1/s4 feeds, where a null cosine
+  * means a corrupt vector that must NOT be returned as a "neighbor";
+  * the aggregate's skip semantics are the intended ones there.
   */
 case class TopKByScore(
     score: Expression,

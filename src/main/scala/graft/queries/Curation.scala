@@ -108,13 +108,21 @@ object Curation {
 
   private val packBudget = 2048
 
-  /** C3 — sequence packing: assign docs to fixed-token-budget packs for
-    * pretraining batch assembly. Greedy packing is inherently sequential,
-    * so the scalable form shards first (doc_id mod 32) and packs greedily
-    * WITHIN each shard: a running token sum per shard (one window, one
-    * shuffle) and pack_id = floor(preceding_sum / budget). Docs larger
-    * than the budget get a pack of their own, never split — the standard
-    * document-boundary-preserving variant.
+  /** C3 — sequence packing: assign docs to token-budget packs for
+    * pretraining batch assembly, sharded (doc_id mod 32) so each shard
+    * packs independently with one running-sum window (one shuffle).
+    *
+    * Semantics — OFFSET packing, stated precisely: a doc belongs to the
+    * pack its starting token offset falls in
+    * (`pack_id = floor(preceding_sum / budget)`). Documents are never
+    * split, so a doc straddling a budget boundary OVERFLOWS its pack —
+    * the budget is the target fill for a downstream assembler that
+    * chunks pack text into fixed windows, not a hard per-pack cap.
+    * Hard-cap greedy ("close the pack before it would overflow") is a
+    * sequential fold per shard — not expressible as a window function
+    * and not DuckDB-replayable without recursion — and wastes the tail
+    * of every pack; offset packing is the standard boundary-preserving
+    * compromise and is exactly what both engines compute here.
     */
   def c3SequencePack(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -99,7 +99,10 @@ object Similarity {
   }
 
   /** The window/row_number formulation of S1 — the semantics reference
-    * [[s1BruteForceTopK]]'s heap aggregate must match bit-for-bit.
+    * [[s1BruteForceTopK]]'s heap aggregate must match bit-for-bit on
+    * null-free score feeds (the only divergence is deliberate: the
+    * aggregate skips null-cosine rows, the window would rank them last —
+    * see [[graft.functions.TopKByScore]]'s null contract).
     */
   def s1TopKWindowed(s: SparkSession, d: String): DataFrame = {
     val emb = withNorm(s, d)
@@ -280,8 +283,12 @@ object Similarity {
       .groupBy(col("vec_id"))
       .agg(first(col("embedding")).as("embedding"), first(col("nrm")).as("nrm"),
         expr("graft_topk(ccos, cent_id, 1)").as("top"))
+      // try_element_at, not top[0]: graft_topk yields an EMPTY array when
+      // every score in the group is NULL (one corrupt embedding nulls all
+      // 8 ccos via graft_dot's contract), and a bare subscript throws
+      // under ANSI. Null cent_id rows then drop out of the probe join.
       .select(col("vec_id"), col("embedding"), col("nrm"),
-        expr("top[0].id").as("cent_id"))
+        try_element_at(col("top"), lit(1)).getField("id").as("cent_id"))
     val q = assigned.filter(col("vec_id") >= 8 && col("vec_id") < 13)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
         col("nrm").as("qnrm"), col("cent_id").as("qcell"))
