@@ -355,7 +355,62 @@ object Similarity {
       |WHERE dim < 4
       |GROUP BY label, dim ORDER BY label, dim""".stripMargin
 
+  /** S6 — symmetric int8 quantization of the embedding column: per-vector
+    * scale = max|v| / 127, code_i = round(v_i / scale) ∈ [-127, 127].
+    * The 4× memory cut that makes billion-vector ANN fit executor memory;
+    * composes with S4 (quantized cells, full-precision re-rank). Per-row,
+    * embarrassingly parallel, no shuffle. The verified projection emits
+    * the scale, the code checksum, and the max dequantization error —
+    * array cells themselves break the driver comparator.
+    *
+    * Cross-engine: every element is cast to double BEFORE abs/divide on
+    * both sides, rounding is the shared floor(x + 0.5) idiom, and the
+    * error bound max|code·scale − v| is order-independent, so DuckDB
+    * replays all three outputs exactly. Zero vectors quantize to all-zero
+    * codes with scale 0 (guarded, no division).
+    */
+  def s6QuantizeInt8(s: SparkSession, d: String): DataFrame =
+    embeddings(s, d)
+      .select(col("vec_id"), col("embedding"))
+      .withColumn("mx", expr(
+        "array_max(transform(embedding, x -> abs(cast(x as double))))"))
+      .withColumn("scale", col("mx") / lit(127.0))
+      .withColumn("codes", expr(
+        """CASE WHEN mx = 0d THEN transform(embedding, x -> 0)
+          |ELSE transform(embedding,
+          |  x -> cast(floor(cast(x as double) / scale + 0.5d) as int)) END""".stripMargin))
+      .withColumn("max_err", expr(
+        """CASE WHEN mx = 0d THEN 0d
+          |ELSE array_max(zip_with(codes, embedding,
+          |  (c, x) -> abs(cast(c as double) * scale - cast(x as double)))) END""".stripMargin))
+      .select(col("vec_id"), r6(col("scale")).as("scale"),
+        expr("aggregate(codes, 0L, (a, c) -> a + c)").as("code_sum"),
+        r6(col("max_err")).as("max_err"))
+      .orderBy("vec_id")
+
+  val s6Sql: String =
+    """WITH q AS (
+      |  SELECT vec_id, embedding,
+      |    list_max(list_transform(embedding, x -> abs(x::DOUBLE))) / 127.0
+      |      AS scale
+      |  FROM embeddings),
+      |c AS (
+      |  SELECT vec_id, embedding, scale,
+      |    CASE WHEN scale = 0 THEN list_transform(embedding, x -> 0)
+      |      ELSE list_transform(embedding,
+      |        x -> CAST(floor(x::DOUBLE / scale + 0.5) AS INT)) END AS codes
+      |  FROM q)
+      |SELECT vec_id,
+      |  floor(scale * 1000000.0 + 0.5) / 1000000.0 AS scale,
+      |  CAST(list_sum(codes) AS BIGINT) AS code_sum,
+      |  floor(CASE WHEN scale = 0 THEN 0
+      |    ELSE list_max(list_transform(range(1, len(codes) + 1),
+      |      i -> abs(codes[i]::DOUBLE * scale - embedding[i]::DOUBLE))) END
+      |    * 1000000.0 + 0.5) / 1000000.0 AS max_err
+      |FROM c ORDER BY vec_id""".stripMargin
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s6_quantize_int8" -> s6QuantizeInt8,
     "s5_label_centroids" -> s5LabelCentroids,
     "s1_bruteforce_topk" -> s1BruteForceTopK,
     "s2_lsh_neardup" -> s2LshNearDup,
@@ -364,6 +419,7 @@ object Similarity {
   )
 
   val oracle: Map[String, String] = Map(
+    "s6_quantize_int8" -> s6Sql,
     "s5_label_centroids" -> s5Sql,
     "s1_bruteforce_topk" -> s1Sql,
     "s2_lsh_neardup" -> s2Sql,
