@@ -172,11 +172,103 @@ object TextAnalysis {
       |    (acc, x) -> (acc * 31 + x) % 1000000007) AS fingerprint
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  private val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val phoneRe = "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b"
+  private val urlRe = "https?://[^\\s]+"
+
+  /** T5 — PII scan + redaction: per-document counts of email / phone /
+    * URL matches and the md5 of the redacted text (typed placeholder per
+    * class) — the pre-training privacy pass every public corpus pipeline
+    * runs. Pure per-row regex work inside codegen; no shuffle. The test
+    * corpus carries no PII, so a deterministic tail (email / phone / URL
+    * by doc_id mod 4) is appended to exercise every class and the
+    * residual no-PII case.
+    */
+  def t5PiiRedact(s: SparkSession, d: String): DataFrame =
+    documentsSpread(s, d)
+      .select(col("doc_id"), concat(substring(col("text"), 1, 120),
+        expr("""CASE CAST(doc_id % 4 AS INT)
+          |WHEN 0 THEN concat(' contact agent', CAST(doc_id % 50 AS INT), '@example.com now')
+          |WHEN 1 THEN concat(' call 555-', lpad(CAST(doc_id % 1000 AS INT), 3, '0'), '-4567 today')
+          |WHEN 2 THEN concat(' see https://example.org/p/', CAST(doc_id AS INT), ' for details')
+          |ELSE '' END""".stripMargin)).as("txt"))
+      .select(col("doc_id"),
+        size(regexp_extract_all(col("txt"), lit(emailRe), lit(0))).as("n_emails"),
+        size(regexp_extract_all(col("txt"), lit(phoneRe), lit(0))).as("n_phones"),
+        size(regexp_extract_all(col("txt"), lit(urlRe), lit(0))).as("n_urls"),
+        md5(regexp_replace(regexp_replace(regexp_replace(col("txt"),
+          emailRe, "<EMAIL>"), phoneRe, "<PHONE>"), urlRe, "<URL>"))
+          .as("redacted_md5"))
+      .orderBy("doc_id")
+
+  val t5Sql: String =
+    s"""WITH t AS (
+      |  SELECT doc_id, substr(text, 1, 120) ||
+      |    CASE CAST(doc_id % 4 AS INT)
+      |      WHEN 0 THEN ' contact agent' || CAST(doc_id % 50 AS INT) || '@example.com now'
+      |      WHEN 1 THEN ' call 555-' || lpad(CAST(doc_id % 1000 AS INT)::VARCHAR, 3, '0') || '-4567 today'
+      |      WHEN 2 THEN ' see https://example.org/p/' || CAST(doc_id AS INT) || ' for details'
+      |      ELSE '' END AS txt
+      |  FROM documents)
+      |SELECT doc_id,
+      |  len(regexp_extract_all(txt, '$emailRe')) AS n_emails,
+      |  len(regexp_extract_all(txt, '$phoneRe')) AS n_phones,
+      |  len(regexp_extract_all(txt, '$urlRe')) AS n_urls,
+      |  md5(regexp_replace(regexp_replace(regexp_replace(txt,
+      |    '$emailRe', '<EMAIL>', 'g'), '$phoneRe', '<PHONE>', 'g'),
+      |    '$urlRe', '<URL>', 'g')) AS redacted_md5
+      |FROM t ORDER BY doc_id""".stripMargin
+
+  /** T6 — n-gram repetition metrics (the Gopher-style repetition
+    * filters): per document, the fraction of duplicate word 2-grams and
+    * the share of the single most frequent 2-gram. Highly repetitive
+    * machine-generated text scores near 1 on both and is dropped by
+    * downstream quality gates. One explode + one grouped aggregation —
+    * a single doc-keyed shuffle with map-side partials.
+    */
+  def t6Repetition(s: SparkSession, d: String): DataFrame =
+    documentsSpread(s, d)
+      .select(col("doc_id"), split(col("text"), "\\s+").as("w"))
+      .filter(size(col("w")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(w)-2), i -> concat_ws(' ', w[i], w[i+1]))"))
+        .as("g"))
+      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_2grams"),
+        count(lit(1)).as("distinct_2grams"),
+        max(col("c")).as("top_c"))
+      .select(col("doc_id"), col("n_2grams"), col("distinct_2grams"),
+        r6(lit(1.0) - col("distinct_2grams") / col("n_2grams").cast("double"))
+          .as("dup_2gram_frac"),
+        r6(col("top_c") / col("n_2grams").cast("double")).as("top_2gram_frac"))
+      .orderBy("doc_id")
+
+  val t6Sql: String =
+    """WITH g AS (
+      |  SELECT doc_id,
+      |    unnest(list_transform(range(1, len(w)),
+      |      i -> w[i] || ' ' || w[i+1])) AS g
+      |  FROM (SELECT doc_id, string_split_regex(text, '\s+') AS w
+      |        FROM documents)
+      |  WHERE len(w) >= 2),
+      |cnt AS (SELECT doc_id, g, count(*) AS c FROM g GROUP BY doc_id, g)
+      |SELECT doc_id,
+      |  CAST(sum(c) AS BIGINT) AS n_2grams,
+      |  count(*) AS distinct_2grams,
+      |  floor((1.0 - count(*) / CAST(sum(c) AS DOUBLE)) * 1000000.0 + 0.5)
+      |    / 1000000.0 AS dup_2gram_frac,
+      |  floor((max(c) / CAST(sum(c) AS DOUBLE)) * 1000000.0 + 0.5)
+      |    / 1000000.0 AS top_2gram_frac
+      |FROM cnt GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t1_lang_id" -> t1LangId,
     "t2_quality_score" -> t2QualityScore,
     "t3_token_count" -> t3TokenCount,
     "t4_fingerprint" -> t4Fingerprint,
+    "t5_pii_redact" -> t5PiiRedact,
+    "t6_repetition" -> t6Repetition,
   )
 
   val oracle: Map[String, String] = Map(
@@ -184,5 +276,7 @@ object TextAnalysis {
     "t2_quality_score" -> t2Sql,
     "t3_token_count" -> t3Sql,
     "t4_fingerprint" -> t4Sql,
+    "t5_pii_redact" -> t5Sql,
+    "t6_repetition" -> t6Sql,
   )
 }
