@@ -86,6 +86,26 @@ object Tables {
   /** DuckDB rendering of [[r6]] — identical arithmetic. */
   def r6Sql(x: String): String = s"floor(($x) * 1000000.0 + 0.5) / 1000000.0"
 
+  /** Spark-SQL rendering of sliding word n-grams over an array column
+    * `w`: one joined string per window. Single source of truth for the
+    * shingle/2-gram idiom shared by dedup and text analysis — keep in
+    * lockstep with [[ngramsSql]].
+    */
+  def ngramsExpr(w: String, n: Int): String = {
+    val parts = (0 until n).map(j => s"$w[i+$j]").mkString(", ")
+    s"transform(sequence(0, size($w)-$n), i -> concat_ws(' ', $parts))"
+  }
+
+  /** DuckDB rendering of the SAME n-gram window (1-based list indexing:
+    * starts i = 1 .. len-n+1, i.e. exclusive upper bound len-(n-2)).
+    */
+  def ngramsSql(w: String, n: Int): String = {
+    val parts = (0 until n)
+      .map(j => if (j == 0) s"$w[i]" else s"$w[i+$j]")
+      .mkString(" || ' ' || ")
+    s"list_transform(range(1, len($w) - ${n - 2}), i -> $parts)"
+  }
+
   /** Portable 32-bit positive hash: first 8 hex chars of md5, as a long.
     * Same value is computable in DuckDB as ('0x'||substr(md5(x),1,8))::BIGINT,
     * which is what the oracle SQL uses. Used by minhash/simhash/LSH so the

@@ -368,10 +368,20 @@ object Similarity {
     * error bound max|code·scale − v| is order-independent, so DuckDB
     * replays all three outputs exactly. Zero vectors quantize to all-zero
     * codes with scale 0 (guarded, no division).
+    *
+    * Domain: non-empty vectors with no null elements — enforced by an
+    * explicit filter on BOTH sides, because outside it the engines'
+    * builtin disagreements would leak through (Spark's fold over an
+    * empty codes array yields the 0 seed where DuckDB's list_sum yields
+    * NULL; DuckDB's list_sum skips null elements where Spark's fold
+    * nulls out). Malformed vectors are a validation concern (A8), not a
+    * quantization result.
     */
   def s6QuantizeInt8(s: SparkSession, d: String): DataFrame =
     embeddings(s, d)
       .select(col("vec_id"), col("embedding"))
+      .filter(size(col("embedding")) > 0 &&
+        !expr("exists(embedding, x -> x is null)"))
       .withColumn("mx", expr(
         "array_max(transform(embedding, x -> abs(cast(x as double))))"))
       .withColumn("scale", col("mx") / lit(127.0))
@@ -393,7 +403,9 @@ object Similarity {
       |  SELECT vec_id, embedding,
       |    list_max(list_transform(embedding, x -> abs(x::DOUBLE))) / 127.0
       |      AS scale
-      |  FROM embeddings),
+      |  FROM embeddings
+      |  WHERE len(embedding) > 0
+      |    AND len(list_filter(embedding, x -> x IS NULL)) = 0),
       |c AS (
       |  SELECT vec_id, embedding, scale,
       |    CASE WHEN scale = 0 THEN list_transform(embedding, x -> 0)

@@ -11,8 +11,9 @@ import graft.Tables._
   *
   * All token-level work happens after a single `split` per document and
   * stays in codegen'd builtin expressions (higher-order functions, no
-  * UDFs). Per-doc work is embarrassingly parallel: no shuffle except the
-  * lang-ID argmax (groupBy doc × lang, partial-agg combined).
+  * UDFs). Per-doc work is embarrassingly parallel; the only shuffles are
+  * the lang-ID argmax (t1: groupBy doc × lang) and the repetition
+  * metrics (t6: doc-keyed 2-gram aggregation) — both map-side combined.
   */
 object TextAnalysis {
 
@@ -230,9 +231,7 @@ object TextAnalysis {
     documentsSpread(s, d)
       .select(col("doc_id"), split(col("text"), "\\s+").as("w"))
       .filter(size(col("w")) >= 2)
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(0, size(w)-2), i -> concat_ws(' ', w[i], w[i+1]))"))
-        .as("g"))
+      .select(col("doc_id"), explode(expr(ngramsExpr("w", 2))).as("g"))
       .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
       .groupBy(col("doc_id"))
       .agg(sum(col("c")).as("n_2grams"),
@@ -245,11 +244,10 @@ object TextAnalysis {
       .orderBy("doc_id")
 
   val t6Sql: String =
-    """WITH g AS (
+    s"""WITH g AS (
       |  SELECT doc_id,
-      |    unnest(list_transform(range(1, len(w)),
-      |      i -> w[i] || ' ' || w[i+1])) AS g
-      |  FROM (SELECT doc_id, string_split_regex(text, '\s+') AS w
+      |    unnest(${ngramsSql("w", 2)}) AS g
+      |  FROM (SELECT doc_id, string_split_regex(text, '\\s+') AS w
       |        FROM documents)
       |  WHERE len(w) >= 2),
       |cnt AS (SELECT doc_id, g, count(*) AS c FROM g GROUP BY doc_id, g)
