@@ -71,6 +71,22 @@ class PlanSpec extends SparkSpecBase {
     assert(p.contains("graft_dot"))
   }
 
+  test("j2 range join plans as a bin equi-join, never a nested-loop product") {
+    val p = plan(Joins.j2RangeJoin(spark, sf))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"range join degenerated to a per-pair product:\n$p")
+  }
+
+  test("c2 split assignment and s6 quantization are shuffle-free projections") {
+    for (df <- Seq(Curation.c2TrainSplit(spark, sf),
+        Similarity.s6QuantizeInt8(spark, sf))) {
+      val p = plan(df)
+      assert(!p.contains("Exchange hashpartitioning"),
+        s"per-row operator gained a shuffle:\n$p")
+    }
+  }
+
   test("f8/f21 scalar chains stay in one whole-stage codegen pass over orders") {
     // regex scalar derivations must not introduce shuffles before the
     // final sort: one scan, one projection chain
