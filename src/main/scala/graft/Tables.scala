@@ -87,13 +87,18 @@ object Tables {
   def r6Sql(x: String): String = s"floor(($x) * 1000000.0 + 0.5) / 1000000.0"
 
   /** Spark-SQL rendering of sliding word n-grams over an array column
-    * `w`: one joined string per window. Single source of truth for the
-    * shingle/2-gram idiom shared by dedup and text analysis — keep in
-    * lockstep with [[ngramsSql]].
+    * `w`: one joined string per window, EMPTY array when the input is
+    * shorter than n (total — without the guard, `sequence(0, size-n)`
+    * would count DOWNWARD for short inputs and emit garbage partial
+    * grams while [[ngramsSql]]'s `range` correctly returns empty).
+    * Single source of truth for the shingle/2-gram idiom shared by dedup
+    * and text analysis — keep in lockstep with [[ngramsSql]].
     */
   def ngramsExpr(w: String, n: Int): String = {
     val parts = (0 until n).map(j => s"$w[i+$j]").mkString(", ")
-    s"transform(sequence(0, size($w)-$n), i -> concat_ws(' ', $parts))"
+    s"CASE WHEN size($w) >= $n THEN " +
+      s"transform(sequence(0, size($w)-$n), i -> concat_ws(' ', $parts)) " +
+      "ELSE array() END"
   }
 
   /** DuckDB rendering of the SAME n-gram window (1-based list indexing:
@@ -105,6 +110,16 @@ object Tables {
       .mkString(" || ' ' || ")
     s"list_transform(range(1, len($w) - ${n - 2}), i -> $parts)"
   }
+
+  /** DuckDB single-quoted string literal with doubled-quote escaping —
+    * use for EVERY fixture/dimension value interpolated into oracle SQL,
+    * so a legitimate apostrophe-bearing value (a name like D'Angelo, an
+    * alias) can never produce unparsable SQL.
+    */
+  def sqlLitDuck(s: String): String = "'" + s.replace("'", "''") + "'"
+
+  /** Spark-SQL single-quoted string literal (backslash escaping). */
+  def sqlLitSpark(s: String): String = "'" + s.replace("'", "\\'") + "'"
 
   /** Portable 32-bit positive hash: first 8 hex chars of md5, as a long.
     * Same value is computable in DuckDB as ('0x'||substr(md5(x),1,8))::BIGINT,

@@ -14,14 +14,18 @@ object Views {
     "supplier", "part", "orders", "lineitem", "documents", "embeddings")
 
   /** Register `<name>` temp views over `dir` plus the graft functions.
-    * `events` is registered through [[Tables.events]] (nanos handling),
-    * the rest as direct parquet scans.
+    * `events` is registered through [[Tables.events]] (nanos handling)
+    * and `documents` through [[Tables.documentsSpread]] — SQL users get
+    * the same per-row-parallel layout the DataFrame-path text/dedup
+    * queries use, instead of the single-split scan the raw test parquet
+    * would give them. The rest are direct parquet scans.
     */
   def register(spark: SparkSession, dir: String): Unit = {
     graft.plans.GraftExtensions.ensureRegistered(spark)
-    tableNames.foreach { t =>
+    tableNames.filterNot(_ == "documents").foreach { t =>
       Tables.table(spark, dir, t).createOrReplaceTempView(t)
     }
+    Tables.documentsSpread(spark, dir).createOrReplaceTempView("documents")
     Tables.events(spark, dir).createOrReplaceTempView("events")
   }
 }

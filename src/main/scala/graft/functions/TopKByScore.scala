@@ -73,11 +73,15 @@ case class TopKByScore(
   override def nullable: Boolean = false
   override def prettyName: String = "graft_topk"
 
-  // (score DESC, id ASC); exact double compare so ties and NaN behave
-  // identically to Spark's desc sort order.
+  // (score DESC, id ASC). `+ 0.0` normalizes -0.0 to +0.0 before the
+  // compare: Spark's sort keys go through NormalizeFloatingNumbers, so
+  // the window formulation treats signed zeros as equal ties (broken by
+  // id) — Double.compare alone would rank +0.0 above -0.0 and diverge at
+  // the k boundary. NaN (unaffected by + 0.0) still sorts first, matching
+  // desc order.
   private val ord: Ordering[(Double, Long)] = new Ordering[(Double, Long)] {
     override def compare(a: (Double, Long), b: (Double, Long)): Int = {
-      val c = java.lang.Double.compare(b._1, a._1)
+      val c = java.lang.Double.compare(b._1 + 0.0, a._1 + 0.0)
       if (c != 0) c else java.lang.Long.compare(a._2, b._2)
     }
   }

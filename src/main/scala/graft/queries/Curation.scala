@@ -48,8 +48,8 @@ object Curation {
   }
 
   val c1Sql: String = {
-    val lang = TextAnalysis.t1Sql.replace("ORDER BY d.doc_id", "")
-    val clusters = Dedup.d6Sql.replace("ORDER BY doc_id", "")
+    val lang = TextAnalysis.t1CoreSql
+    val clusters = Dedup.d6CoreSql
     s"""SELECT *, (reason = 'keep') AS keep FROM (
       |SELECT d.doc_id, e.exact_keep_id, q.quality, l.predicted_lang,
       |  c.cluster_id,
@@ -61,15 +61,9 @@ object Curation {
       |FROM documents d
       |JOIN (SELECT md5(text) AS h, min(doc_id) AS exact_keep_id
       |      FROM documents GROUP BY md5(text)) e ON md5(d.text) = e.h
-      |JOIN (SELECT doc_id,
-      |        floor((0.4 * stop_ratio + 0.3 * least(avg_wlen / 10.0, 1.0)
-      |               + 0.3 * (1.0 - punct_ratio)) * 1000000.0 + 0.5) / 1000000.0 AS quality
+      |JOIN (SELECT doc_id, ${TextAnalysis.qualityFormulaSql} AS quality
       |      FROM (
-      |        SELECT doc_id,
-      |          len(list_filter(w, x -> x in ('the','a','of','and','in'))) / len(w) AS stop_ratio,
-      |          length(replace(text, ' ', '')) / len(w) AS avg_wlen,
-      |          len(regexp_extract_all(text, '[^\\w\\s]')) / n_chars AS punct_ratio
-      |        FROM (SELECT *, string_split_regex(text, '\\s+') AS w FROM documents))) q
+      |  ${TextAnalysis.qualityPartsSql})) q
       |  ON d.doc_id = q.doc_id
       |JOIN (SELECT doc_id, predicted_lang FROM ($lang) t) l
       |  ON d.doc_id = l.doc_id

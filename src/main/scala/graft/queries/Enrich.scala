@@ -145,7 +145,7 @@ object Enrich {
     val raw = customer(s, d).select(
       col("c_custkey").as("row_idx"),
       expr("element_at(array(" +
-        teamForms.map(v => s"'$v'").mkString(", ") +
+        teamForms.map(sqlLitSpark).mkString(", ") +
         "), cast(c_custkey % 12 as int) + 1)").as("raw_name"),
       expr("element_at(array('PG','SG','SF','PF','C'), " +
         "cast(c_custkey % 5 as int) + 1)").as("position"),
@@ -158,9 +158,9 @@ object Enrich {
 
   val e5Sql: String = {
     val dim = graft.enrich.Teams.aliases
-      .map { case (a, c) => s"('$a', '$c')" }
+      .map { case (a, c) => s"(${sqlLitDuck(a)}, ${sqlLitDuck(c)})" }
       .mkString(",\n    ")
-    val forms = teamForms.map(v => s"'$v'").mkString(", ")
+    val forms = teamForms.map(sqlLitDuck).mkString(", ")
     s"""WITH dim(alias, canonical_dim) AS (VALUES
       |    $dim),
       |raw AS (

@@ -31,8 +31,11 @@ object Incremental {
 
   def s13SkipExisting(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
+    // Scratch is scoped by applicationId: two concurrent sessions probing
+    // the same dataset must never delete/rewrite each other's layout
+    // mid-probe (the decision would flip flakily).
     val base = s"${System.getProperty("java.io.tmpdir")}/graft_s13_" +
-      Integer.toHexString(d.hashCode)
+      s.sparkContext.applicationId + "_" + Integer.toHexString(d.hashCode)
     val basePath = new org.apache.hadoop.fs.Path(base)
     val fs = basePath.getFileSystem(s.sparkContext.hadoopConfiguration)
     fs.delete(basePath, true) // fresh scratch: only THIS write may count
@@ -46,9 +49,16 @@ object Incremental {
       .collect()
     val decisions = desired.toSeq.map { r =>
       val (src, lg) = (r.getString(0), r.getString(1))
-      val exists = Sinks.partitionExists(prev, s"$base/source=$src/lang=$lg")
+      // Probe paths through Spark's own partition-value escaping — a raw
+      // string concat would never match the written directory for any
+      // value containing a char Spark escapes (space, ':', '%').
+      val esc = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+        .escapePathName _
+      val exists = Sinks.partitionExists(prev,
+        s"$base/source=${esc(src)}/lang=${esc(lg)}")
       (src, lg, exists, if (exists) "skip" else "write")
     }
+    fs.delete(basePath, true) // decisions are driver values now; no trace left
     decisions.toDF("source", "lang", "already_exists", "action")
       .orderBy("source", "lang")
   }

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.Tables.sqlLitDuck
 import graft.normalize.Columns
 
 /** P1–P3 schema normalization under the oracle: the reference's central
@@ -91,12 +92,13 @@ object Normalize {
     */
   val p1Sql: String = {
     val values = fixture
-      .map { case (t, i, a, b) => s"('$t', $i, '$a', '$b')" }
+      .map { case (t, i, a, b) =>
+        s"(${sqlLitDuck(t)}, $i, ${sqlLitDuck(a)}, ${sqlLitDuck(b)})" }
       .mkString(",\n    ")
     val whens = Columns.canonicalMap
       .map { case (raw, canon) =>
         val norm = raw.toLowerCase.replaceAll("[\\s_\\-/]+", " ").trim
-        s"WHEN contains(n, '$norm') THEN '$canon'"
+        s"WHEN contains(n, ${sqlLitDuck(norm)}) THEN ${sqlLitDuck(canon)}"
       }
       .mkString("\n      ")
     s"""WITH fixture(table_id, col_idx, part1, part2) AS (VALUES

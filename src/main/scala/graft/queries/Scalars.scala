@@ -27,13 +27,15 @@ object Scalars {
 
   /** DuckDB rendering of a value-cycled literal pick. */
   private def pick(vals: Seq[String], idx: String): String =
-    s"[${vals.map(v => s"'$v'").mkString(", ")}][CAST($idx AS INT) + 1]"
+    s"[${vals.map(sqlLitDuck).mkString(", ")}][CAST($idx AS INT) + 1]"
 
   /** Spark-SQL rendering of the SAME pick — both sides are generated from
-    * one Seq so the fixtures can never drift between engines.
+    * one Seq so the fixtures can never drift between engines, and both
+    * literal renderings escape quotes so apostrophe-bearing values (e.g.
+    * a name form) stay valid SQL.
     */
   private def pickSpark(vals: Seq[String], idx: String): String =
-    s"element_at(array(${vals.map(v => s"'$v'").mkString(", ")}), " +
+    s"element_at(array(${vals.map(sqlLitSpark).mkString(", ")}), " +
       s"cast($idx as int) + 1)"
 
   /** Deterministic insight text: `TEAM @ OPP <time> | <book> line, hit in
@@ -78,7 +80,8 @@ object Scalars {
         |  ${pick(bookForms, "o_orderkey % 5")} ||
         |  ' line, hit in ' || CAST(o_orderkey % 101 AS INT) || '% of last 10')""".stripMargin
     val bookCase = Extract.sportsbooks
-      .map(b => s"WHEN contains(lower(txt), '${b.toLowerCase}') THEN '$b'")
+      .map(b => s"WHEN contains(lower(txt), ${sqlLitDuck(b.toLowerCase)}) " +
+        s"THEN ${sqlLitDuck(b)}")
       .mkString("CASE ", " ", " END")
     s"""WITH t AS (SELECT o_orderkey, $txt AS txt FROM orders),
       |m AS (SELECT o_orderkey, txt,
@@ -118,7 +121,7 @@ object Scalars {
       .orderBy("o_orderkey")
 
   val f14Sql: String = {
-    val stops = Extract.nameStopWords.map(w => s"'$w'").mkString(", ")
+    val stops = Extract.nameStopWords.map(sqlLitDuck).mkString(", ")
     s"""SELECT o_orderkey, ${pick(nameForms, "o_orderkey % 8")} AS candidate,
       |  (regexp_matches(${pick(nameForms, "o_orderkey % 8")},
       |     '^([A-Z][A-Za-z.''-]+ ){1,3}[A-Z][A-Za-z.''-]+$$')

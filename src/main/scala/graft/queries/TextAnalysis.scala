@@ -57,9 +57,12 @@ object TextAnalysis {
         col("actual_lang"))
   }
 
-  val t1Sql: String = {
+  /** The T1 relation without the final sort — composable into other
+    * oracle queries (c1) without fragile string surgery.
+    */
+  private[queries] val t1CoreSql: String = {
     val lexValues = lexicon
-      .map { case (w, l) => s"('$w','$l')" }.mkString(", ")
+      .map { case (w, l) => s"(${sqlLitDuck(w)},${sqlLitDuck(l)})" }.mkString(", ")
     s"""WITH lex(word, cand_lang) AS (VALUES $lexValues),
       |toks AS (SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS word
       |         FROM documents),
@@ -74,9 +77,10 @@ object TextAnalysis {
       |  coalesce(b.cand_lang, 'unknown') AS predicted_lang,
       |  coalesce(b.hits, 0) AS lexicon_hits,
       |  d.lang AS actual_lang
-      |FROM documents d LEFT JOIN best b ON d.doc_id = b.doc_id
-      |ORDER BY d.doc_id""".stripMargin
+      |FROM documents d LEFT JOIN best b ON d.doc_id = b.doc_id""".stripMargin
   }
+
+  val t1Sql: String = t1CoreSql + "\nORDER BY d.doc_id"
 
   /** T2 — quality scoring: stopword ratio, punctuation ratio, average word
     * length → a weighted score in [0,1]. Mirrors the reference's
@@ -113,19 +117,31 @@ object TextAnalysis {
           + lit(0.3) * least(col("avg_wlen") / lit(10.0), lit(1.0))
           + lit(0.3) * (lit(1.0) - col("punct_ratio"))))
 
-  val t2Sql: String =
-    """SELECT doc_id, n_tokens,
-      |  floor(stop_ratio * 1000000.0 + 0.5) / 1000000.0 AS stop_ratio,
-      |  floor(avg_wlen * 1000000.0 + 0.5) / 1000000.0 AS avg_wlen,
-      |  floor(punct_ratio * 1000000.0 + 0.5) / 1000000.0 AS punct_ratio,
-      |  floor((0.4 * stop_ratio + 0.3 * least(avg_wlen / 10.0, 1.0) + 0.3 * (1.0 - punct_ratio)) * 1000000.0 + 0.5) / 1000000.0 AS quality
-      |FROM (
-      |  SELECT doc_id,
+  /** The T2 component subquery and weighted formula — the single SQL
+    * source for the quality score, shared by t2Sql and c1Sql so the
+    * weights/stopwords/regex can never drift between them (they are the
+    * SQL twins of [[withQualityCols]]).
+    */
+  private[queries] val qualityPartsSql: String =
+    """SELECT doc_id,
       |    len(w) AS n_tokens,
       |    len(list_filter(w, x -> x in ('the','a','of','and','in'))) / len(w) AS stop_ratio,
       |    length(replace(text, ' ', '')) / len(w) AS avg_wlen,
       |    len(regexp_extract_all(text, '[^\w\s]')) / n_chars AS punct_ratio
-      |  FROM (SELECT *, string_split_regex(text, '\s+') AS w FROM documents))
+      |  FROM (SELECT *, string_split_regex(text, '\s+') AS w FROM documents)""".stripMargin
+
+  private[queries] val qualityFormulaSql: String =
+    "floor((0.4 * stop_ratio + 0.3 * least(avg_wlen / 10.0, 1.0) " +
+      "+ 0.3 * (1.0 - punct_ratio)) * 1000000.0 + 0.5) / 1000000.0"
+
+  val t2Sql: String =
+    s"""SELECT doc_id, n_tokens,
+      |  floor(stop_ratio * 1000000.0 + 0.5) / 1000000.0 AS stop_ratio,
+      |  floor(avg_wlen * 1000000.0 + 0.5) / 1000000.0 AS avg_wlen,
+      |  floor(punct_ratio * 1000000.0 + 0.5) / 1000000.0 AS punct_ratio,
+      |  $qualityFormulaSql AS quality
+      |FROM (
+      |  $qualityPartsSql)
       |ORDER BY doc_id""".stripMargin
 
   /** T3 — token counting: whitespace tokens vs a BPE-ish regex
