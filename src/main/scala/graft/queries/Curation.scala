@@ -22,12 +22,12 @@ object Curation {
 
   def c1CurationDecision(s: SparkSession, d: String): DataFrame = {
     val docs = documents(s, d)
-    val exact = docs
-      .groupBy(md5(col("text")).as("h"))
-      .agg(min(col("doc_id")).as("exact_keep_id"))
-    val ex = docs.select(col("doc_id"), md5(col("text")).as("h"))
-      .join(exact, "h")
-      .select(col("doc_id"), col("exact_keep_id"))
+    // exact keeper as a window min over the content hash: ONE shuffle on
+    // md5(text), vs the groupBy + join-back formulation's two
+    val ex = docs.select(col("doc_id"),
+      min(col("doc_id")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(md5(col("text"))))
+        .as("exact_keep_id"))
     val qual = TextAnalysis.withQualityCols(documentsSpread(s, d))
       .select(col("doc_id"), col("quality"))
     val lang = TextAnalysis.langPredictions(s, d)
@@ -142,6 +142,42 @@ object Curation {
       |      OVER (PARTITION BY doc_id % 32 ORDER BY doc_id) AS cum
       |  FROM documents)
       |ORDER BY doc_id""".stripMargin
+
+  /** Hard-cap greedy packing — the library companion to [[c3SequencePack]]
+    * for assemblers that need a STRICT per-pack budget: close the pack
+    * before it would overflow; docs larger than the budget get a pack of
+    * their own. The greedy fold is inherently sequential per shard, which
+    * is exactly the justified `mapPartitions` case: shards are
+    * repartitioned to align partitions with shard boundaries and sorted
+    * within, then each partition folds linearly. Not oracle-registered
+    * (a recursive-CTE replay would dominate gate time); contract pinned
+    * by `HardCapPackSpec` instead: budget respected, boundaries
+    * preserved, deterministic.
+    */
+  def packHardCap(docs: DataFrame, budget: Int, shards: Int = 32): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs
+      .select(col("doc_id"),
+        pmod(col("doc_id"), lit(shards)).as("shard"),
+        size(split(trim(col("text")), "\\s+")).as("n_tokens"))
+      .repartition(shards, col("shard"))
+      .sortWithinPartitions(col("shard"), col("doc_id"))
+      .as[(Long, Long, Int)]
+      .mapPartitions { rows =>
+        // a partition holds whole shards (hash-partitioned on shard);
+        // track the fold per shard so co-located shards stay independent
+        val state = scala.collection.mutable.Map[Long, (Long, Int)]() // shard -> (pack, fill)
+        rows.map { case (docId, shard, n) =>
+          val (pack, fill) = state.getOrElse(shard, (0L, 0))
+          val (outPack, newFill) =
+            if (fill > 0 && fill + n > budget) (pack + 1, n)
+            else (pack, fill + n)
+          state(shard) = (outPack, newFill)
+          (docId, shard, n, outPack)
+        }
+      }
+      .toDF("doc_id", "shard", "n_tokens", "pack_id")
+  }
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c1_curation_decision" -> c1CurationDecision,
