@@ -32,7 +32,10 @@ object Curation {
       .select(col("doc_id"), col("quality"))
     val lang = TextAnalysis.langPredictions(s, d)
       .select(col("doc_id"), col("predicted_lang"))
-    val clus = Dedup.d6NeardupClusters(s, d)
+    // The session-shared cluster relation (computed once per corpus per
+    // session — the d6 query reads the same cache), unordered: this join
+    // must not pay d6's output sort.
+    val clus = Dedup.d6ClustersShared(s, d)
       .select(col("doc_id"), col("cluster_id"))
     docs.select(col("doc_id"))
       .join(ex, "doc_id").join(qual, "doc_id")
