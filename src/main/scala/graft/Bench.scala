@@ -26,15 +26,30 @@ object Bench {
     // arbitrary and changes as queries are added, which re-assigns the
     // per-plan codegen warmup to different queries each round and makes
     // per-query numbers non-comparable across bench artifacts.
-    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    val ordered = selected.toSeq.sortBy(_._1)
+    // SPARK_GRAFT_REPS > 1 (r3 advice: one loaded machine produced a
+    // misleading single-pass artifact) re-runs the whole sequence and
+    // reports the per-query MIN — the contention-resistant number — next
+    // to the untouched first-pass total. Later passes run against warm
+    // session caches (shingle index, pair/cluster relations), so the min
+    // also separates each query's own cost from the shared-infrastructure
+    // build its first pass may absorb.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "1").toInt.max(1)
+    val passes = (1 to reps).map { _ =>
+      ordered.map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        name -> (System.nanoTime() - t0) / 1e9
+      }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val minPer = ordered.map(_._1).map { n =>
+      n -> passes.map(_.toMap.apply(n)).min
+    }
+    val qs = minPer.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = passes.head.map(_._2).sum
+    val sumOfMin = minPer.map(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sum_of_min":$sumOfMin,"reps":$reps,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

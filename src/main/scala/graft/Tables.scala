@@ -118,8 +118,13 @@ object Tables {
     */
   def sqlLitDuck(s: String): String = "'" + s.replace("'", "''") + "'"
 
-  /** Spark-SQL single-quoted string literal (backslash escaping). */
-  def sqlLitSpark(s: String): String = "'" + s.replace("'", "\\'") + "'"
+  /** Spark-SQL single-quoted string literal (backslash escaping).
+    * Backslashes are escaped FIRST — in the other order a value
+    * containing a backslash would double-escape the quote escape and
+    * produce a wrong or unparsable literal.
+    */
+  def sqlLitSpark(s: String): String =
+    "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
 
   /** Portable 32-bit positive hash: first 8 hex chars of md5, as a long.
     * Same value is computable in DuckDB as ('0x'||substr(md5(x),1,8))::BIGINT,

@@ -4,7 +4,8 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo}
+import org.apache.spark.sql.types.{DataType, DoubleType, IntegerType, LongType, NumericType}
 import graft.functions.{DotProduct, ParsePropLine, TopKByScore}
 
 /** Session extensions registering graft's native Catalyst expressions.
@@ -34,7 +35,23 @@ object GraftExtensions {
       (args: Seq[Expression]) => ParsePropLine(args(0))),
     ("graft_topk",
       new ExpressionInfo(classOf[TopKByScore].getName, "graft_topk"),
-      (args: Seq[Expression]) => TopKByScore(args(0), args(1), args(2))))
+      (args: Seq[Expression]) => TopKByScore(
+        widen(args(0), DoubleType), widen(args(1), LongType),
+        widen(args(2), IntegerType))))
+
+  /** Numeric widening at the builder (r3 advice): `ImplicitCastInputTypes`
+    * is `private[sql]` and unavailable to library expressions, so natural
+    * calls like `graft_topk(float_score, int_id, 5)` are widened here —
+    * numeric-to-numeric only; non-numeric args fall through unchanged to
+    * the expression's own strict type check, whose error message names
+    * the expected types.
+    */
+  private def widen(e: Expression, to: DataType): Expression =
+    if (!e.resolved) e // dataType would throw; strict check still applies
+    else e.dataType match {
+      case n: NumericType if n != to => Cast(e, to)
+      case _ => e
+    }
 
   /** Register graft functions on an existing session (idempotent). */
   def ensureRegistered(spark: SparkSession): Unit = {

@@ -31,11 +31,15 @@ object Incremental {
 
   def s13SkipExisting(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    // Scratch is scoped by applicationId: two concurrent sessions probing
+    // Scratch is scoped by applicationId (two concurrent sessions probing
     // the same dataset must never delete/rewrite each other's layout
-    // mid-probe (the decision would flip flakily).
+    // mid-probe) AND a per-invocation unique suffix (r3 advice: two
+    // concurrent invocations in the SAME application — parallel test
+    // suites sharing a session — raced on the delete/write/probe
+    // sequence and could flip decisions flakily).
     val base = s"${System.getProperty("java.io.tmpdir")}/graft_s13_" +
-      s.sparkContext.applicationId + "_" + Integer.toHexString(d.hashCode)
+      s.sparkContext.applicationId + "_" + Integer.toHexString(d.hashCode) +
+      "_" + java.util.UUID.randomUUID().toString.take(8)
     val basePath = new org.apache.hadoop.fs.Path(base)
     val fs = basePath.getFileSystem(s.sparkContext.hadoopConfiguration)
     fs.delete(basePath, true) // fresh scratch: only THIS write may count

@@ -53,4 +53,18 @@ class TopKAggSpec extends SparkSpecBase {
     // score 96 occurs at ids 96, 193, 290, 387 -> top-4 by (score desc, id asc)
     assert(out == Seq((96.0, 96L), (96.0, 193L), (96.0, 290L), (96.0, 387L)))
   }
+
+  test("numeric arguments widen at the builder: float score, int id") {
+    GraftExtensions.ensureRegistered(spark)
+    import spark.implicits._
+    val df = Seq(("g", 2.0f, 9), ("g", 1.0f, 3), ("g", 3.0f, 5))
+      .toDF("grp", "score", "id")
+    // float score / int id / int k — the r2 signature rejected this with
+    // a type error; the builder now widens numeric args to double/bigint
+    val out = df.groupBy("grp")
+      .agg(expr("graft_topk(score, id, 2)").as("top"))
+      .selectExpr("inline(top)")
+      .collect().map(r => (r.getDouble(0), r.getLong(1))).toSeq
+    assert(out == Seq((3.0, 5L), (2.0, 9L)))
+  }
 }
