@@ -6,19 +6,29 @@ import graft.Tables._
 
 /** The end-to-end curation decision — the query a training-data pipeline
   * actually ships: per document, the composed verdict of exact dedup
-  * (d1), near-dup clustering (d6), language ID (t1), and quality scoring
-  * (t2), cascaded into one keep/drop decision with the first failing
-  * gate as the reason. Every component is the SAME production operator
-  * the standalone queries verify; this registers their composition under
-  * the oracle.
+  * (d1), near-dup clustering (d6), language ID (t1), n-gram repetition
+  * (t6), PII scanning (t5), and quality scoring (t2), cascaded into one
+  * keep/drop decision with the first failing gate as the reason. Every
+  * component is the SAME production operator the standalone queries
+  * verify; this registers their composition under the oracle.
   *
-  * Scale shape: four doc-keyed relations joined on doc_id — each
+  * Gate order: dedup first (exact, then near), then language, then the
+  * hard content gates (repetition, PII) — a repetitive or PII-bearing
+  * doc is dropped regardless of how well it scores — and the graded
+  * quality threshold last. (The content gates sit before low_quality
+  * rather than after it deliberately: they are categorical defects, and
+  * on this corpus the post-quality pool is a handful of docs — too few
+  * to ever exercise the added reasons at the verification scale.)
+  *
+  * Scale shape: six doc-keyed relations joined on doc_id — each
   * component keeps its own optimal plan (hash-group exact dedup,
-  * contracted label propagation, broadcast lexicon vote, embarrassingly
-  * parallel scoring), and the final join is doc_id-partitioned all the
-  * way.
+  * contracted label propagation, broadcast lexicon vote, one doc-keyed
+  * 2-gram aggregation, embarrassingly parallel regex/scoring), and the
+  * final join is doc_id-partitioned all the way.
   */
 object Curation {
+
+  private val repThreshold = 0.08
 
   def c1CurationDecision(s: SparkSession, d: String): DataFrame = {
     val docs = documents(s, d)
@@ -37,16 +47,30 @@ object Curation {
     // must not pay d6's output sort.
     val clus = Dedup.d6ClustersShared(s, d)
       .select(col("doc_id"), col("cluster_id"))
+    // t6 has no row for docs with < 2 tokens (no 2-grams) — join left,
+    // an absent metric means nothing repeats
+    val rep = TextAnalysis.repetitionMetrics(s, d)
+      .select(col("doc_id"), col("dup_2gram_frac"))
+    val pii = TextAnalysis.piiScan(s, d)
+      .select(col("doc_id"),
+        (col("n_emails") + col("n_phones") + col("n_urls")).as("n_pii"))
     docs.select(col("doc_id"))
       .join(ex, "doc_id").join(qual, "doc_id")
       .join(lang, "doc_id").join(clus, "doc_id")
+      .join(rep, Seq("doc_id"), "left").join(pii, "doc_id")
+      .withColumn("dup_frac", coalesce(col("dup_2gram_frac"), lit(0.0)))
       .withColumn("reason",
         when(col("doc_id") =!= col("exact_keep_id"), "exact_dup")
           .when(col("doc_id") =!= col("cluster_id"), "near_dup")
           .when(col("predicted_lang") === "unknown", "lang")
+          .when(col("dup_frac") >= repThreshold, "repetition")
+          .when(col("n_pii") > 0, "pii")
           .when(col("quality") < 0.5, "low_quality")
           .otherwise("keep"))
       .withColumn("keep", col("reason") === "keep")
+      .select(col("doc_id"), col("exact_keep_id"), col("quality"),
+        col("predicted_lang"), col("cluster_id"), col("dup_frac"),
+        col("n_pii"), col("reason"), col("keep"))
       .orderBy("doc_id")
   }
 
@@ -56,9 +80,13 @@ object Curation {
     s"""SELECT *, (reason = 'keep') AS keep FROM (
       |SELECT d.doc_id, e.exact_keep_id, q.quality, l.predicted_lang,
       |  c.cluster_id,
+      |  coalesce(r.dup_2gram_frac, 0.0) AS dup_frac,
+      |  p.n_emails + p.n_phones + p.n_urls AS n_pii,
       |  CASE WHEN d.doc_id <> e.exact_keep_id THEN 'exact_dup'
       |       WHEN d.doc_id <> c.cluster_id THEN 'near_dup'
       |       WHEN l.predicted_lang = 'unknown' THEN 'lang'
+      |       WHEN coalesce(r.dup_2gram_frac, 0.0) >= $repThreshold THEN 'repetition'
+      |       WHEN p.n_emails + p.n_phones + p.n_urls > 0 THEN 'pii'
       |       WHEN q.quality < 0.5 THEN 'low_quality'
       |       ELSE 'keep' END AS reason
       |FROM documents d
@@ -72,6 +100,11 @@ object Curation {
       |  ON d.doc_id = l.doc_id
       |JOIN (SELECT doc_id, cluster_id FROM ($clusters) t) c
       |  ON d.doc_id = c.doc_id
+      |LEFT JOIN (SELECT doc_id, dup_2gram_frac FROM (${TextAnalysis.t6CoreSql}) t) r
+      |  ON d.doc_id = r.doc_id
+      |JOIN (SELECT doc_id, n_emails, n_phones, n_urls
+      |      FROM (${TextAnalysis.t5CoreSql}) t) p
+      |  ON d.doc_id = p.doc_id
       |) ORDER BY doc_id""".stripMargin
   }
 

@@ -192,7 +192,11 @@ object Similarity {
         r6(col("cos")).as("cos_sim"))
   }
 
-  val s2Sql: String = {
+  /** The S2 relation over any source relation `src(vec_id, embedding)`,
+    * unordered — single SQL source for the s2 oracle and composites
+    * (s7's recall measurement replays it over the capped set).
+    */
+  private def s2CoreSqlOver(src: String): String = {
     val sgn = (1 to lshBands * lshBits)
       .map(i => s"CASE WHEN embedding[$i] >= 0 THEN '1' ELSE '0' END")
       .mkString(" || ")
@@ -205,7 +209,7 @@ object Similarity {
       (s"a.band = $b" +: earlier).mkString("(", " AND ", ")")
     }.mkString(" OR ")
     val cos = cosineSql("a.embedding", "b.embedding")
-    s"""WITH keyed AS (SELECT vec_id, embedding, $sgn AS sgn FROM embeddings),
+    s"""WITH keyed AS (SELECT vec_id, embedding, $sgn AS sgn FROM $src),
       |bands AS (
       |  SELECT vec_id, embedding, sgn, band,
       |    substr(sgn, band * $lshBits + 1, $lshBits) AS key
@@ -215,9 +219,10 @@ object Similarity {
       |FROM bands a JOIN bands b
       |  ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id
       |WHERE ($firstMatch)
-      |  AND floor(($cos) * 1000000.0 + 0.5) / 1000000.0 >= 0.3
-      |ORDER BY vec_a, vec_b""".stripMargin
+      |  AND floor(($cos) * 1000000.0 + 0.5) / 1000000.0 >= 0.3""".stripMargin
   }
+
+  val s2Sql: String = s2CoreSqlOver("embeddings") + "\nORDER BY vec_a, vec_b"
 
   /** Exact all-pairs near-dup over an already-bounded (vec_id, embedding,
     * nrm) candidate frame: O(n²) BY DESIGN — the recall reference that S2
@@ -267,8 +272,14 @@ object Similarity {
     * O(n × k) with the centroid set broadcast, and the probe join is an
     * equi-join on cell id — the full table is never self-joined.
     */
-  def s4IvfTopK(s: SparkSession, d: String): DataFrame = {
-    val e = withNorm(s, d)
+  def s4IvfTopK(s: SparkSession, d: String): DataFrame =
+    ivfTopKOf(withNorm(s, d))
+
+  /** The IVF pipeline over any (vec_id, embedding, nrm) frame — used by
+    * the registered query and by s7's recall measurement over the capped
+    * set.
+    */
+  private def ivfTopKOf(e: DataFrame): DataFrame = {
     val cent = e.filter(col("vec_id") < 8)
       .select(col("vec_id").as("cent_id"), col("embedding").as("ce"),
         col("nrm").as("cnrm"))
@@ -305,17 +316,20 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
-  val s4Sql: String = {
+  /** The S4 relation over any source relation `src(vec_id, embedding)`,
+    * unordered — single SQL source for the s4 oracle and composites.
+    */
+  private def s4CoreSqlOver(src: String): String = {
     val assignCos = cosineSql("e.embedding", "c.ce")
     val probeCos = cosineSql("q.qe", "a.embedding")
     s"""WITH cent AS (SELECT vec_id AS cent_id, embedding AS ce
-      |  FROM embeddings WHERE vec_id < 8),
+      |  FROM $src WHERE vec_id < 8),
       |assigned AS (
       |  SELECT vec_id, embedding, cent_id FROM (
       |    SELECT e.vec_id, e.embedding, c.cent_id,
       |      row_number() OVER (PARTITION BY e.vec_id
       |        ORDER BY $assignCos DESC, c.cent_id) AS crn
-      |    FROM embeddings e CROSS JOIN cent c) t
+      |    FROM $src e CROSS JOIN cent c) t
       |  WHERE crn = 1),
       |q AS (SELECT vec_id AS query_id, embedding AS qe, cent_id AS qcell
       |  FROM assigned WHERE vec_id >= 8 AND vec_id < 13)
@@ -327,8 +341,10 @@ object Similarity {
       |      ORDER BY $probeCos DESC, a.vec_id) AS rank
       |  FROM q JOIN assigned a
       |    ON a.cent_id = q.qcell AND a.vec_id <> q.query_id) t
-      |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+      |WHERE rank <= 3""".stripMargin
   }
+
+  val s4Sql: String = s4CoreSqlOver("embeddings") + "\nORDER BY query_id, rank"
 
   /** S5 — per-label centroids: embeddings exploded to (label, dim, v)
     * long form — the layout that scales (vector ops become plain grouped
@@ -421,7 +437,88 @@ object Similarity {
       |    * 1000000.0 + 0.5) / 1000000.0 AS max_err
       |FROM c ORDER BY vec_id""".stripMargin
 
+  /** S7 — ANN quality as a RESULT, not just a spec (r3 verdict #7): the
+    * recall of both approximate paths, measured over the bounded
+    * [[s3Cap]] candidate set and hash-pinned by the oracle replaying the
+    * exact same measurement:
+    *  - `s2_lsh_pairs`: banded sign-LSH pair recall against the exact
+    *    all-pairs reference at the s3 threshold. LSH emissions are
+    *    exact-verified inside their bucket, so they are a SUBSET of the
+    *    truth set (SimilarityRecallSpec pins that) and recall is the
+    *    count ratio;
+    *  - `s4_ivf_top3`: IVF top-3 overlap with the exact brute-force
+    *    top-3 for the s4 query set — here hits need the real
+    *    intersection, since cell-restricted ranking can surface
+    *    neighbors outside the true top-3.
+    * Changing a bucket key, band width, or centroid assignment now
+    * changes a VERIFIED number, not an unasserted spec printout.
+    */
+  def s7AnnRecall(s: SparkSession, d: String): DataFrame = {
+    val capped = withNorm(s, d).filter(col("vec_id") < s3Cap)
+      .select(col("vec_id"), col("embedding"), col("nrm"))
+    val truthPairs = exactNearDupPairs(capped, 0.35).select("vec_a", "vec_b")
+    val lshPairs = lshNearDup(capped).filter(col("cos_sim") >= 0.35)
+      .select("vec_a", "vec_b")
+    val q = capped.filter(col("vec_id") >= 8 && col("vec_id") < 13)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        col("nrm").as("qnrm"))
+    val exactTop = capped.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .withColumn("cos",
+        expr("graft_dot(qe, embedding)") / (col("qnrm") * col("nrm")))
+      .groupBy(col("query_id"))
+      .agg(expr("graft_topk(cos, vec_id, 3)").as("top"))
+      .select(col("query_id"), explode(col("top")).as("t"))
+      .select(col("query_id"), col("t.id").as("neighbor_id"))
+    val ivfTop = ivfTopKOf(capped).select("query_id", "neighbor_id")
+    val pairRow = lshPairs.agg(count(lit(1)).as("hits"))
+      .crossJoin(truthPairs.agg(count(lit(1)).as("truth")))
+      .select(lit("s2_lsh_pairs").as("method"), col("hits"), col("truth"))
+    val topRow = ivfTop.intersect(exactTop).agg(count(lit(1)).as("hits"))
+      .crossJoin(exactTop.agg(count(lit(1)).as("truth")))
+      .select(lit("s4_ivf_top3").as("method"), col("hits"), col("truth"))
+    pairRow.unionByName(topRow)
+      .select(col("method"), col("hits"), col("truth"),
+        r6(col("hits") / col("truth")).as("recall"))
+      .orderBy("method")
+  }
+
+  val s7Sql: String = {
+    val cos = cosineSql("a.embedding", "b.embedding")
+    val qcos = cosineSql("q.qe", "a.embedding")
+    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < $s3Cap),
+      |truth_pairs AS (
+      |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+      |  FROM e a JOIN e b ON a.vec_id < b.vec_id
+      |  WHERE floor(($cos) * 1000000.0 + 0.5) / 1000000.0 >= 0.35),
+      |lsh_pairs AS (
+      |  SELECT vec_a, vec_b FROM (${s2CoreSqlOver("e")}) t
+      |  WHERE cos_sim >= 0.35),
+      |ivf_top AS (SELECT query_id, neighbor_id FROM (${s4CoreSqlOver("e")}) t),
+      |exact_top AS (
+      |  SELECT query_id, neighbor_id FROM (
+      |    SELECT q.query_id, a.vec_id AS neighbor_id,
+      |      row_number() OVER (PARTITION BY q.query_id
+      |        ORDER BY $qcos DESC, a.vec_id) AS rank
+      |    FROM (SELECT vec_id AS query_id, embedding AS qe FROM e
+      |          WHERE vec_id >= 8 AND vec_id < 13) q
+      |    JOIN e a ON a.vec_id <> q.query_id) t
+      |  WHERE rank <= 3),
+      |rows AS (
+      |  SELECT 's2_lsh_pairs' AS method,
+      |    (SELECT count(*) FROM lsh_pairs) AS hits,
+      |    (SELECT count(*) FROM truth_pairs) AS truth
+      |  UNION ALL
+      |  SELECT 's4_ivf_top3' AS method,
+      |    (SELECT count(*) FROM ivf_top i
+      |     JOIN exact_top x USING (query_id, neighbor_id)) AS hits,
+      |    (SELECT count(*) FROM exact_top) AS truth)
+      |SELECT method, hits, truth,
+      |  floor((hits / truth) * 1000000.0 + 0.5) / 1000000.0 AS recall
+      |FROM rows ORDER BY method""".stripMargin
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s7_ann_recall" -> s7AnnRecall,
     "s6_quantize_int8" -> s6QuantizeInt8,
     "s5_label_centroids" -> s5LabelCentroids,
     "s1_bruteforce_topk" -> s1BruteForceTopK,
@@ -431,6 +528,7 @@ object Similarity {
   )
 
   val oracle: Map[String, String] = Map(
+    "s7_ann_recall" -> s7Sql,
     "s6_quantize_int8" -> s6Sql,
     "s5_label_centroids" -> s5Sql,
     "s1_bruteforce_topk" -> s1Sql,

@@ -202,6 +202,12 @@ object TextAnalysis {
     * residual no-PII case.
     */
   def t5PiiRedact(s: SparkSession, d: String): DataFrame =
+    piiScan(s, d).orderBy("doc_id")
+
+  /** The unordered T5 relation — shared by the t5 query and composites
+    * (c1's PII gate consumes the per-class counts).
+    */
+  private[queries] def piiScan(s: SparkSession, d: String): DataFrame =
     documentsSpread(s, d)
       .select(col("doc_id"), concat(substring(col("text"), 1, 120),
         expr("""CASE CAST(doc_id % 4 AS INT)
@@ -216,9 +222,9 @@ object TextAnalysis {
         md5(regexp_replace(regexp_replace(regexp_replace(col("txt"),
           emailRe, "<EMAIL>"), phoneRe, "<PHONE>"), urlRe, "<URL>"))
           .as("redacted_md5"))
-      .orderBy("doc_id")
 
-  val t5Sql: String =
+  /** The T5 relation without the final sort — composable into c1Sql. */
+  private[queries] val t5CoreSql: String =
     s"""WITH t AS (
       |  SELECT doc_id, substr(text, 1, 120) ||
       |    CASE CAST(doc_id % 4 AS INT)
@@ -234,7 +240,9 @@ object TextAnalysis {
       |  md5(regexp_replace(regexp_replace(regexp_replace(txt,
       |    '$emailRe', '<EMAIL>', 'g'), '$phoneRe', '<PHONE>', 'g'),
       |    '$urlRe', '<URL>', 'g')) AS redacted_md5
-      |FROM t ORDER BY doc_id""".stripMargin
+      |FROM t""".stripMargin
+
+  val t5Sql: String = t5CoreSql + "\nORDER BY doc_id"
 
   /** T6 — n-gram repetition metrics (the Gopher-style repetition
     * filters): per document, the fraction of duplicate word 2-grams and
@@ -244,6 +252,14 @@ object TextAnalysis {
     * a single doc-keyed shuffle with map-side partials.
     */
   def t6Repetition(s: SparkSession, d: String): DataFrame =
+    repetitionMetrics(s, d).orderBy("doc_id")
+
+  /** The unordered T6 relation — shared by the t6 query and composites
+    * (c1's repetition gate consumes dup_2gram_frac). Docs with fewer
+    * than two tokens have NO row (no 2-grams exist) — composites join
+    * left and coalesce.
+    */
+  private[queries] def repetitionMetrics(s: SparkSession, d: String): DataFrame =
     documentsSpread(s, d)
       .select(col("doc_id"), split(col("text"), "\\s+").as("w"))
       .filter(size(col("w")) >= 2)
@@ -257,9 +273,9 @@ object TextAnalysis {
         r6(lit(1.0) - col("distinct_2grams") / col("n_2grams").cast("double"))
           .as("dup_2gram_frac"),
         r6(col("top_c") / col("n_2grams").cast("double")).as("top_2gram_frac"))
-      .orderBy("doc_id")
 
-  val t6Sql: String =
+  /** The T6 relation without the final sort — composable into c1Sql. */
+  private[queries] val t6CoreSql: String =
     s"""WITH g AS (
       |  SELECT doc_id,
       |    unnest(${ngramsSql("w", 2)}) AS g
@@ -274,7 +290,9 @@ object TextAnalysis {
       |    / 1000000.0 AS dup_2gram_frac,
       |  floor((max(c) / CAST(sum(c) AS DOUBLE)) * 1000000.0 + 0.5)
       |    / 1000000.0 AS top_2gram_frac
-      |FROM cnt GROUP BY doc_id ORDER BY doc_id""".stripMargin
+      |FROM cnt GROUP BY doc_id""".stripMargin
+
+  val t6Sql: String = t6CoreSql + "\nORDER BY doc_id"
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t1_lang_id" -> t1LangId,
