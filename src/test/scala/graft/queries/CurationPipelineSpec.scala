@@ -39,4 +39,34 @@ class CurationPipelineSpec extends SparkSpecBase {
     // every survivor carries a language route
     assert(curated.filter(col("predicted_lang").isNull).count() == 0)
   }
+
+  test("c1 cascade: every gate fires on the corpus and order is first-fail") {
+    val c1 = Curation.c1CurationDecision(spark, "/root/testdata/sf0.01")
+      .persist()
+    try {
+      val reasons = c1.select("reason").distinct()
+        .collect().map(_.getString(0)).toSet
+      // every DATA-REACHABLE gate is exercised by the sf0.01 corpus
+      // (+ the t5 deterministic PII tail) -- a silent gate is a dead
+      // gate. exact_dup needs byte-identical texts, which this corpus
+      // does not contain (500 distinct md5s; the d1 oracle covers the
+      // exact-dup logic itself).
+      for (r <- Seq("near_dup", "lang", "repetition", "pii",
+          "low_quality", "keep"))
+        assert(reasons.contains(r), s"gate '$r' never fired")
+      // first-fail semantics: a doc flagged 'pii' must have PASSED every
+      // earlier gate (dup, lang, repetition)
+      val badPii = c1.filter(col("reason") === "pii" &&
+        (col("doc_id") =!= col("exact_keep_id") ||
+          col("doc_id") =!= col("cluster_id") ||
+          col("predicted_lang") === "unknown" ||
+          col("dup_frac") >= 0.08)).count()
+      assert(badPii == 0L, s"$badPii pii rows failed an earlier gate")
+      // keeps pass everything
+      val badKeep = c1.filter(col("keep") &&
+        (col("n_pii") > 0 || col("quality") < 0.5 ||
+          col("dup_frac") >= 0.08)).count()
+      assert(badKeep == 0L, s"$badKeep keeps fail a gate")
+    } finally c1.unpersist()
+  }
 }
