@@ -194,9 +194,10 @@ object Similarity {
 
   /** The S2 relation over any source relation `src(vec_id, embedding)`,
     * unordered — single SQL source for the s2 oracle and composites
-    * (s7's recall measurement replays it over the capped set).
+    * (s7's recall measurement replays it over the capped set; d7 joins
+    * it back to documents).
     */
-  private def s2CoreSqlOver(src: String): String = {
+  private[queries] def s2CoreSqlOver(src: String): String = {
     val sgn = (1 to lshBands * lshBits)
       .map(i => s"CASE WHEN embedding[$i] >= 0 THEN '1' ELSE '0' END")
       .mkString(" || ")

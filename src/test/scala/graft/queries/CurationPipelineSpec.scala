@@ -69,4 +69,29 @@ class CurationPipelineSpec extends SparkSpecBase {
       assert(badKeep == 0L, s"$badKeep keeps fail a gate")
     } finally c1.unpersist()
   }
+
+  test("c2 hash split is stable under corpus appends and repartitioning") {
+    val base = Curation.c2TrainSplit(spark, sf)
+      .select("doc_id", "split")
+    // append a disjoint id range and reshuffle -- the hash-mod bucket of
+    // every ORIGINAL doc must not move (row_number-based splits fail
+    // exactly this: the property that justifies the hash design)
+    val docs = graft.Tables.documents(spark, sf)
+    val shiftedCols = (col("doc_id") + 1000000L).as("doc_id") +:
+      docs.columns.toSeq.filter(_ != "doc_id").map(col)
+    val appended = docs.unionByName(docs.select(shiftedCols: _*))
+      .repartition(7, col("source"))
+    val again = appended
+      .select(col("doc_id"),
+        pmod(graft.Tables.md5Hash32(concat(lit("split:"), col("doc_id"))),
+          lit(100)).as("bucket"))
+      .withColumn("split",
+        when(col("bucket") < 98, "train")
+          .when(col("bucket") === 98, "val")
+          .otherwise("test"))
+      .filter(col("doc_id") < 1000000L)
+      .select("doc_id", "split")
+    assert(base.exceptAll(again).count() == 0L)
+    assert(again.exceptAll(base).count() == 0L)
+  }
 }
