@@ -28,6 +28,7 @@ object SparkEntry {
       _root_.graft.queries.Scalars.defs ++
       _root_.graft.queries.Normalize.defs ++
       _root_.graft.queries.Incremental.defs ++
+      _root_.graft.queries.Ingest.defs ++
       _root_.graft.queries.Curation.defs ++
       _root_.graft.queries.Dedup.defs ++
       _root_.graft.queries.Similarity.defs ++
@@ -46,6 +47,7 @@ object SparkEntry {
       _root_.graft.queries.Scalars.oracle ++
       _root_.graft.queries.Normalize.oracle ++
       _root_.graft.queries.Incremental.oracle ++
+      _root_.graft.queries.Ingest.oracle ++
       _root_.graft.queries.Curation.oracle ++
       _root_.graft.queries.Dedup.oracle ++
       _root_.graft.queries.Similarity.oracle ++

@@ -1,0 +1,135 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+import graft.ingest.Readers
+import graft.sink.Sinks
+
+/** Source/sink rows S5, S11, S12 under the oracle (extending the
+  * s13/s9 pattern of exercising REAL file I/O inside a hash-compared
+  * query — r3 verdict: "the largest inherently-closable block of the
+  * spec-only rows").
+  *
+  *  - s5: the S5 CSV scan semantics (`ctg_export_league.py:403-431` —
+  *    utf-8-sig BOM, padded headers/cells, empty-named column drop) run
+  *    through the REAL reader [[Readers.csvTable]] on the checked-in
+  *    fixture file, hash-compared against DuckDB's independent
+  *    `read_csv` of the SAME file (DuckDB strips the BOM and pads on
+  *    its own — two engines, one file, one relation).
+  *  - s11: the S11 run-summary sink (`nba_props_scraper.py` final
+  *    tally prints; `get_basketball_stats_*` per-run status ledgers)
+  *    written through [[Sinks.writeRunSummary]] to scratch and read
+  *    BACK from the JSON it produced — the oracle recomputes the tally
+  *    relationally, so the hash certifies the on-disk summary.
+  *  - s12: the S12 CSV→JSON conversion (`ctg_export_league.py:403-460`:
+  *    read CSV, wrap in a metadata envelope, emit JSON) as a full
+  *    round-trip — [[Readers.csvTable]] → [[Sinks.writeEnveloped]]
+  *    (json format) → read back data + `_meta` sidecar → one relation.
+  *
+  * The CSV fixture path is repo-absolute on both sides (the DuckDB
+  * oracle runs in the same container); a cwd-relative fallback keeps
+  * the Spark side usable from any working directory.
+  */
+object Ingest {
+
+  private val csvFixtureAbs =
+    "/root/repo/src/test/resources/fixtures/league.csv"
+
+  private def csvFixture: String =
+    Seq(csvFixtureAbs, "src/test/resources/fixtures/league.csv")
+      .find(p => new java.io.File(p).exists)
+      .getOrElse(csvFixtureAbs)
+
+  /** S5 — real CSV scan of the fixture: BOM stripped, headers/cells
+    * trimmed, empty-named columns dropped; compared against DuckDB's
+    * own CSV reader over the same bytes.
+    */
+  def s5CsvScan(s: SparkSession, d: String): DataFrame =
+    Readers.csvTable(s, csvFixture)
+      .select(col("Player").as("player"), col("Team").as("team"),
+        col("PTS").as("pts"))
+      .orderBy("player")
+
+  val s5Sql: String =
+    s"""SELECT trim("Player") AS player, trim("Team") AS team,
+      |  trim("PTS") AS pts
+      |FROM read_csv('$csvFixtureAbs', header=true, all_varchar=true)
+      |ORDER BY player""".stripMargin
+
+  /** S11 — run-summary sink round-trip: per-status tallies of the
+    * orders ledger written as the real JSON summary file, read back,
+    * and hash-compared against the relational tally.
+    */
+  def s11RunSummary(s: SparkSession, d: String): DataFrame = {
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_s11_" +
+      s.sparkContext.applicationId + "_" + Integer.toHexString(d.hashCode) +
+      "_" + java.util.UUID.randomUUID().toString.take(8)
+    val basePath = new org.apache.hadoop.fs.Path(base)
+    val fs = basePath.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(basePath, true)
+    try {
+      val ledger = orders(s, d).select(col("o_orderstatus").as("status"))
+      Sinks.writeRunSummary(ledger, "status", base)
+      s.read.json(base)
+        .select(col("status"), col("n"))
+        // scratch is deleted in finally — materialize the read-back first
+        .localCheckpoint()
+        .orderBy("status")
+    } finally fs.delete(basePath, true)
+  }
+
+  val s11Sql: String =
+    """SELECT o_orderstatus AS status, count(*) AS n
+      |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** S12 — CSV→JSON conversion round-trip: the fixture CSV through the
+    * metadata-envelope sink in JSON format, data and sidecar read back
+    * and joined into one per-row relation.
+    */
+  def s12CsvToJson(s: SparkSession, d: String): DataFrame = {
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_s12_" +
+      s.sparkContext.applicationId + "_" + Integer.toHexString(d.hashCode) +
+      "_" + java.util.UUID.randomUUID().toString.take(8)
+    val basePath = new org.apache.hadoop.fs.Path(base)
+    val fs = basePath.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(basePath, true)
+    try {
+      val csv = Readers.csvTable(s, csvFixture)
+      Sinks.writeEnveloped(csv, base, source = "league_csv",
+        runTimestamp = "1970-01-01T00:00:00Z", format = "json")
+      val data = s.read.json(s"$base/data")
+      val meta = s.read.json(s"$base/_meta")
+        .select(col("record_count").as("n_records"),
+          col("source").as("meta_source"), col("columns").as("meta_cols"))
+      data.crossJoin(broadcast(meta))
+        .select(col("Player").as("player"), col("Team").as("team"),
+          col("PTS").as("pts"), col("n_records"), col("meta_source"),
+          col("meta_cols"))
+        .localCheckpoint()
+        .orderBy("player")
+    } finally fs.delete(basePath, true)
+  }
+
+  val s12Sql: String =
+    s"""WITH c AS (
+      |  SELECT trim("Player") AS player, trim("Team") AS team,
+      |    trim("PTS") AS pts
+      |  FROM read_csv('$csvFixtureAbs', header=true, all_varchar=true))
+      |SELECT player, team, pts,
+      |  (SELECT count(*) FROM c) AS n_records,
+      |  'league_csv' AS meta_source, 'Player,Team,PTS' AS meta_cols
+      |FROM c ORDER BY player""".stripMargin
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s5_csv_scan" -> s5CsvScan,
+    "s11_run_summary" -> s11RunSummary,
+    "s12_csv_to_json" -> s12CsvToJson,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "s5_csv_scan" -> s5Sql,
+    "s11_run_summary" -> s11Sql,
+    "s12_csv_to_json" -> s12Sql,
+  )
+}

@@ -45,10 +45,11 @@ object Sinks {
     * as a single small JSON under `path/_meta`.
     */
   def writeEnveloped(df: DataFrame, path: String,
-      source: String, runTimestamp: String): Unit = {
+      source: String, runTimestamp: String,
+      format: String = "parquet"): Unit = {
     val spark = df.sparkSession
-    df.write.mode(SaveMode.Overwrite).parquet(s"$path/data")
-    val written = spark.read.parquet(s"$path/data")
+    df.write.mode(SaveMode.Overwrite).format(format).save(s"$path/data")
+    val written = spark.read.format(format).load(s"$path/data")
     written.agg(count(lit(1)).as("record_count"))
       .withColumn("source", lit(source))
       .withColumn("scraped_at", lit(runTimestamp))
