@@ -156,21 +156,22 @@ object Enrich {
       .orderBy("row_idx")
   }
 
-  val e5Sql: String = {
+  /** The [[graft.enrich.Teams.canonicalize]] pipeline (normalize →
+    * alias join → mascot-strip retry → order-sensitive LA fix) as a
+    * DuckDB query over any `raw` CTE exposing `rawCol` plus
+    * position/timeframe/row_idx — single SQL source for e5 and the
+    * i4 DvP-scan oracle so the two can never drift.
+    */
+  private[queries] def canonicalizeSqlOver(rawCte: String, rawCol: String,
+      outCols: String, orderBy: String): String = {
     val dim = graft.enrich.Teams.aliases
       .map { case (a, c) => s"(${sqlLitDuck(a)}, ${sqlLitDuck(c)})" }
       .mkString(",\n    ")
-    val forms = teamForms.map(sqlLitDuck).mkString(", ")
     s"""WITH dim(alias, canonical_dim) AS (VALUES
       |    $dim),
-      |raw AS (
-      |  SELECT c_custkey AS row_idx,
-      |    [$forms][CAST(c_custkey % 12 AS INT) + 1] AS raw_name,
-      |    ['PG','SG','SF','PF','C'][CAST(c_custkey % 5 AS INT) + 1] AS position,
-      |    CASE WHEN c_custkey % 2 = 0 THEN 'season' ELSE 'l10' END AS timeframe
-      |  FROM customer),
+      |raw AS ($rawCte),
       |normed AS (
-      |  SELECT *, trim(regexp_replace(regexp_replace(upper(raw_name),
+      |  SELECT *, trim(regexp_replace(regexp_replace(upper($rawCol),
       |    '\\.', '', 'g'), '\\s*\\([^)]*\\)\\s*$$', '')) AS norm
       |  FROM raw),
       |joined AS (
@@ -186,11 +187,25 @@ object Enrich {
       |    PARTITION BY position, timeframe, (norm = 'LOS ANGELES')
       |    ORDER BY row_idx) AS la_rank
       |  FROM retried)
-      |SELECT row_idx, raw_name, position, timeframe,
+      |SELECT $outCols,
       |  CASE WHEN norm = 'LOS ANGELES'
       |    THEN CASE WHEN la_rank = 1 THEN 'LA Lakers' ELSE 'LA Clippers' END
       |    ELSE coalesce(canonical_dim, canonical_retry) END AS canonical
-      |FROM ranked ORDER BY row_idx""".stripMargin
+      |FROM ranked ORDER BY $orderBy""".stripMargin
+  }
+
+  val e5Sql: String = {
+    val forms = teamForms.map(sqlLitDuck).mkString(", ")
+    canonicalizeSqlOver(
+      s"""
+      |  SELECT c_custkey AS row_idx,
+      |    [$forms][CAST(c_custkey % 12 AS INT) + 1] AS raw_name,
+      |    ['PG','SG','SF','PF','C'][CAST(c_custkey % 5 AS INT) + 1] AS position,
+      |    CASE WHEN c_custkey % 2 = 0 THEN 'season' ELSE 'l10' END AS timeframe
+      |  FROM customer""".stripMargin,
+      "raw_name",
+      "row_idx, raw_name, position, timeframe",
+      "row_idx")
   }
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(

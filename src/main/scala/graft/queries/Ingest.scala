@@ -33,13 +33,15 @@ import graft.sink.Sinks
   */
 object Ingest {
 
-  private val csvFixtureAbs =
-    "/root/repo/src/test/resources/fixtures/league.csv"
+  private val fixtureDirAbs = "/root/repo/src/test/resources/fixtures"
 
-  private def csvFixture: String =
-    Seq(csvFixtureAbs, "src/test/resources/fixtures/league.csv")
+  private def fixture(name: String): String =
+    Seq(s"$fixtureDirAbs/$name", s"src/test/resources/fixtures/$name")
       .find(p => new java.io.File(p).exists)
-      .getOrElse(csvFixtureAbs)
+      .getOrElse(s"$fixtureDirAbs/$name")
+
+  private val csvFixtureAbs = s"$fixtureDirAbs/league.csv"
+  private def csvFixture: String = fixture("league.csv")
 
   /** S5 — real CSV scan of the fixture: BOM stripped, headers/cells
     * trimmed, empty-named columns dropped; compared against DuckDB's
@@ -121,15 +123,71 @@ object Ingest {
       |  'league_csv' AS meta_source, 'Player,Team,PTS' AS meta_cols
       |FROM c ORDER BY player""".stripMargin
 
+  /** S1/S3 — the raw scraped-table scan through the REAL reader
+    * ([[Readers.rawTable]]: header-map column algebra parameterizing a
+    * positional `cells[i]` projection), hash-compared against DuckDB's
+    * independent `read_json` of the same fixture with the positions and
+    * final names written out literally (the name ALGEBRA itself is
+    * oracle-pinned separately by `p1_header_normalize`; the headers of
+    * one table are constant, so its projection is a fixed decision).
+    * Output aliases are lowercase for comparator safety ("Totals PTS"
+    * carries a space).
+    */
+  def i1RawTableScan(s: SparkSession, d: String): DataFrame =
+    Readers.rawTable(s, fixture("raw_table.json"), "roster")
+      .select(col("team"), col("page"), col("tab"), col("row_idx"),
+        col("Rk").as("rk"), col("Player").as("player"),
+        col("Pos").as("pos"), col("Birth_Date").as("birth_date"),
+        col("Birth").as("birth"), col("Totals PTS").as("totals_pts"),
+        col("FG_pct").as("fg_pct"), col("FG_pct_1").as("fg_pct_1"),
+        col("Unnamed").as("unnamed"), col("Notes").as("notes"))
+      .orderBy("team", "row_idx")
+
+  val i1Sql: String =
+    s"""SELECT team, page, tab, row_idx,
+      |  cells[1] AS rk, cells[2] AS player, cells[3] AS pos,
+      |  cells[4] AS birth_date, cells[5] AS birth, cells[6] AS totals_pts,
+      |  cells[7] AS fg_pct, cells[8] AS fg_pct_1, cells[9] AS unnamed,
+      |  cells[10] AS notes
+      |FROM read_json('$fixtureDirAbs/raw_table.json',
+      |  format='newline_delimited')
+      |WHERE table_id = 'roster'
+      |ORDER BY team, row_idx""".stripMargin
+
+  /** S4 — the typed DvP scan through the REAL reader + the full
+    * [[graft.enrich.Teams.canonicalize]] pipeline over it (F15-F17 on
+    * real ingest, not a synthesized frame), against DuckDB replaying
+    * both from the same fixture via the shared canonicalization SQL.
+    */
+  def i4DvpScan(s: SparkSession, d: String): DataFrame =
+    graft.enrich.Teams
+      .canonicalize(Readers.dvpRaw(s, fixture("dvp_raw.json")), "team_raw")
+      .select(col("position"), col("timeframe"), col("row_idx"),
+        col("team_raw"), col("pts"), col("canonical"))
+      .orderBy("position", "timeframe", "row_idx")
+
+  val i4Sql: String = Enrich.canonicalizeSqlOver(
+    s"""
+      |  SELECT position, timeframe, row_idx, team_raw, pts
+      |  FROM read_json('$fixtureDirAbs/dvp_raw.json',
+      |    format='newline_delimited')""".stripMargin,
+    "team_raw",
+    "position, timeframe, row_idx, team_raw, pts",
+    "position, timeframe, row_idx")
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s5_csv_scan" -> s5CsvScan,
     "s11_run_summary" -> s11RunSummary,
     "s12_csv_to_json" -> s12CsvToJson,
+    "i1_raw_table_scan" -> i1RawTableScan,
+    "i4_dvp_scan" -> i4DvpScan,
   )
 
   val oracle: Map[String, String] = Map(
     "s5_csv_scan" -> s5Sql,
     "s11_run_summary" -> s11Sql,
     "s12_csv_to_json" -> s12Sql,
+    "i1_raw_table_scan" -> i1Sql,
+    "i4_dvp_scan" -> i4Sql,
   )
 }
