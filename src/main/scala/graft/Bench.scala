@@ -1,6 +1,20 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  /** One-line JSON string escape (the artifact must stay a single line
+    * even when an error message carries quotes or newlines).
+    */
+  private def esc(s: String): String =
+    s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -36,22 +50,52 @@ object Bench {
     // build its first pass may absorb. Default 2 so the recorded artifact
     // always carries a meaningful sum-of-min (the warm pass costs ~half
     // the cold one); set 1 to restore the single-pass-only behavior.
-    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt.max(1)
+    // Malformed values fall back to the default instead of crashing the
+    // whole bench (r4 advice).
+    val reps = scala.util.Try(
+      sys.env.getOrElse("SPARK_GRAFT_REPS", "2").trim.toInt).getOrElse(2).max(1)
+    // A failing query must NOT masquerade as a fast one (r4 verdict: the
+    // old catch recorded elapsed time and exited 0). Failures are
+    // recorded per query in "errors", excluded from the min, and force a
+    // nonzero exit so the driver's artifact cannot silently lie.
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val passes = (1 to reps).map { _ =>
       ordered.map { case (name, fn) =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        name -> (System.nanoTime() - t0) / 1e9
+        val ok =
+          try { fn(spark, sfDir).count(); true }
+          catch { case e: Throwable =>
+            errors.getOrElseUpdate(name,
+              s"${e.getClass.getSimpleName}: " +
+                Option(e.getMessage).getOrElse("").linesIterator
+                  .take(1).mkString.take(300))
+            false
+          }
+        (name, (System.nanoTime() - t0) / 1e9, ok)
       }
     }
+    def timesOf(n: String, okOnly: Boolean): Seq[Double] =
+      passes.flatMap(_.collectFirst {
+        case (`n`, t, ok) if ok || !okOnly => t })
+    // "queries" keeps its r4 meaning (per-query min over passes) for the
+    // driver; "queries_first_pass" carries the unreduced first-pass times
+    // so old (first-pass) and new (min) artifacts are not conflated
+    // (r4 advice). A query with zero successful passes reports -1.
     val minPer = ordered.map(_._1).map { n =>
-      n -> passes.map(_.toMap.apply(n)).min
+      val oks = timesOf(n, okOnly = true)
+      n -> (if (oks.nonEmpty) oks.min else -1.0)
     }
-    val qs = minPer.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    def jmap(kvs: Seq[(String, String)]): String =
+      kvs.map { case (k, v) => "\"" + esc(k) + "\":" + v }
+        .mkString("{", ",", "}")
+    val qs = jmap(minPer.map { case (k, v) => k -> v.toString })
+    val firstQs = jmap(passes.head.map { case (n, t, _) => n -> t.toString })
+    val errJson = jmap(errors.toSeq.map { case (k, v) =>
+      k -> ("\"" + esc(v) + "\"") })
     val total = passes.head.map(_._2).sum
-    val sumOfMin = minPer.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sum_of_min":$sumOfMin,"reps":$reps,"sf":"$sfDir"}""")
+    val sumOfMin = minPer.map(_._2).filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_first_pass":$firstQs,"sum_of_min":$sumOfMin,"reps":$reps,"errors":$errJson,"sf":"$sfDir"}""")
     spark.stop()
+    if (errors.nonEmpty) sys.exit(1)
   }
 }

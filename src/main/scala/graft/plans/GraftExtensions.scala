@@ -41,15 +41,16 @@ object GraftExtensions {
 
   /** Numeric widening at the builder (r3 advice): `ImplicitCastInputTypes`
     * is `private[sql]` and unavailable to library expressions, so natural
-    * calls like `graft_topk(float_score, int_id, 5)` are widened here —
-    * numeric-to-numeric only; non-numeric args fall through unchanged to
-    * the expression's own strict type check, whose error message names
-    * the expected types.
+    * calls like `graft_topk(float_score, int_id, 5)` are widened here.
+    * Only genuine widenings (`Cast.canUpCast`) are inserted — a Double id
+    * or a fractional k would be silently truncated by a narrowing Cast, so
+    * those fall through unchanged to the expression's own strict type
+    * check, whose error message names the expected types (r4 advice).
     */
   private def widen(e: Expression, to: DataType): Expression =
     if (!e.resolved) e // dataType would throw; strict check still applies
     else e.dataType match {
-      case n: NumericType if n != to => Cast(e, to)
+      case n: NumericType if n != to && Cast.canUpCast(n, to) => Cast(e, to)
       case _ => e
     }
 

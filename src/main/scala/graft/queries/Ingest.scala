@@ -27,13 +27,19 @@ import graft.sink.Sinks
   *    round-trip — [[Readers.csvTable]] → [[Sinks.writeEnveloped]]
   *    (json format) → read back data + `_meta` sidecar → one relation.
   *
-  * The CSV fixture path is repo-absolute on both sides (the DuckDB
-  * oracle runs in the same container); a cwd-relative fallback keeps
+  * The fixture dir is resolved ONCE (env `GRAFT_FIXTURE_DIR`, then
+  * system property `graft.fixture.dir`, then the repo-absolute
+  * default) and interpolated into BOTH the Spark readers and the
+  * oracle SQL, so a checkout at a different path stays consistent on
+  * both sides (r4 advice); a cwd-relative fallback additionally keeps
   * the Spark side usable from any working directory.
   */
 object Ingest {
 
-  private val fixtureDirAbs = "/root/repo/src/test/resources/fixtures"
+  private val fixtureDirAbs: String =
+    sys.env.getOrElse("GRAFT_FIXTURE_DIR",
+      sys.props.getOrElse("graft.fixture.dir",
+        "/root/repo/src/test/resources/fixtures"))
 
   private def fixture(name: String): String =
     Seq(s"$fixtureDirAbs/$name", s"src/test/resources/fixtures/$name")

@@ -479,7 +479,11 @@ object Similarity {
       .select(lit("s4_ivf_top3").as("method"), col("hits"), col("truth"))
     pairRow.unionByName(topRow)
       .select(col("method"), col("hits"), col("truth"),
-        r6(col("hits") / col("truth")).as("recall"))
+        // Degenerate-corpus guard (r4 advice): an empty truth set means
+        // the measurement is undefined, not zero — emit an explicit NULL
+        // (mirrored in s7Sql) instead of a divide-by-zero.
+        when(col("truth") === 0, lit(null).cast("double"))
+          .otherwise(r6(col("hits") / col("truth"))).as("recall"))
       .orderBy("method")
   }
 
@@ -514,7 +518,9 @@ object Similarity {
       |     JOIN exact_top x USING (query_id, neighbor_id)) AS hits,
       |    (SELECT count(*) FROM exact_top) AS truth)
       |SELECT method, hits, truth,
-      |  floor((hits / truth) * 1000000.0 + 0.5) / 1000000.0 AS recall
+      |  CASE WHEN truth = 0 THEN NULL
+      |    ELSE floor((hits / truth) * 1000000.0 + 0.5) / 1000000.0
+      |  END AS recall
       |FROM rows ORDER BY method""".stripMargin
   }
 
