@@ -61,6 +61,23 @@ object Readers {
   def dvpRaw(spark: SparkSession, path: String): DataFrame =
     spark.read.schema(dvpRawSchema).json(path)
 
+  /** S6 — lineup-game scan (`lineup_scraper.py:34-114`): one JSON row
+    * per game block in the scraped shape — matchup, tip-off time, the
+    * raw betting string, and the nested `team -> {pos -> player}`
+    * lineup dict read as a typed map-of-maps (the explicit schema keeps
+    * the nested dict a `MapType` instead of Spark's inferred per-key
+    * struct, so downstream `explode`s see (key, value) rows exactly
+    * like the reference's dict walk).
+    */
+  val lineupGamesSchema: StructType = StructType(Seq(
+    StructField("game", StringType),
+    StructField("time", StringType),
+    StructField("betting_text", StringType),
+    StructField("lineups", MapType(StringType, MapType(StringType, StringType)))))
+
+  def lineupGames(spark: SparkSession, path: String): DataFrame =
+    spark.read.schema(lineupGamesSchema).json(path)
+
   /** S5 — CSV scan with BOM tolerance and trim semantics
     * (`ctg_export_league.py:403-431`): header row, `utf-8-sig` handling,
     * trimmed cells, empty-named columns dropped.

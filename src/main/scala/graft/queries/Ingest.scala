@@ -181,12 +181,61 @@ object Ingest {
     "position, timeframe, row_idx, team_raw, pts",
     "position, timeframe, row_idx")
 
+  /** S6 — the static-fetch lineup scan (r4 verdict #1: the last
+    * closable spec-only source row) through the REAL reader
+    * [[Readers.lineupGames]] + the REAL extractor
+    * [[graft.extract.Lineups.explodeSlots]] over the checked-in
+    * fixture: nested `team -> {pos -> player}` game blocks exploded to
+    * one row per lineup slot, whitespace-normalized player names, and
+    * the reference's betting parse (`lineup_scraper.py:69-79`:
+    * favorite/spread via `([A-Z]{3}) by (\d+\.?\d*)`, total via
+    * `o/u (\d+\.?\d*)`) carried on every slot. DuckDB replays the dict
+    * walk independently with `json_each` over the same fixture bytes.
+    * The fixture exercises the parse edges: double-space and
+    * embedded-newline names, an incomplete 4-slot lineup, a no-match
+    * betting string, and a spread-without-total line.
+    */
+  def i6LineupScan(s: SparkSession, d: String): DataFrame =
+    graft.extract.Lineups.explodeSlots(
+        Readers.lineupGames(s, fixture("lineups_raw.json")))
+      .select(col("game"), col("time"), col("team"), col("pos"),
+        col("player"), col("betting.favorite").as("favorite"),
+        col("betting.spread").as("spread"),
+        col("betting.over_under").as("over_under"))
+      .orderBy("game", "team", "pos")
+
+  val i6Sql: String =
+    s"""WITH g AS (
+      |  SELECT game, "time" AS t, betting_text, lineups
+      |  FROM read_json('$fixtureDirAbs/lineups_raw.json',
+      |    format='newline_delimited',
+      |    columns={game: 'VARCHAR', "time": 'VARCHAR',
+      |      betting_text: 'VARCHAR',
+      |      lineups: 'MAP(VARCHAR, MAP(VARCHAR, VARCHAR))'})),
+      |teams AS (
+      |  SELECT game, t, betting_text, te.key AS team, te.value AS by_pos
+      |  FROM g, unnest(map_entries(lineups)) AS u(te)),
+      |slots AS (
+      |  SELECT game, t, betting_text, team, pe.key AS pos,
+      |    trim(regexp_replace(pe.value, '\\s+', ' ', 'g')) AS player
+      |  FROM teams, unnest(map_entries(by_pos)) AS v(pe))
+      |SELECT game, t AS time, team, pos, player,
+      |  regexp_extract(betting_text,
+      |    '([A-Z]{3})\\s+by\\s+(\\d+\\.?\\d*)', 1) AS favorite,
+      |  TRY_CAST(regexp_extract(betting_text,
+      |    '([A-Z]{3})\\s+by\\s+(\\d+\\.?\\d*)', 2) AS DOUBLE) AS spread,
+      |  TRY_CAST(regexp_extract(betting_text,
+      |    '(?i)o/u\\s*(\\d+\\.?\\d*)', 1) AS DOUBLE) AS over_under
+      |FROM slots
+      |ORDER BY game, team, pos""".stripMargin
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s5_csv_scan" -> s5CsvScan,
     "s11_run_summary" -> s11RunSummary,
     "s12_csv_to_json" -> s12CsvToJson,
     "i1_raw_table_scan" -> i1RawTableScan,
     "i4_dvp_scan" -> i4DvpScan,
+    "i6_lineup_scan" -> i6LineupScan,
   )
 
   val oracle: Map[String, String] = Map(
@@ -195,5 +244,6 @@ object Ingest {
     "s12_csv_to_json" -> s12Sql,
     "i1_raw_table_scan" -> i1Sql,
     "i4_dvp_scan" -> i4Sql,
+    "i6_lineup_scan" -> i6Sql,
   )
 }

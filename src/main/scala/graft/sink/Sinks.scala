@@ -43,14 +43,25 @@ object Sinks {
     * under `path/data`, metadata (row count + caller-supplied context +
     * a parameterized timestamp for reproducible runs, SURVEY §7.5 #7)
     * as a single small JSON under `path/_meta`.
+    *
+    * ONE-PASS contract (r4 verdict #4): the record count is collected by
+    * an [[org.apache.spark.sql.Observation]] riding the write job itself —
+    * the envelope never re-reads what was just written, so at 100 TB the
+    * sidecar costs one tiny driver-built row, not a second full scan.
     */
   def writeEnveloped(df: DataFrame, path: String,
       source: String, runTimestamp: String,
       format: String = "parquet"): Unit = {
     val spark = df.sparkSession
-    df.write.mode(SaveMode.Overwrite).format(format).save(s"$path/data")
-    val written = spark.read.format(format).load(s"$path/data")
-    written.agg(count(lit(1)).as("record_count"))
+    val obs = org.apache.spark.sql.Observation(
+      "graft_envelope_" + java.util.UUID.randomUUID().toString.take(8))
+    df.observe(obs, count(lit(1)).as("record_count"))
+      .write.mode(SaveMode.Overwrite).format(format).save(s"$path/data")
+    // save() is the action the observation rides; get blocks until its
+    // listener fires (immediately after the job above).
+    val recordCount = obs.get("record_count").asInstanceOf[Long]
+    import spark.implicits._
+    Seq(recordCount).toDF("record_count")
       .withColumn("source", lit(source))
       .withColumn("scraped_at", lit(runTimestamp))
       .withColumn("columns", lit(df.columns.mkString(",")))
