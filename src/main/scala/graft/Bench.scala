@@ -94,7 +94,7 @@ object Bench {
       k -> ("\"" + esc(v) + "\"") })
     val total = passes.head.map(_._2).sum
     val sumOfMin = minPer.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_first_pass":$firstQs,"sum_of_min":$sumOfMin,"reps":$reps,"errors":$errJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_first_pass":$firstQs,"sum_of_min":$sumOfMin,"reps":$reps,"errors":$errJson,"sf":"${esc(sfDir)}"}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

@@ -36,7 +36,7 @@ object GraftExtensions {
     ("graft_topk",
       new ExpressionInfo(classOf[TopKByScore].getName, "graft_topk"),
       (args: Seq[Expression]) => TopKByScore(
-        widen(args(0), DoubleType), widen(args(1), LongType),
+        widenScore(args(0)), widen(args(1), LongType),
         widen(args(2), IntegerType))))
 
   /** Numeric widening at the builder (r3 advice): `ImplicitCastInputTypes`
@@ -52,6 +52,23 @@ object GraftExtensions {
     else e.dataType match {
       case n: NumericType if n != to && Cast.canUpCast(n, to) => Cast(e, to)
       case _ => e
+    }
+
+  /** Score-argument widening: on top of [[widen]]'s lossless casts, any
+    * integral score (incl. LONG, which `Cast.canUpCast` rejects for
+    * double) is widened — a score is an ordering key, and long→double
+    * never truncates toward a wrong integral value; it can only collapse
+    * sub-ULP distinctions between scores beyond 2^53, where ordering
+    * among near-equal values is already tie-like. The id and k arguments
+    * keep the strict rule: there a narrowing silently corrupts VALUES,
+    * not just tie order (r5 advice — long scores previously fell through
+    * to the strict type error).
+    */
+  private def widenScore(e: Expression): Expression =
+    if (!e.resolved) e
+    else e.dataType match {
+      case _: org.apache.spark.sql.types.IntegralType => Cast(e, DoubleType)
+      case _ => widen(e, DoubleType)
     }
 
   /** Register graft functions on an existing session (idempotent). */
