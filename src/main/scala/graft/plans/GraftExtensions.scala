@@ -5,7 +5,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo}
-import org.apache.spark.sql.types.{DataType, DoubleType, IntegerType, LongType, NumericType}
+import org.apache.spark.sql.types.{ByteType, DataType, DoubleType, IntegerType, LongType, NumericType, ShortType}
 import graft.functions.{DotProduct, ParsePropLine, TopKByScore}
 
 /** Session extensions registering graft's native Catalyst expressions.
@@ -67,7 +67,7 @@ object GraftExtensions {
   private def widenScore(e: Expression): Expression =
     if (!e.resolved) e
     else e.dataType match {
-      case _: org.apache.spark.sql.types.IntegralType => Cast(e, DoubleType)
+      case ByteType | ShortType | IntegerType | LongType => Cast(e, DoubleType)
       case _ => widen(e, DoubleType)
     }
 

@@ -41,13 +41,28 @@ object Ingest {
       sys.props.getOrElse("graft.fixture.dir",
         "/root/repo/src/test/resources/fixtures"))
 
-  private def fixture(name: String): String =
-    Seq(s"$fixtureDirAbs/$name", s"src/test/resources/fixtures/$name")
-      .find(p => new java.io.File(p).exists)
-      .getOrElse(s"$fixtureDirAbs/$name")
+  /** Resolve fixture `name` to ONE absolute path used by BOTH the Spark
+    * reader and the oracle SQL (r5 advice #3: previously the Spark side
+    * fell back to a cwd-relative copy while every oracle SQL baked in the
+    * env dir, so a stale `GRAFT_FIXTURE_DIR` could silently compare
+    * different bytes). The env/prop dir wins when the file exists there;
+    * otherwise the repo fallback; when neither exists the env path is
+    * kept so both engines fail loudly on the SAME missing file.
+    */
+  private[queries] def resolveFixture(dir: String, name: String): String = {
+    val primary = new java.io.File(dir, name)
+    val fallback = new java.io.File("src/test/resources/fixtures", name)
+    (if (primary.exists || !fallback.exists) primary else fallback)
+      .getAbsolutePath
+  }
 
-  private val csvFixtureAbs = s"$fixtureDirAbs/league.csv"
-  private def csvFixture: String = fixture("league.csv")
+  private def fixture(name: String): String =
+    resolveFixture(fixtureDirAbs, name)
+
+  private val csvFixture: String = fixture("league.csv")
+  private val rawTableFixture: String = fixture("raw_table.json")
+  private val dvpFixture: String = fixture("dvp_raw.json")
+  private val lineupsFixture: String = fixture("lineups_raw.json")
 
   /** S5 — real CSV scan of the fixture: BOM stripped, headers/cells
     * trimmed, empty-named columns dropped; compared against DuckDB's
@@ -62,7 +77,7 @@ object Ingest {
   val s5Sql: String =
     s"""SELECT trim("Player") AS player, trim("Team") AS team,
       |  trim("PTS") AS pts
-      |FROM read_csv('$csvFixtureAbs', header=true, all_varchar=true)
+      |FROM read_csv('$csvFixture', header=true, all_varchar=true)
       |ORDER BY player""".stripMargin
 
   /** S11 — run-summary sink round-trip: per-status tallies of the
@@ -123,7 +138,7 @@ object Ingest {
     s"""WITH c AS (
       |  SELECT trim("Player") AS player, trim("Team") AS team,
       |    trim("PTS") AS pts
-      |  FROM read_csv('$csvFixtureAbs', header=true, all_varchar=true))
+      |  FROM read_csv('$csvFixture', header=true, all_varchar=true))
       |SELECT player, team, pts,
       |  (SELECT count(*) FROM c) AS n_records,
       |  'league_csv' AS meta_source, 'Player,Team,PTS' AS meta_cols
@@ -155,7 +170,7 @@ object Ingest {
       |  cells[4] AS birth_date, cells[5] AS birth, cells[6] AS totals_pts,
       |  cells[7] AS fg_pct, cells[8] AS fg_pct_1, cells[9] AS unnamed,
       |  cells[10] AS notes
-      |FROM read_json('$fixtureDirAbs/raw_table.json',
+      |FROM read_json('$rawTableFixture',
       |  format='newline_delimited')
       |WHERE table_id = 'roster'
       |ORDER BY team, row_idx""".stripMargin
@@ -175,7 +190,7 @@ object Ingest {
   val i4Sql: String = Enrich.canonicalizeSqlOver(
     s"""
       |  SELECT position, timeframe, row_idx, team_raw, pts
-      |  FROM read_json('$fixtureDirAbs/dvp_raw.json',
+      |  FROM read_json('$dvpFixture',
       |    format='newline_delimited')""".stripMargin,
     "team_raw",
     "position, timeframe, row_idx, team_raw, pts",
@@ -207,7 +222,7 @@ object Ingest {
   val i6Sql: String =
     s"""WITH g AS (
       |  SELECT game, "time" AS t, betting_text, lineups
-      |  FROM read_json('$fixtureDirAbs/lineups_raw.json',
+      |  FROM read_json('$lineupsFixture',
       |    format='newline_delimited',
       |    columns={game: 'VARCHAR', "time": 'VARCHAR',
       |      betting_text: 'VARCHAR',

@@ -67,4 +67,47 @@ class TopKAggSpec extends SparkSpecBase {
       .collect().map(r => (r.getDouble(0), r.getLong(1))).toSeq
     assert(out == Seq((3.0, 5L), (2.0, 9L)))
   }
+
+  test("bigint score widens to double and matches the window formulation") {
+    GraftExtensions.ensureRegistered(spark)
+    import spark.implicits._
+    // Cast.canUpCast(LongType, DoubleType) is false, so this exercises the
+    // score-specific integral widening path (r5 advice) — a long score is
+    // an ordering key where long→double cannot flip integral comparisons
+    // below 2^53.
+    val df = spark.range(1000)
+      .select((col("id") % 7).as("grp"), (col("id") * 1000003L).as("score"),
+        col("id").as("id"))
+    val viaAgg = df.groupBy("grp")
+      .agg(expr("graft_topk(score, id, 3)").as("top"))
+      .selectExpr("grp", "inline(top)")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq.sorted
+    val viaWin = {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("grp")
+        .orderBy(col("score").cast("double").desc, col("id").asc)
+      df.withColumn("rn", row_number().over(w)).where(col("rn") <= 3)
+        .select(col("grp"), col("score").cast("double").as("score"), col("id"))
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq.sorted
+    }
+    assert(viaAgg == viaWin)
+  }
+
+  test("double id and fractional k still fail the strict type check") {
+    GraftExtensions.ensureRegistered(spark)
+    import spark.implicits._
+    val df = Seq(("g", 1.0, 2.0)).toDF("grp", "score", "did")
+    // a narrowing cast on id would corrupt VALUES, so the builder must not
+    // insert one — the expression's own strict check rejects it instead
+    val e1 = intercept[Exception] {
+      df.groupBy("grp").agg(expr("graft_topk(score, did, 2)")).collect()
+    }
+    assert(e1.getMessage.toLowerCase.contains("bigint") ||
+      e1.getMessage.toLowerCase.contains("type"))
+    val e2 = intercept[Exception] {
+      df.groupBy("grp").agg(expr("graft_topk(score, 1L, 2.5)")).collect()
+    }
+    assert(e2.getMessage.toLowerCase.contains("int") ||
+      e2.getMessage.toLowerCase.contains("type"))
+  }
 }
