@@ -30,28 +30,37 @@ object Curation {
 
   private val repThreshold = 0.08
 
-  def c1CurationDecision(s: SparkSession, d: String): DataFrame = {
-    val docs = documents(s, d)
+  def c1CurationDecision(s: SparkSession, d: String): DataFrame =
+    // the session-shared cluster relation (computed once per corpus per
+    // session — the d6 query reads the same cache), unordered: the
+    // cluster join must not pay d6's output sort
+    decisionOf(documents(s, d), documentsSpread(s, d),
+      Dedup.d6ClustersShared(s, d))
+
+  /** The cascade over any (doc_id, text, lang, n_chars) corpus frame and
+    * its cluster assignment — `spread` feeds the per-row compute-heavy
+    * components. Both registered c1 variants (base corpus, dup-injected)
+    * are THIS operator; they differ only in inputs.
+    */
+  private def decisionOf(docs: DataFrame, spread: DataFrame,
+      clusters: DataFrame): DataFrame = {
     // exact keeper as a window min over the content hash: ONE shuffle on
     // md5(text), vs the groupBy + join-back formulation's two
     val ex = docs.select(col("doc_id"),
       min(col("doc_id")).over(
         org.apache.spark.sql.expressions.Window.partitionBy(md5(col("text"))))
         .as("exact_keep_id"))
-    val qual = TextAnalysis.withQualityCols(documentsSpread(s, d))
+    val qual = TextAnalysis.withQualityCols(spread)
       .select(col("doc_id"), col("quality"))
-    val lang = TextAnalysis.langPredictions(s, d)
+    val lang = TextAnalysis.langPredictionsOf(spread, docs)
       .select(col("doc_id"), col("predicted_lang"))
-    // The session-shared cluster relation (computed once per corpus per
-    // session — the d6 query reads the same cache), unordered: this join
-    // must not pay d6's output sort.
-    val clus = Dedup.d6ClustersShared(s, d)
+    val clus = clusters
       .select(col("doc_id"), col("cluster_id"))
     // t6 has no row for docs with < 2 tokens (no 2-grams) — join left,
     // an absent metric means nothing repeats
-    val rep = TextAnalysis.repetitionMetrics(s, d)
+    val rep = TextAnalysis.repetitionMetricsOf(spread)
       .select(col("doc_id"), col("dup_2gram_frac"))
-    val pii = TextAnalysis.piiScan(s, d)
+    val pii = TextAnalysis.piiScanOf(spread)
       .select(col("doc_id"),
         (col("n_emails") + col("n_phones") + col("n_urls")).as("n_pii"))
     docs.select(col("doc_id"))
@@ -107,6 +116,55 @@ object Curation {
       |  ON d.doc_id = p.doc_id
       |) ORDER BY doc_id""".stripMargin
   }
+
+  /** The dup-injected corpus: `documents` plus an exact clone (same
+    * text, doc_id + 1,000,000) of every doc with doc_id % 20 == 0. The
+    * fixture corpus has 500 distinct texts (its own md5s are all
+    * distinct), so the base c1's `exact_dup` gate can never fire there;
+    * this derived frame makes the cascade's FIRST gate data-reachable
+    * under the oracle (r6 verdict #5). Reference semantics: the seen-set
+    * dedup of `nba_props_scraper.py:189-205` / `run_scraper.py:124-134`
+    * — drop re-scraped duplicates before anything downstream sees them.
+    * The +1,000,000 offset keeps clone ids disjoint from real ids and ≡
+    * base mod 4/20/50/1000, so the deterministic PII tails and shard
+    * assignments of a clone match its source exactly.
+    */
+  private[queries] def dupInjected(s: SparkSession, d: String): DataFrame = {
+    val base = documents(s, d)
+    base.unionByName(
+      base.filter(col("doc_id") % 20 === 0)
+        .withColumn("doc_id", col("doc_id") + lit(1000000L)))
+  }
+
+  /** C1b — the identical six-gate cascade over the dup-injected corpus:
+    * every clone fails the first gate (`exact_dup`, keeper = min doc_id =
+    * the original), and every original keeps its base-corpus decision.
+    * Clusters are recomputed on the injected frame through the same d5+d6
+    * operators (a clone is also simhash-identical to its source, but
+    * exact_dup wins the cascade — gate ORDER is what this query pins).
+    */
+  def c1DupInject(s: SparkSession, d: String): DataFrame = {
+    val injected = dupInjected(s, d)
+    val spread = injected.repartition(
+      s.sparkContext.defaultParallelism, col("doc_id"))
+    decisionOf(injected, spread, Dedup.neardupClustersOf(injected))
+  }
+
+  /** The base c1Sql with its corpus swapped for the dup-injected CTE:
+    * the token `documents` in the composed SQL only ever names the
+    * corpus relation (aliases are single letters), so the rename is
+    * mechanical. Renaming — rather than shadowing `documents` with a CTE
+    * — keeps the SQL valid no matter how the oracle runner registers the
+    * base table (a CTE self-shadow needs schema-qualified references).
+    */
+  val c1DupSql: String =
+    """WITH docs_dup AS (
+      |  SELECT * FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000 AS doc_id, text, lang, source, n_chars
+      |  FROM documents WHERE doc_id % 20 = 0)
+      |""".stripMargin +
+      c1Sql.replaceAll("\\bdocuments\\b", "docs_dup")
 
   /** C2 — deterministic train/val/test split: hash-mod bucketing on a
     * salted doc key (98/1/1). Hash-based splits are the only kind that
@@ -217,12 +275,14 @@ object Curation {
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c1_curation_decision" -> c1CurationDecision,
+    "c1b_curation_dupinject" -> c1DupInject,
     "c2_train_split" -> c2TrainSplit,
     "c3_sequence_pack" -> c3SequencePack,
   )
 
   val oracle: Map[String, String] = Map(
     "c1_curation_decision" -> c1Sql,
+    "c1b_curation_dupinject" -> c1DupSql,
     "c2_train_split" -> c2Sql,
     "c3_sequence_pack" -> c3Sql,
   )

@@ -36,10 +36,19 @@ object TextAnalysis {
   /** The unordered T1 relation — shared by the t1 query and composites
     * (c1 curation) that join it and must not pay an inner sort.
     */
-  private[queries] def langPredictions(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
+  private[queries] def langPredictions(s: SparkSession, d: String): DataFrame =
+    langPredictionsOf(documentsSpread(s, d), documents(s, d))
+
+  /** The T1 operator over any (doc_id, text, lang) corpus frame —
+    * `spread` feeds the tokenize-heavy side, `docs` the left join that
+    * restores zero-hit docs. Composites over derived corpora (c1's
+    * dup-injected variant) reuse the SAME operator the t1 query verifies.
+    */
+  private[queries] def langPredictionsOf(spread: DataFrame,
+      docs: DataFrame): DataFrame = {
+    import spread.sparkSession.implicits._
     val lex = lexicon.toDF("word", "cand_lang")
-    val toks = documentsSpread(s, d)
+    val toks = spread
       .select(col("doc_id"), explode(split(col("text"), "\\s+")).as("word"))
     val votes = toks.join(broadcast(lex), "word")
       .groupBy(col("doc_id"), col("cand_lang"))
@@ -49,7 +58,7 @@ object TextAnalysis {
     val best = votes.withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(col("doc_id"), col("cand_lang"), col("hits"))
-    documents(s, d).select(col("doc_id"), col("lang").as("actual_lang"))
+    docs.select(col("doc_id"), col("lang").as("actual_lang"))
       .join(best, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("cand_lang"), lit("unknown")).as("predicted_lang"),
@@ -208,7 +217,11 @@ object TextAnalysis {
     * (c1's PII gate consumes the per-class counts).
     */
   private[queries] def piiScan(s: SparkSession, d: String): DataFrame =
-    documentsSpread(s, d)
+    piiScanOf(documentsSpread(s, d))
+
+  /** The T5 operator over any (doc_id, text) corpus frame. */
+  private[queries] def piiScanOf(spread: DataFrame): DataFrame =
+    spread
       .select(col("doc_id"), concat(substring(col("text"), 1, 120),
         expr("""CASE CAST(doc_id % 4 AS INT)
           |WHEN 0 THEN concat(' contact agent', CAST(doc_id % 50 AS INT), '@example.com now')
@@ -260,7 +273,11 @@ object TextAnalysis {
     * left and coalesce.
     */
   private[queries] def repetitionMetrics(s: SparkSession, d: String): DataFrame =
-    documentsSpread(s, d)
+    repetitionMetricsOf(documentsSpread(s, d))
+
+  /** The T6 operator over any (doc_id, text) corpus frame. */
+  private[queries] def repetitionMetricsOf(spread: DataFrame): DataFrame =
+    spread
       .select(col("doc_id"), split(col("text"), "\\s+").as("w"))
       .filter(size(col("w")) >= 2)
       .select(col("doc_id"), explode(expr(ngramsExpr("w", 2))).as("g"))

@@ -70,6 +70,32 @@ class CurationPipelineSpec extends SparkSpecBase {
     } finally c1.unpersist()
   }
 
+  test("c1b dup-inject: clones fail exact_dup, originals keep their verdict") {
+    val d = "/root/testdata/sf0.01"
+    val base = Curation.c1CurationDecision(spark, d)
+      .select(col("doc_id"), col("reason").as("base_reason"))
+    val c1b = Curation.c1DupInject(spark, d).persist()
+    try {
+      // every injected clone (id >= 1,000,000) fails the FIRST gate with
+      // its source as the keeper — regardless of how the source scores
+      val clones = c1b.filter(col("doc_id") >= 1000000L)
+      assert(clones.count() == 25)
+      assert(clones.filter(col("reason") =!= "exact_dup").count() == 0)
+      assert(clones.filter(
+        col("exact_keep_id") =!= col("doc_id") - 1000000L).count() == 0)
+      // original docs are untouched by the injection: same reason as the
+      // base cascade for every one of the 500 (clusters recompute on the
+      // injected frame, but a clone only ever attaches to its source's
+      // component with a LARGER id, so no original's cluster_id moves)
+      val moved = c1b.filter(col("doc_id") < 1000000L)
+        .select(col("doc_id"), col("reason"))
+        .join(base, "doc_id")
+        .filter(col("reason") =!= col("base_reason"))
+        .count()
+      assert(moved == 0L, s"$moved originals changed verdict under injection")
+    } finally c1b.unpersist()
+  }
+
   test("c2 hash split is stable under corpus appends and repartitioning") {
     val base = Curation.c2TrainSplit(spark, sf)
       .select("doc_id", "split")
