@@ -1,0 +1,112 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** Stream-stream interval join — the streaming twin of the j2 range
+  * join (SURVEY §2.8): purchases join the clicks of the same user that
+  * happened within the preceding interval. The streaming form is
+  * Spark's watermarked stream-stream join (both sides watermarked plus
+  * a bounded time-range condition, so buffered state is dropped once
+  * the watermark passes `ts + interval` — the join runs forever at
+  * scale with bounded state); the batch twin registered under the
+  * oracle computes identical semantics as a BINNED equi-join.
+  *
+  * Batch scale shape: the naive `JOIN ON b.ts BETWEEN c.ts AND
+  * c.ts + i` with only the user equality still fans out per-user
+  * click×purchase candidates quadratically inside hot users. Binning
+  * the time axis at the interval width makes the blow-up bounded:
+  * click windows explode into the ≤2 bins they overlap, purchases key
+  * into their single bin, and the join is a plain shuffle equi-join on
+  * (user_id, bin) with the exact range as a residual filter — every
+  * true pair meets in exactly one bin (the purchase's), so no dedup
+  * pass. This is the same window the streaming engine's state pruning
+  * maintains: bin width == interval == watermark horizon.
+  */
+object IntervalJoin {
+
+  /** Join interval: purchases within 12 hours after a click. */
+  val intervalHours: Long = 12L
+  val intervalUs: Long = intervalHours * 3600L * 1000000L
+
+  private def clicksOf(ev: DataFrame): DataFrame =
+    ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("click_ts"))
+
+  private def buysOf(ev: DataFrame): DataFrame =
+    ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("buy_id"), col("user_id").as("buy_user_id"),
+        col("ts").as("buy_ts"))
+
+  /** The interval condition both forms share: same user, purchase at or
+    * after the click, within [[intervalUs]]. Expressed as DIRECT
+    * timestamp arithmetic, not `unix_micros` deltas: Spark's
+    * `StreamingJoinHelper` can only derive the state-eviction bound
+    * (drop clicks once watermark > click_ts + interval) from plain
+    * ts-vs-ts±interval comparisons — the µs-arithmetic form joins
+    * correctly but buffers stream state forever.
+    */
+  private def withinInterval(clickTs: Column, buyTs: Column): Column =
+    buyTs >= clickTs &&
+      buyTs <= clickTs + expr(s"INTERVAL $intervalHours HOURS")
+
+  /** Streaming form over two (already watermarked) event streams shaped
+    * like [[clicksOf]]/[[buysOf]] output. The range condition plus both
+    * watermarks let Spark bound the join state (clicks older than
+    * watermark − interval can never match a future purchase and are
+    * evicted). Used by the stream↔batch parity spec.
+    */
+  def streamJoin(clicks: DataFrame, buys: DataFrame): DataFrame =
+    clicks.join(buys,
+        col("user_id") === col("buy_user_id") &&
+          withinInterval(col("click_ts"), col("buy_ts")))
+      .select(col("click_id"), col("buy_id"), col("user_id"),
+        (unix_micros(col("buy_ts")) - unix_micros(col("click_ts")))
+          .as("lag_us"))
+
+  /** ST4 — the batch twin (oracle-comparable): binned equi-join on
+    * (user_id, bin) + exact residual range.
+    */
+  def st4IntervalJoin(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+    // integer `div`, not `/`: float division near a bin boundary could
+    // round a purchase into the wrong bin and silently drop a pair
+    def binOf(tsCol: String): Column =
+      expr(s"unix_micros($tsCol) div ${intervalUs}L")
+    val cbins = clicksOf(ev).withColumn("bin",
+      explode(sequence(binOf("click_ts"), binOf("click_ts") + lit(1L))))
+    val bbins = buysOf(ev).withColumn("bin", binOf("buy_ts"))
+    cbins.join(bbins,
+        cbins("bin") === bbins("bin") &&
+          col("user_id") === col("buy_user_id") &&
+          withinInterval(col("click_ts"), col("buy_ts")))
+      .select(col("click_id"), col("buy_id"), col("user_id"),
+        (unix_micros(col("buy_ts")) - unix_micros(col("click_ts")))
+          .as("lag_us"))
+      .orderBy("click_id", "buy_id")
+  }
+
+  val st4Sql: String =
+    s"""WITH c AS (
+      |  SELECT event_id AS click_id, user_id, ts AS click_ts
+      |  FROM events WHERE event_type = 'click'),
+      |b AS (
+      |  SELECT event_id AS buy_id, user_id, ts AS buy_ts
+      |  FROM events WHERE event_type = 'purchase')
+      |SELECT c.click_id, b.buy_id, c.user_id,
+      |  epoch_us(b.buy_ts) - epoch_us(c.click_ts) AS lag_us
+      |FROM c JOIN b ON c.user_id = b.user_id
+      |  AND b.buy_ts >= c.click_ts
+      |  AND epoch_us(b.buy_ts) - epoch_us(c.click_ts) <= $intervalUs
+      |ORDER BY click_id, buy_id""".stripMargin
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st4_interval_join" -> st4IntervalJoin,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "st4_interval_join" -> st4Sql,
+  )
+}

@@ -49,4 +49,39 @@ class StreamStreamJoinSpec extends SparkSpecBase {
     assert(out == Set((1L, 10L), (2L, 11L)),
       s"unexpected join result: $out")
   }
+
+  test("st4: streaming interval join over AvailableNow == batch twin") {
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.Tables
+    // batch side sets the nanosAsLong conf the raw scan below needs
+    Tables.events(spark, sf)
+    val rawSchema = spark.read.parquet(s"$sf/events.parquet").schema
+    val dir = java.nio.file.Files.createTempDirectory("graft-st4")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"),
+      dir.resolve("events.parquet"))
+    def side(eventType: String, idAs: String, userAs: String, tsAs: String) =
+      spark.readStream.schema(rawSchema).parquet(dir.toString)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .filter(col("event_type") === eventType)
+        .select(col("event_id").as(idAs), col("user_id").as(userAs),
+          col("ts").as(tsAs))
+        .withWatermark(tsAs, "12 hours")
+    val joined = IntervalJoin.streamJoin(
+      side("click", "click_id", "user_id", "click_ts"),
+      side("purchase", "buy_id", "buy_user_id", "buy_ts"))
+    val q = joined.writeStream.format("memory").queryName("st4_stream")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(120000), "stream did not finish in time")
+
+    val streamed = spark.table("st4_stream")
+      .orderBy("click_id", "buy_id").collect().toSeq
+    val batch = IntervalJoin.st4IntervalJoin(spark, sf)
+      .select("click_id", "buy_id", "user_id", "lag_us")
+      .collect().toSeq
+    assert(streamed.nonEmpty)
+    assert(streamed.map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))) ==
+      batch.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))))
+  }
 }
