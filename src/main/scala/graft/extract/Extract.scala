@@ -151,6 +151,13 @@ object Extract {
         "_+", "_"),
       1, maxLen)
 
+  /** Truncation guard: cap text at `maxLen` chars before it is stored or
+    * serialized: SURVEY F20, `nba_props_scraper.py:225,494,418`
+    * (`raw_text[:200]`, `raw_text[:500]`, `page_snapshot[:5000]`) —
+    * scraped free text is unbounded, every persisted copy is capped. */
+  def truncateGuard(c: Column, maxLen: Int): Column =
+    substring(c, 1, maxLen)
+
   /** md5 surrogate id (12 hex chars): SURVEY F19,
     * `nba_insights_scraper.py:509-510`. */
   def md5Id(cols: Column*): Column =

@@ -149,13 +149,65 @@ object Incremental {
       |  'doc_id,source,lang,run' AS meta_cols
       |FROM final ORDER BY doc_id""".stripMargin
 
+  /** A1 — group-by-key fan-out write (`nba_insights_scraper.py:548-573`:
+    * the 'by_team' save mode groups rows by key and writes each group to
+    * that key's OWN folder). The Spark side runs the REAL fan-out:
+    * [[Sinks.writePartitioned]] lays the corpus out one directory per
+    * `source`, then each key's directory is read back INDIVIDUALLY —
+    * not via partition discovery over the root — and tagged with the
+    * directory it came from, so a row written to the wrong folder (or a
+    * folder that failed to materialize) shows up as a value/row mismatch
+    * against the relational oracle. Per-directory row counts certify the
+    * per-key tallies the reference stores in each folder's metadata
+    * block.
+    *
+    * The read-back loop is driver-side over the DISTINCT key list —
+    * bounded by key cardinality, exactly like the reference's per-team
+    * loop (and s13's probe loop), never by row count.
+    */
+  def a1FanoutLayout(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_a1_" +
+      s.sparkContext.applicationId + "_" + Integer.toHexString(d.hashCode) +
+      "_" + java.util.UUID.randomUUID().toString.take(8)
+    val basePath = new org.apache.hadoop.fs.Path(base)
+    val fs = basePath.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(basePath, true)
+    try {
+      val docs = documents(s, d).select(col("doc_id"), col("source"))
+      Sinks.writePartitioned(docs, base, Seq("source"))
+      val keys = docs.select("source").distinct()
+        .orderBy("source").collect().map(_.getString(0))
+      val esc = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+        .escapePathName _
+      val perDir = keys.toSeq.map { src =>
+        s.read.parquet(s"$base/source=${esc(src)}")
+          .select(col("doc_id"))
+          .withColumn("source_dir", lit(src))
+      }
+      perDir.reduce(_ unionByName _)
+        .withColumn("n_in_dir",
+          count(lit(1)).over(Window.partitionBy(col("source_dir"))))
+        // scratch is deleted in finally — materialize the read-back first
+        .localCheckpoint()
+        .orderBy("doc_id")
+    } finally fs.delete(basePath, true)
+  }
+
+  val a1Sql: String =
+    """SELECT doc_id, source AS source_dir,
+      |  count(*) OVER (PARTITION BY source) AS n_in_dir
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s13_skip_existing" -> s13SkipExisting,
     "s9_partitioned_roundtrip" -> s9PartitionedRoundtrip,
+    "a1_fanout_layout" -> a1FanoutLayout,
   )
 
   val oracle: Map[String, String] = Map(
     "s13_skip_existing" -> s13Sql,
     "s9_partitioned_roundtrip" -> s9Sql,
+    "a1_fanout_layout" -> a1Sql,
   )
 }

@@ -59,6 +59,10 @@ object Ingest {
   private def fixture(name: String): String =
     resolveFixture(fixtureDirAbs, name)
 
+  // Resolved ONCE at object init and used by BOTH the Spark readers and
+  // the oracle SQL below (r7 advice #1: re-calling fixture(name) at query
+  // time could re-resolve to a different file than the SQL baked in if
+  // the fixture dir contents changed between class load and query run).
   private val csvFixture: String = fixture("league.csv")
   private val rawTableFixture: String = fixture("raw_table.json")
   private val dvpFixture: String = fixture("dvp_raw.json")
@@ -155,7 +159,7 @@ object Ingest {
     * carries a space).
     */
   def i1RawTableScan(s: SparkSession, d: String): DataFrame =
-    Readers.rawTable(s, fixture("raw_table.json"), "roster")
+    Readers.rawTable(s, rawTableFixture, "roster")
       .select(col("team"), col("page"), col("tab"), col("row_idx"),
         col("Rk").as("rk"), col("Player").as("player"),
         col("Pos").as("pos"), col("Birth_Date").as("birth_date"),
@@ -182,7 +186,7 @@ object Ingest {
     */
   def i4DvpScan(s: SparkSession, d: String): DataFrame =
     graft.enrich.Teams
-      .canonicalize(Readers.dvpRaw(s, fixture("dvp_raw.json")), "team_raw")
+      .canonicalize(Readers.dvpRaw(s, dvpFixture), "team_raw")
       .select(col("position"), col("timeframe"), col("row_idx"),
         col("team_raw"), col("pts"), col("canonical"))
       .orderBy("position", "timeframe", "row_idx")
@@ -212,7 +216,7 @@ object Ingest {
     */
   def i6LineupScan(s: SparkSession, d: String): DataFrame =
     graft.extract.Lineups.explodeSlots(
-        Readers.lineupGames(s, fixture("lineups_raw.json")))
+        Readers.lineupGames(s, lineupsFixture))
       .select(col("game"), col("time"), col("team"), col("pos"),
         col("player"), col("betting.favorite").as("favorite"),
         col("betting.spread").as("spread"),
@@ -244,8 +248,55 @@ object Ingest {
       |FROM slots
       |ORDER BY game, team, pos""".stripMargin
 
+  /** P11 — min-size table gate (`Cleaning_Glass_#1.py:400-414`): of the
+    * tables scraped from a page, only those with more than one row AND
+    * more than 50 characters of cell text are valid, and the BEST table
+    * of a page is the qualifying one with the most rows (the reference
+    * keeps exactly that one). The fixture carries all four states: a
+    * qualifying best table (roster), a qualifying non-best one (stats),
+    * a long single-row banner (tiny — fails the row gate), and a
+    * multi-row near-empty table (thin — fails the text gate).
+    *
+    * Text length is the sum of each row's trimmed space-joined cell
+    * text — the relational analog of the reference's
+    * `len(table.text.strip())` over the rendered table.
+    */
+  def p11TableSizeGate(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val per = s.read.schema(Readers.rawTableSchema).json(rawTableFixture)
+      .groupBy(col("team"), col("page"), col("tab"), col("table_id"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(length(trim(concat_ws(" ", col("cells"))))).cast("long")
+          .as("text_len"))
+      .withColumn("qualifies", col("n_rows") > 1 && col("text_len") > 50)
+    // best-of-page: qualifying tables first, most rows wins, table_id
+    // breaks ties deterministically (the reference takes selector order)
+    val w = Window.partitionBy(col("team"), col("page"))
+      .orderBy(col("qualifies").desc, col("n_rows").desc, col("table_id"))
+    per
+      .withColumn("is_best", col("qualifies") && row_number().over(w) === 1)
+      .orderBy("team", "page", "table_id")
+  }
+
+  val p11Sql: String =
+    s"""SELECT team, page, tab, table_id, n_rows, text_len, qualifies,
+      |  (qualifies AND row_number() OVER (PARTITION BY team, page
+      |     ORDER BY qualifies DESC, n_rows DESC, table_id) = 1) AS is_best
+      |FROM (
+      |  SELECT team, page, tab, table_id,
+      |    count(*) AS n_rows,
+      |    CAST(sum(length(trim(array_to_string(cells, ' ')))) AS BIGINT)
+      |      AS text_len,
+      |    count(*) > 1 AND
+      |      CAST(sum(length(trim(array_to_string(cells, ' ')))) AS BIGINT) > 50
+      |      AS qualifies
+      |  FROM read_json('$rawTableFixture', format='newline_delimited')
+      |  GROUP BY team, page, tab, table_id)
+      |ORDER BY team, page, table_id""".stripMargin
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s5_csv_scan" -> s5CsvScan,
+    "p11_table_size_gate" -> p11TableSizeGate,
     "s11_run_summary" -> s11RunSummary,
     "s12_csv_to_json" -> s12CsvToJson,
     "i1_raw_table_scan" -> i1RawTableScan,
@@ -255,6 +306,7 @@ object Ingest {
 
   val oracle: Map[String, String] = Map(
     "s5_csv_scan" -> s5Sql,
+    "p11_table_size_gate" -> p11Sql,
     "s11_run_summary" -> s11Sql,
     "s12_csv_to_json" -> s12Sql,
     "i1_raw_table_scan" -> i1Sql,

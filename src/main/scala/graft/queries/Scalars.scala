@@ -201,10 +201,34 @@ object Scalars {
       |  array_to_string(regexp_extract_all(txt, '[+-]\\d{3,4}'), ',') AS odds
       |FROM t ORDER BY o_orderkey""".stripMargin
 
+  /** F20 — truncation guards over real unbounded text
+    * (`nba_props_scraper.py:225,494,418`): every persisted copy of
+    * scraped free text is capped (`[:200]` list snippets, `[:500]`
+    * market text, `[:5000]` page snapshots), with the guard flag the
+    * reference derives implicitly. The corpus exercises both sides of
+    * each cap (docs under and over 200/500 chars).
+    */
+  def f20TruncationGuard(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"),
+        Extract.truncateGuard(col("text"), 200).as("raw_text"),
+        Extract.truncateGuard(col("text"), 500).as("snapshot"),
+        length(col("text")).cast("long").as("n_full"),
+        (length(col("text")) > 200).as("was_truncated"))
+      .orderBy("doc_id")
+
+  val f20Sql: String =
+    """SELECT doc_id, substr(text, 1, 200) AS raw_text,
+      |  substr(text, 1, 500) AS snapshot,
+      |  CAST(length(text) AS BIGINT) AS n_full,
+      |  length(text) > 200 AS was_truncated
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "f8_insight_scalars" -> f8InsightScalars,
     "f14_name_classify" -> f14NameClassify,
     "f18_sanitize_repair" -> f18SanitizeRepair,
+    "f20_truncation_guard" -> f20TruncationGuard,
     "f21_spread_total" -> f21SpreadTotal,
   )
 
@@ -212,6 +236,7 @@ object Scalars {
     "f8_insight_scalars" -> f8Sql,
     "f14_name_classify" -> f14Sql,
     "f18_sanitize_repair" -> f18Sql,
+    "f20_truncation_guard" -> f20Sql,
     "f21_spread_total" -> f21Sql,
   )
 }
