@@ -83,9 +83,15 @@ object Curation {
       .orderBy("doc_id")
   }
 
-  val c1Sql: String = {
-    val lang = TextAnalysis.t1CoreSql
-    val clusters = Dedup.d6CoreSql
+  /** The cascade's oracle SQL parameterized on the corpus relation name
+    * (r7 advice #2): every embedded fragment takes the corpus through its
+    * own `*SqlOver` form, so swapping the corpus for a derived CTE (c1b)
+    * is plain composition — no post-hoc rewriting of composed SQL that a
+    * future literal containing the word 'documents' could break.
+    */
+  private def c1SqlOver(corpus: String): String = {
+    val lang = TextAnalysis.t1CoreSqlOver(corpus)
+    val clusters = Dedup.d6CoreSqlOver(corpus)
     s"""SELECT *, (reason = 'keep') AS keep FROM (
       |SELECT d.doc_id, e.exact_keep_id, q.quality, l.predicted_lang,
       |  c.cluster_id,
@@ -98,24 +104,26 @@ object Curation {
       |       WHEN p.n_emails + p.n_phones + p.n_urls > 0 THEN 'pii'
       |       WHEN q.quality < 0.5 THEN 'low_quality'
       |       ELSE 'keep' END AS reason
-      |FROM documents d
+      |FROM $corpus d
       |JOIN (SELECT md5(text) AS h, min(doc_id) AS exact_keep_id
-      |      FROM documents GROUP BY md5(text)) e ON md5(d.text) = e.h
+      |      FROM $corpus GROUP BY md5(text)) e ON md5(d.text) = e.h
       |JOIN (SELECT doc_id, ${TextAnalysis.qualityFormulaSql} AS quality
       |      FROM (
-      |  ${TextAnalysis.qualityPartsSql})) q
+      |  ${TextAnalysis.qualityPartsSqlOver(corpus)})) q
       |  ON d.doc_id = q.doc_id
       |JOIN (SELECT doc_id, predicted_lang FROM ($lang) t) l
       |  ON d.doc_id = l.doc_id
       |JOIN (SELECT doc_id, cluster_id FROM ($clusters) t) c
       |  ON d.doc_id = c.doc_id
-      |LEFT JOIN (SELECT doc_id, dup_2gram_frac FROM (${TextAnalysis.t6CoreSql}) t) r
+      |LEFT JOIN (SELECT doc_id, dup_2gram_frac FROM (${TextAnalysis.t6CoreSqlOver(corpus)}) t) r
       |  ON d.doc_id = r.doc_id
       |JOIN (SELECT doc_id, n_emails, n_phones, n_urls
-      |      FROM (${TextAnalysis.t5CoreSql}) t) p
+      |      FROM (${TextAnalysis.t5CoreSqlOver(corpus)}) t) p
       |  ON d.doc_id = p.doc_id
       |) ORDER BY doc_id""".stripMargin
   }
+
+  val c1Sql: String = c1SqlOver("documents")
 
   /** The dup-injected corpus: `documents` plus an exact clone (same
     * text, doc_id + 1,000,000) of every doc with doc_id % 20 == 0. The
@@ -147,14 +155,15 @@ object Curation {
     val injected = dupInjected(s, d)
     val spread = injected.repartition(
       s.sparkContext.defaultParallelism, col("doc_id"))
-    decisionOf(injected, spread, Dedup.neardupClustersOf(injected))
+    // session-memoized like c1's base clusters (r7 verdict #5): the
+    // injected corpus is deterministic per dataset, so bench reps and
+    // composite re-runs must not re-cluster it
+    decisionOf(injected, spread, Dedup.neardupClustersOfShared(injected))
   }
 
-  /** The base c1Sql with its corpus swapped for the dup-injected CTE:
-    * the token `documents` in the composed SQL only ever names the
-    * corpus relation (aliases are single letters), so the rename is
-    * mechanical. Renaming — rather than shadowing `documents` with a CTE
-    * — keeps the SQL valid no matter how the oracle runner registers the
+  /** The base cascade SQL composed over the dup-injected CTE — a
+    * distinct relation NAME rather than a `documents` self-shadow, which
+    * keeps the SQL valid no matter how the oracle runner registers the
     * base table (a CTE self-shadow needs schema-qualified references).
     */
   val c1DupSql: String =
@@ -164,7 +173,7 @@ object Curation {
       |  SELECT doc_id + 1000000 AS doc_id, text, lang, source, n_chars
       |  FROM documents WHERE doc_id % 20 = 0)
       |""".stripMargin +
-      c1Sql.replaceAll("\\bdocuments\\b", "docs_dup")
+      c1SqlOver("docs_dup")
 
   /** C2 — deterministic train/val/test split: hash-mod bucketing on a
     * salted doc key (98/1/1). Hash-based splits are the only kind that

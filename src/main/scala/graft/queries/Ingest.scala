@@ -49,9 +49,10 @@ object Ingest {
     * otherwise the repo fallback; when neither exists the env path is
     * kept so both engines fail loudly on the SAME missing file.
     */
-  private[queries] def resolveFixture(dir: String, name: String): String = {
+  private[queries] def resolveFixture(dir: String, name: String,
+      fallbackDir: String = "src/test/resources/fixtures"): String = {
     val primary = new java.io.File(dir, name)
-    val fallback = new java.io.File("src/test/resources/fixtures", name)
+    val fallback = new java.io.File(fallbackDir, name)
     (if (primary.exists || !fallback.exists) primary else fallback)
       .getAbsolutePath
   }

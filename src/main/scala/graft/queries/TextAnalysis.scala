@@ -66,15 +66,17 @@ object TextAnalysis {
         col("actual_lang"))
   }
 
-  /** The T1 relation without the final sort — composable into other
-    * oracle queries (c1) without fragile string surgery.
+  /** The T1 relation without the final sort, parameterized on the corpus
+    * relation name (r7 advice #2: composites swap the corpus by passing a
+    * CTE name here, never by post-hoc string rewriting of composed SQL) —
+    * composable into other oracle queries (c1/c1b).
     */
-  private[queries] val t1CoreSql: String = {
+  private[queries] def t1CoreSqlOver(corpus: String): String = {
     val lexValues = lexicon
       .map { case (w, l) => s"(${sqlLitDuck(w)},${sqlLitDuck(l)})" }.mkString(", ")
     s"""WITH lex(word, cand_lang) AS (VALUES $lexValues),
       |toks AS (SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS word
-      |         FROM documents),
+      |         FROM $corpus),
       |votes AS (SELECT doc_id, cand_lang, count(*) AS hits
       |  FROM toks JOIN lex USING (word) GROUP BY doc_id, cand_lang),
       |best AS (SELECT doc_id, cand_lang, hits FROM (
@@ -86,8 +88,10 @@ object TextAnalysis {
       |  coalesce(b.cand_lang, 'unknown') AS predicted_lang,
       |  coalesce(b.hits, 0) AS lexicon_hits,
       |  d.lang AS actual_lang
-      |FROM documents d LEFT JOIN best b ON d.doc_id = b.doc_id""".stripMargin
+      |FROM $corpus d LEFT JOIN best b ON d.doc_id = b.doc_id""".stripMargin
   }
+
+  private[queries] val t1CoreSql: String = t1CoreSqlOver("documents")
 
   val t1Sql: String = t1CoreSql + "\nORDER BY d.doc_id"
 
@@ -131,13 +135,15 @@ object TextAnalysis {
     * weights/stopwords/regex can never drift between them (they are the
     * SQL twins of [[withQualityCols]]).
     */
-  private[queries] val qualityPartsSql: String =
-    """SELECT doc_id,
+  private[queries] def qualityPartsSqlOver(corpus: String): String =
+    s"""SELECT doc_id,
       |    len(w) AS n_tokens,
       |    len(list_filter(w, x -> x in ('the','a','of','and','in'))) / len(w) AS stop_ratio,
       |    length(replace(text, ' ', '')) / len(w) AS avg_wlen,
-      |    len(regexp_extract_all(text, '[^\w\s]')) / n_chars AS punct_ratio
-      |  FROM (SELECT *, string_split_regex(text, '\s+') AS w FROM documents)""".stripMargin
+      |    len(regexp_extract_all(text, '[^\\w\\s]')) / n_chars AS punct_ratio
+      |  FROM (SELECT *, string_split_regex(text, '\\s+') AS w FROM $corpus)""".stripMargin
+
+  private[queries] val qualityPartsSql: String = qualityPartsSqlOver("documents")
 
   private[queries] val qualityFormulaSql: String =
     "floor((0.4 * stop_ratio + 0.3 * least(avg_wlen / 10.0, 1.0) " +
@@ -236,8 +242,9 @@ object TextAnalysis {
           emailRe, "<EMAIL>"), phoneRe, "<PHONE>"), urlRe, "<URL>"))
           .as("redacted_md5"))
 
-  /** The T5 relation without the final sort — composable into c1Sql. */
-  private[queries] val t5CoreSql: String =
+  /** The T5 relation without the final sort — composable into c1Sql,
+    * corpus-parameterized like [[t1CoreSqlOver]]. */
+  private[queries] def t5CoreSqlOver(corpus: String): String =
     s"""WITH t AS (
       |  SELECT doc_id, substr(text, 1, 120) ||
       |    CASE CAST(doc_id % 4 AS INT)
@@ -245,7 +252,7 @@ object TextAnalysis {
       |      WHEN 1 THEN ' call 555-' || lpad(CAST(doc_id % 1000 AS INT)::VARCHAR, 3, '0') || '-4567 today'
       |      WHEN 2 THEN ' see https://example.org/p/' || CAST(doc_id AS INT) || ' for details'
       |      ELSE '' END AS txt
-      |  FROM documents)
+      |  FROM $corpus)
       |SELECT doc_id,
       |  len(regexp_extract_all(txt, '$emailRe')) AS n_emails,
       |  len(regexp_extract_all(txt, '$phoneRe')) AS n_phones,
@@ -254,6 +261,8 @@ object TextAnalysis {
       |    '$emailRe', '<EMAIL>', 'g'), '$phoneRe', '<PHONE>', 'g'),
       |    '$urlRe', '<URL>', 'g')) AS redacted_md5
       |FROM t""".stripMargin
+
+  private[queries] val t5CoreSql: String = t5CoreSqlOver("documents")
 
   val t5Sql: String = t5CoreSql + "\nORDER BY doc_id"
 
@@ -291,13 +300,14 @@ object TextAnalysis {
           .as("dup_2gram_frac"),
         r6(col("top_c") / col("n_2grams").cast("double")).as("top_2gram_frac"))
 
-  /** The T6 relation without the final sort — composable into c1Sql. */
-  private[queries] val t6CoreSql: String =
+  /** The T6 relation without the final sort — composable into c1Sql,
+    * corpus-parameterized like [[t1CoreSqlOver]]. */
+  private[queries] def t6CoreSqlOver(corpus: String): String =
     s"""WITH g AS (
       |  SELECT doc_id,
       |    unnest(${ngramsSql("w", 2)}) AS g
       |  FROM (SELECT doc_id, string_split_regex(text, '\\s+') AS w
-      |        FROM documents)
+      |        FROM $corpus)
       |  WHERE len(w) >= 2),
       |cnt AS (SELECT doc_id, g, count(*) AS c FROM g GROUP BY doc_id, g)
       |SELECT doc_id,
@@ -308,6 +318,8 @@ object TextAnalysis {
       |  floor((max(c) / CAST(sum(c) AS DOUBLE)) * 1000000.0 + 0.5)
       |    / 1000000.0 AS top_2gram_frac
       |FROM cnt GROUP BY doc_id""".stripMargin
+
+  private[queries] val t6CoreSql: String = t6CoreSqlOver("documents")
 
   val t6Sql: String = t6CoreSql + "\nORDER BY doc_id"
 

@@ -20,19 +20,25 @@ class FixturePathSpec extends AnyFunSuite {
       == f.getAbsolutePath)
   }
 
-  test("stale env dir falls back to the repo copy — one path, both engines") {
+  test("stale env dir falls back to the fallback copy — one path, both engines") {
+    // the fallback dir is pinned to an absolute temp dir (r7 advice #3:
+    // the previous cwd-relative repo path made this spec depend on the
+    // JVM working directory, not on resolveFixture's own contract)
     val stale = Files.createTempDirectory("graft_stale").toFile
-    val resolved = Ingest.resolveFixture(stale.getAbsolutePath, "league.csv")
-    val repoCopy =
-      new java.io.File("src/test/resources/fixtures/league.csv")
-    assume(repoCopy.exists, "repo fixture must exist for this spec")
-    assert(resolved == repoCopy.getAbsolutePath)
+    val fallbackDir = Files.createTempDirectory("graft_fallback").toFile
+    val copy = new java.io.File(fallbackDir, "league.csv")
+    Files.write(copy.toPath, "A,B\n1,2\n".getBytes)
+    val resolved = Ingest.resolveFixture(stale.getAbsolutePath, "league.csv",
+      fallbackDir.getAbsolutePath)
+    assert(resolved == copy.getAbsolutePath)
     assert(new java.io.File(resolved).exists)
   }
 
   test("when neither copy exists both engines get the SAME missing path") {
     val stale = Files.createTempDirectory("graft_stale2").toFile
-    val resolved = Ingest.resolveFixture(stale.getAbsolutePath, "no_such.json")
+    val fallbackDir = Files.createTempDirectory("graft_fallback2").toFile
+    val resolved = Ingest.resolveFixture(stale.getAbsolutePath, "no_such.json",
+      fallbackDir.getAbsolutePath)
     assert(resolved ==
       new java.io.File(stale, "no_such.json").getAbsolutePath)
   }
