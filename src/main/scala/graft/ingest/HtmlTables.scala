@@ -1,0 +1,230 @@
+package graft.ingest
+
+import scala.collection.mutable.ArrayBuffer
+
+/** HTML-table extraction front end (SURVEY S1/S2): the reference scrapes
+  * Basketball-Reference pages where half the stat tables are served
+  * INSIDE HTML comments (`unified_nba_scraper.py:246-281`,
+  * `Basketball_Refrence_alltables.py:226-234`): it collects the visible
+  * `<table>` elements, then re-parses every comment containing
+  * `<table`, and processes `visible ++ commented` in document order,
+  * naming each table from its `id` attribute via a friendly-name map
+  * with an `Unidentified_Table_{i}` fallback.
+  *
+  * This object reproduces that extraction surface in pure Scala (no
+  * parser library — the stat-page subset of HTML is regular enough for
+  * a scan-based parser, and the container has no jsoup):
+  *
+  *  - comment spans are located first, so the visible pass never sees
+  *    commented markup and the comment pass re-parses each span;
+  *  - per table: `id` attribute, `<thead>` rows as a (possibly
+  *    multi-row) header with `colspan` expanded — matching pandas
+  *    `read_html` MultiIndex semantics, which the downstream
+  *    [[graft.normalize.Columns.flattenHeader]] algebra (P1) was built
+  *    for — and every non-thead `<tr>` as a body row, INCLUDING the
+  *    mid-`<tbody>` repeated header rows Basketball-Reference emits
+  *    (pandas keeps them as data rows; the P6 filter drops them later,
+  *    exactly as the reference's `df[df['Player'] != 'Player']` does);
+  *  - cell text is tag-stripped, entity-decoded, and
+  *    whitespace-collapsed like `read_html`'s text extraction; body
+  *    `colspan` repeats the value across the span; short rows are
+  *    null-padded to header width (pandas fills NaN).
+  *
+  * Known subset limitations (document-shaped, verified against the
+  * reference's actual pages): no nested `<table>`, no `rowspan`
+  * carry-down — neither occurs in the stat-table family.
+  *
+  * Parsing is a per-page, executor-side operation (see
+  * [[graft.sources.HtmlTableSource]] — one input partition per page
+  * file); at 100 TB the unit of parallelism is pages, never rows of one
+  * page, so nothing here touches Spark.
+  */
+object HtmlTables {
+
+  /** `id` → friendly table name (`unified_nba_scraper.py:34-48`). */
+  val tableNameMap: Map[String, String] = Map(
+    "roster" -> "Roster",
+    "team_and_opponent" -> "Team_and_Opponent_Stats",
+    "team_misc" -> "Team_Misc",
+    "per_game_stats" -> "Per_Game",
+    "totals_stats" -> "Totals",
+    "per_minute_stats" -> "Per_36",
+    "per_poss" -> "Per_100",
+    "per_poss_stats" -> "Per_100",
+    "advanced" -> "Advanced",
+    "advanced_stats" -> "Advanced",
+    "adj_shooting" -> "Adjusted_Shooting",
+    "shooting" -> "Shooting",
+    "pbp_stats" -> "Play_by_Play")
+
+  /** One extracted table, pre-normalization.
+    *
+    * @param tableId     friendly name (map → raw id → Unidentified_Table_i)
+    * @param fromComment true when the table was embedded in a comment
+    * @param headerParts per-column MultiIndex parts, outer row first
+    *                    (empty when the table has no header rows)
+    * @param rows        body rows, null-padded/truncated to column count
+    */
+  case class ParsedTable(tableId: String, fromComment: Boolean,
+      headerParts: Seq[Seq[String]], rows: Seq[Seq[String]]) {
+    /** Column count: header width, or widest body row for headerless. */
+    def width: Int =
+      if (headerParts.nonEmpty) headerParts.size
+      else if (rows.isEmpty) 0 else rows.map(_.size).max
+    /** Flattened header names (P1 algebra), pre-canonicalization. */
+    def flatHeaders: Seq[String] =
+      headerParts.map(graft.normalize.Columns.flattenHeader(_))
+  }
+
+  // ---- lexical helpers -------------------------------------------------
+
+  private val entityMap = Map(
+    "amp" -> "&", "lt" -> "<", "gt" -> ">", "quot" -> "\"",
+    "apos" -> "'", "nbsp" -> "\u00a0", "ndash" -> "\u2013",
+    "mdash" -> "\u2014", "hellip" -> "\u2026")
+
+  private val entityRe = "&(#x?[0-9a-fA-F]+|[a-zA-Z]+);".r
+
+  /** Decode the named/numeric entities the stat pages actually use. */
+  def decodeEntities(s: String): String =
+    entityRe.replaceAllIn(s, m => {
+      val body = m.group(1)
+      val out =
+        if (body.startsWith("#x") || body.startsWith("#X"))
+          try Character.toChars(Integer.parseInt(body.drop(2), 16)).mkString
+          catch { case _: Exception => m.matched }
+        else if (body.startsWith("#"))
+          try Character.toChars(body.drop(1).toInt).mkString
+          catch { case _: Exception => m.matched }
+        else entityMap.getOrElse(body, m.matched)
+      java.util.regex.Matcher.quoteReplacement(out)
+    })
+
+  /** read_html-style cell text: drop tags, decode entities, collapse
+    * ALL whitespace (nbsp included) to single spaces, trim.
+    */
+  def cellText(inner: String): String =
+    decodeEntities(inner.replaceAll("(?is)<[^>]*>", " "))
+      .replace('\u00a0', ' ')
+      .replaceAll("\\s+", " ")
+      .trim
+
+  /** Comment spans `<!-- … -->` with their inner text, document order.
+    * An unterminated comment runs to end-of-document (HTML5 parser
+    * behavior, which BeautifulSoup's html.parser follows).
+    */
+  private[ingest] def commentSpans(html: String): Seq[(Int, Int, String)] = {
+    val out = ArrayBuffer.empty[(Int, Int, String)]
+    var i = html.indexOf("<!--")
+    while (i >= 0) {
+      val close = html.indexOf("-->", i + 4)
+      val end = if (close >= 0) close + 3 else html.length
+      val inner = html.substring(i + 4, if (close >= 0) close else html.length)
+      out += ((i, end, inner))
+      i = html.indexOf("<!--", end)
+    }
+    out.toSeq
+  }
+
+  /** Visible markup: comment spans blanked (offsets preserved). */
+  private[ingest] def stripComments(html: String): String = {
+    val sb = new StringBuilder(html)
+    commentSpans(html).foreach { case (s, e, _) =>
+      (s until e).foreach(sb.setCharAt(_, ' '))
+    }
+    sb.toString
+  }
+
+  private val tableRe = "(?is)<table\\b[^>]*>.*?</table\\s*>".r
+  private val trRe = "(?is)<tr\\b[^>]*>(.*?)</tr\\s*>".r
+  private val cellRe = "(?is)<(th|td)\\b([^>]*)>(.*?)</\\1\\s*>".r
+  private val theadRe = "(?is)<thead\\b[^>]*>(.*?)</thead\\s*>".r
+  private val idRe = "(?is)\\bid\\s*=\\s*(\"([^\"]*)\"|'([^']*)'|([^\\s>]+))".r
+  private val colspanRe = "(?is)\\bcolspan\\s*=\\s*[\"']?(\\d+)".r
+
+  /** id attribute of the opening tag of `tableHtml`, or "". */
+  private def tableId(tableHtml: String): String = {
+    val openEnd = tableHtml.indexOf('>')
+    val openTag = if (openEnd >= 0) tableHtml.substring(0, openEnd) else tableHtml
+    idRe.findFirstMatchIn(openTag).map { m =>
+      Option(m.group(2)).orElse(Option(m.group(3))).getOrElse(m.group(4))
+    }.getOrElse("").trim
+  }
+
+  /** One `<tr>`'s cells as (isHeaderCell, colspan, text), spans expanded. */
+  private def parseRow(rowInner: String): Seq[(Boolean, String)] =
+    cellRe.findAllMatchIn(rowInner).flatMap { m =>
+      val isTh = m.group(1).equalsIgnoreCase("th")
+      val span = colspanRe.findFirstMatchIn(m.group(2))
+        .map(_.group(1).toInt).getOrElse(1).max(1)
+      val text = cellText(m.group(3))
+      Seq.fill(span)((isTh, text))
+    }.toSeq
+
+  /** Parse one `<table>…</table>` fragment (id resolution happens in
+    * [[extractAll]] because the Unidentified fallback is positional).
+    */
+  private[ingest] def parseTable(tableHtml: String, fromComment: Boolean)
+      : (String, ParsedTable) = {
+    val theadInner = theadRe.findFirstMatchIn(tableHtml).map(_.group(1))
+    val bodyHtml = theadRe.replaceAllIn(tableHtml, "")
+
+    val headerRows: Seq[Seq[String]] = theadInner match {
+      case Some(h) =>
+        trRe.findAllMatchIn(h).map(m => parseRow(m.group(1)).map(_._2)).toSeq
+      case None =>
+        // pandas: leading all-<th> rows act as the header
+        trRe.findAllMatchIn(tableHtml).map(m => parseRow(m.group(1)))
+          .takeWhile(cells => cells.nonEmpty && cells.forall(_._1))
+          .map(_.map(_._2)).toSeq
+    }
+
+    val bodyAll = (theadInner match {
+      case Some(_) => trRe.findAllMatchIn(bodyHtml).map(m => parseRow(m.group(1))).toSeq
+      case None => trRe.findAllMatchIn(tableHtml).map(m => parseRow(m.group(1))).toSeq
+        .drop(headerRows.size)
+    }).map(_.map(_._2))
+
+    val nHeader = headerRows.map(_.size).maxOption.getOrElse(0)
+    val width = math.max(nHeader,
+      if (nHeader > 0) 0 else bodyAll.map(_.size).maxOption.getOrElse(0))
+
+    // per-column MultiIndex parts: ragged header rows right-pad with ""
+    val headerParts: Seq[Seq[String]] =
+      if (headerRows.isEmpty) Seq.empty
+      else (0 until width).map(c => headerRows.map(r => r.lift(c).getOrElse("")))
+
+    // read_html parity: an empty/whitespace-only cell is NaN, not ""
+    val rows = bodyAll.map { r =>
+      val padded =
+        if (r.size >= width) r.take(width)
+        else r ++ Seq.fill(width - r.size)(null: String)
+      padded.map(v => if (v == null || v.isEmpty) null else v)
+    }.filter(_.nonEmpty)
+
+    (tableId(tableHtml), ParsedTable("", fromComment, headerParts, rows))
+  }
+
+  /** Full extraction surface of one page: visible tables, then tables
+    * re-parsed out of comments, in document order — with the
+    * reference's naming cascade (`unified_nba_scraper.py:262-274`:
+    * name map → raw id → `Unidentified_Table_{i}` over the COMBINED
+    * sequence). Empty tables (no body rows) are dropped, mirroring the
+    * reference's `len(df) < 1: continue`.
+    */
+  def extractAll(html: String): Seq[ParsedTable] = {
+    val visible = tableRe.findAllIn(stripComments(html))
+      .map(parseTable(_, fromComment = false)).toSeq
+    val commented = commentSpans(html)
+      .filter(_._3.contains("<table"))
+      .flatMap { case (_, _, inner) =>
+        tableRe.findAllIn(inner).map(parseTable(_, fromComment = true))
+      }
+    (visible ++ commented).zipWithIndex.map { case ((rawId, t), i) =>
+      val name =
+        if (rawId.nonEmpty) tableNameMap.getOrElse(rawId, rawId)
+        else s"Unidentified_Table_$i"
+      t.copy(tableId = name)
+    }.filter(_.rows.nonEmpty)
+  }
+}

@@ -62,13 +62,75 @@ object EventWindows {
       |  FROM events CROSS JOIN (VALUES (0), (1)) offs(o))
       |GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin
 
+  /** T1 — poll-until-stable as a REAL streaming execution under the
+    * oracle (the s9/s11 pattern: genuine runtime behavior inside a
+    * hash-compared query). The reference polls a page until its height
+    * is stable across 3 polls (`nba_insights_scraper.py:272-300`) —
+    * i.e. "process everything that exists, then stop". Spark's
+    * equivalent is a file-source stream with `Trigger.AvailableNow`:
+    * bounded catch-up over the data present at start, then clean
+    * termination. The query stages the events table into a watched
+    * directory, runs the SAME [[tumbling]] transform through
+    * `readStream` + watermark + AvailableNow into a memory sink
+    * (complete mode — the final state IS the batch answer), and the
+    * oracle recomputes it relationally: the hash certifies that the
+    * streaming execution's terminal state equals the batch aggregate.
+    *
+    * The memory sink is per-run-named and dropped in `finally`; it
+    * holds only the window aggregate (|windows| × |event types| rows),
+    * never raw events — a production run would `writeStream` to files
+    * with the identical plan.
+    */
+  def st5AvailableNow(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    events(s, d) // sets the nanosAsLong conf before any events scan
+    val rawSchema = s.read.parquet(s"$d/events.parquet").schema
+    val dir = java.nio.file.Files.createTempDirectory("graft_st5_")
+    val sink = "st5_out_" +
+      java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+    try {
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$d/events.parquet"),
+        dir.resolve("events.parquet"))
+      val streamEv = s.readStream
+        .schema(rawSchema)
+        .parquet(dir.toString)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .withWatermark("ts", "10 minutes")
+      val q = tumbling(streamEv)
+        .writeStream
+        .format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      require(q.awaitTermination(180000), "st5 stream did not finish in time")
+      // materialize before the view is dropped and scratch deleted
+      s.table(sink).localCheckpoint()
+        .orderBy("window_start", "event_type")
+    } finally {
+      s.catalog.dropTempView(sink)
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.list(dir).iterator().asScala
+        .foreach(java.nio.file.Files.delete)
+      java.nio.file.Files.delete(dir)
+    }
+  }
+
+  /** Same relational answer as st1 — the point: the streaming terminal
+    * state and the batch aggregate are one result.
+    */
+  val st5Sql: String = st1Sql
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st1_tumbling_window" -> st1Tumbling,
     "st2_sliding_window" -> st2Sliding,
+    "st5_availablenow_catchup" -> st5AvailableNow,
   )
 
   val oracle: Map[String, String] = Map(
     "st1_tumbling_window" -> st1Sql,
     "st2_sliding_window" -> st2Sql,
+    "st5_availablenow_catchup" -> st5Sql,
   )
 }

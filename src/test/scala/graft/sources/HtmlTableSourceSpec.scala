@@ -1,0 +1,82 @@
+package graft.sources
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import org.apache.spark.sql.functions.col
+
+/** DSv2 behaviors of the HTML page source: normalized schema, source-side
+  * column pruning, one-partition-per-page parallelism, and page-filter
+  * file pruning (the partition-pruning analog at the crawl layer).
+  */
+class HtmlTableSourceSpec extends SparkSpecBase {
+
+  private def fixturePath: String =
+    getClass.getResource("/fixtures/team_page.html").getPath
+
+  private def load(tableId: String) = spark.read
+    .format("graft.sources.HtmlTableSource")
+    .option("path", fixturePath)
+    .option("tableId", tableId)
+    .load()
+
+  test("schema = meta + normalized headers (canonical rename + dedup suffix)") {
+    assert(load("Per_100").schema.fieldNames.toSeq == Seq(
+      "page", "from_comment", "row_idx",
+      "Rk", "Player", "Offense PTS", "FG_pct", "Defense PTS", "FG_pct_1"))
+  }
+
+  test("rows surface with page/from_comment/row_idx metadata") {
+    val rows = load("Roster").orderBy("row_idx").collect()
+    assert(rows.length == 4)
+    assert(rows.forall(_.getString(0) == "team_page"))
+    assert(rows.forall(!_.getBoolean(1)))
+    assert(rows.map(_.getLong(2)).toSeq == Seq(0L, 1L, 2L, 3L))
+    assert(rows.map(r => r.getString(r.fieldIndex("Player"))).toSeq ==
+      Seq("Jayson Tatum", "Jaylen Brown", "Kristaps Porziņģis", "Texas A&M Guy"))
+  }
+
+  test("comment-embedded table reads with from_comment=true") {
+    val rows = load("Shooting").orderBy("row_idx").collect()
+    assert(rows.length == 2 && rows.forall(_.getBoolean(1)))
+    assert(rows(1).isNullAt(rows(1).fieldIndex("3PA")))
+  }
+
+  test("column pruning is pushed into the source scan") {
+    val pruned = load("Roster").select("Player", "row_idx")
+    val scans = pruned.queryExecution.executedPlan.collect {
+      case b: BatchScanExec => b
+    }
+    assert(scans.nonEmpty, "no BatchScanExec found")
+    assert(scans.head.schema.fieldNames.toSet == Set("Player", "row_idx"),
+      s"scan not pruned: ${scans.head.schema.fieldNames.mkString(",")}")
+  }
+
+  test("a directory of pages scans one partition per page, page filter prunes files") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_html_pages")
+    try {
+      val src = java.nio.file.Paths.get(fixturePath)
+      Seq("bos", "mil", "nyk").foreach { team =>
+        java.nio.file.Files.copy(src, dir.resolve(s"$team.html"))
+      }
+      val all = spark.read.format("graft.sources.HtmlTableSource")
+        .option("path", dir.toString).option("tableId", "Roster").load()
+      assert(all.rdd.getNumPartitions == 3)
+      assert(all.count() == 12)
+      assert(all.select("page").distinct().collect().map(_.getString(0))
+        .sorted.toSeq == Seq("bos", "mil", "nyk"))
+
+      val one = all.filter(col("page") === "mil")
+      val plan = one.queryExecution.executedPlan
+      assert(plan.toString.contains("EqualTo(page,mil)"),
+        s"page filter not pushed:\n$plan")
+      // whole-file pruning: only the matching page's partition is planned
+      assert(one.rdd.getNumPartitions == 1)
+      assert(one.count() == 4)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.list(dir).iterator().asScala
+        .foreach(java.nio.file.Files.delete)
+      java.nio.file.Files.delete(dir)
+    }
+  }
+}
