@@ -282,11 +282,141 @@ object Curation {
       .toDF("doc_id", "shard", "n_tokens", "pack_id")
   }
 
+  /** C4 — benchmark decontamination: the pre-training hygiene pass that
+    * flags training documents sharing n-gram content with a held-out
+    * evaluation set (the first thing a real data pipeline runs after
+    * dedup — eval leakage silently inflates benchmark scores). Semantics:
+    * 3-word shingles on both sides; per (train_doc, bench_doc) pair,
+    * `n_shared` distinct shared shingles and
+    * `overlap = n_shared / |bench shingles|` (the standard
+    * contamination metric is directional — the question is how much of
+    * the BENCHMARK is present in the training doc); pairs with
+    * `n_shared >= 2` surface, `overlap >= 0.5` is contaminated.
+    *
+    * The corpus is the dup-injected frame so exact leakage is
+    * data-reachable (c1b's trick): bench docs are `doc_id % 100 = 0`
+    * originals, whose clones (+1,000,000, % 100 = 0 too) stay on the
+    * training side and MUST flag at overlap 1.0; the 25 natural d2
+    * near-dup pairs contribute partial overlaps.
+    *
+    * Scale shape: the benchmark side is small by construction (eval
+    * sets are thousands of docs, not billions) — explicitly
+    * `broadcast()` — so the candidate join is map-side against the
+    * exploded training shingles with NO train-side shuffle before the
+    * (train_doc, bench_doc) partial-aggregated count. The d2 hot-
+    * shingle guard applies on the training side (df <= 100): a
+    * stopword shingle must not pair every training doc with every
+    * bench doc that contains it.
+    */
+  def c4Decontaminate(s: SparkSession, d: String): DataFrame = {
+    val injected = dupInjected(s, d)
+    val sets = Dedup.shingleSetsOf(injected.repartition(
+      s.sparkContext.defaultParallelism, col("doc_id")))
+    val isBench = col("doc_id") % 100 === 0 && col("doc_id") < 1000000L
+    val bench = sets.filter(isBench)
+      .select(col("doc_id").as("bench_doc"),
+        size(col("shingles")).as("bench_n"),
+        explode(col("shingles")).as("sh"))
+    val train = sets.filter(!isBench)
+      .select(col("doc_id").as("train_doc"), explode(col("shingles")).as("sh"))
+    // hot-shingle guard (d2 pattern): cap training-side df before pairing
+    val kept = train.groupBy("sh").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= 100).select("sh")
+    train.join(kept, "sh")
+      .join(broadcast(bench), "sh")
+      .groupBy(col("train_doc"), col("bench_doc"), col("bench_n"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= 2)
+      .withColumn("overlap", r6(col("n_shared") / col("bench_n")))
+      .withColumn("contaminated", col("overlap") >= 0.5)
+      .select(col("train_doc"), col("bench_doc"), col("n_shared"),
+        col("bench_n"), col("overlap"), col("contaminated"))
+      .orderBy("train_doc", "bench_doc")
+  }
+
+  val c4Sql: String =
+    s"""WITH docs_dup AS (
+      |  SELECT * FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000 AS doc_id, text, lang, source, n_chars
+      |  FROM documents WHERE doc_id % 20 = 0),
+      |sets AS (
+      |  SELECT doc_id, list_distinct(${ngramsSql("w", 3)}) AS shingles
+      |  FROM (SELECT doc_id, string_split_regex(text, '\\s+') AS w
+      |        FROM docs_dup)
+      |  WHERE len(w) >= 3),
+      |bench AS (
+      |  SELECT doc_id AS bench_doc, len(shingles) AS bench_n,
+      |    unnest(shingles) AS sh
+      |  FROM sets WHERE doc_id % 100 = 0 AND doc_id < 1000000),
+      |train AS (
+      |  SELECT doc_id AS train_doc, unnest(shingles) AS sh
+      |  FROM sets WHERE NOT (doc_id % 100 = 0 AND doc_id < 1000000)),
+      |kept AS (SELECT sh FROM train GROUP BY sh HAVING count(*) <= 100),
+      |paired AS (
+      |  SELECT train_doc, bench_doc, bench_n, count(*) AS n_shared
+      |  FROM train JOIN kept USING (sh) JOIN bench USING (sh)
+      |  GROUP BY 1, 2, 3)
+      |SELECT train_doc, bench_doc, n_shared, bench_n,
+      |  ${r6Sql("n_shared / bench_n")} AS overlap,
+      |  ${r6Sql("n_shared / bench_n")} >= 0.5 AS contaminated
+      |FROM paired WHERE n_shared >= 2
+      |ORDER BY train_doc, bench_doc""".stripMargin
+
+  /** Per-language keep rates for [[c5StratifiedSample]]: downsample the
+    * dominant language, keep the rest — the standard rebalancing move
+    * when one language dwarfs the mixture. Deterministic per doc.
+    */
+  private val sampleRates: Seq[(String, Double)] =
+    Seq("en" -> 0.3, "zh" -> 1.0, "es" -> 0.9, "de" -> 0.9, "fr" -> 0.9)
+  private val defaultRate = 0.5
+
+  /** C5 — stratified sampling: per-stratum (language) hash sampling to
+    * target proportions. The draw is `md5("sample:" || doc_id) mod 10⁴`
+    * against `rate × 10⁴` — the same salted-hash determinism contract
+    * as the c2 split: stable under re-runs, re-partitioning, and
+    * incremental appends, and bit-replayable by the oracle (a
+    * `rand()`-based sample is neither). Emits the keep FLAG rather than
+    * the filtered corpus so the oracle certifies both sides of the cut.
+    *
+    * Scale shape: pure per-row projection — no shuffle, no state; the
+    * rate table is a literal CASE (a broadcast join for a real
+    * thousands-of-strata table would add nothing here).
+    */
+  def c5StratifiedSample(s: SparkSession, d: String): DataFrame = {
+    val rate = sampleRates.foldRight(lit(defaultRate): org.apache.spark.sql.Column) {
+      case ((l, r), acc) => when(col("lang") === l, lit(r)).otherwise(acc)
+    }
+    documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        pmod(md5Hash32(concat(lit("sample:"), col("doc_id"))), lit(10000))
+          .as("draw"),
+        rate.as("rate"))
+      .withColumn("sampled", col("draw") < col("rate") * 10000)
+      .orderBy("doc_id")
+  }
+
+  val c5Sql: String = {
+    val cases = sampleRates
+      .map { case (l, r) => s"WHEN lang = '$l' THEN $r" }
+      .mkString(" ")
+    s"""SELECT doc_id, lang,
+      |  ('0x' || substr(md5('sample:' || doc_id), 1, 8))::BIGINT % 10000
+      |    AS draw,
+      |  CASE $cases ELSE $defaultRate END AS rate,
+      |  ('0x' || substr(md5('sample:' || doc_id), 1, 8))::BIGINT % 10000
+      |    < (CASE $cases ELSE $defaultRate END) * 10000 AS sampled
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c1_curation_decision" -> c1CurationDecision,
     "c1b_curation_dupinject" -> c1DupInject,
     "c2_train_split" -> c2TrainSplit,
     "c3_sequence_pack" -> c3SequencePack,
+    "c4_decontaminate" -> c4Decontaminate,
+    "c5_stratified_sample" -> c5StratifiedSample,
   )
 
   val oracle: Map[String, String] = Map(
@@ -294,5 +424,7 @@ object Curation {
     "c1b_curation_dupinject" -> c1DupSql,
     "c2_train_split" -> c2Sql,
     "c3_sequence_pack" -> c3Sql,
+    "c4_decontaminate" -> c4Sql,
+    "c5_stratified_sample" -> c5Sql,
   )
 }
