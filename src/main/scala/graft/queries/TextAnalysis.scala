@@ -323,6 +323,43 @@ object TextAnalysis {
 
   val t6Sql: String = t6CoreSql + "\nORDER BY doc_id"
 
+  /** T7 — corpus vocabulary: global term and document frequencies with
+    * a deterministic top-K cut — the vocab-seed / stopword-discovery
+    * pass a tokenizer pipeline runs over the whole corpus before
+    * training. `tf` counts occurrences, `df` counts distinct documents
+    * (the stopword signal); ties break lexicographically.
+    *
+    * Scale shape: explode → ONE shuffle on the word key with map-side
+    * partial aggregation (df via a pre-distinct on (word, doc_id) —
+    * also map-side combined), then the global top-K goes through
+    * `orderBy().limit()` ⇒ `TakeOrderedAndProject`: every partition
+    * keeps its own K rows and the driver merges partitions×K — no
+    * global sort shuffle at any corpus size (plan pinned in
+    * `ScaleHeadroomSpec`-style by the q3 precedent; spec below).
+    */
+  def t7VocabTopK(s: SparkSession, d: String): DataFrame = {
+    val words = documentsSpread(s, d)
+      .select(col("doc_id"),
+        explode(split(trim(col("text")), "\\s+")).as("word"))
+      .filter(length(col("word")) > 0)
+    words
+      .groupBy("word")
+      .agg(count(lit(1)).as("tf"),
+        count_distinct(col("doc_id")).as("df"))
+      .orderBy(col("tf").desc, col("word"))
+      .limit(20)
+  }
+
+  val t7Sql: String =
+    """SELECT word, count(*) AS tf, count(DISTINCT doc_id) AS df
+      |FROM (SELECT doc_id,
+      |        unnest(string_split_regex(trim(text), '\s+')) AS word
+      |      FROM documents)
+      |WHERE len(word) > 0
+      |GROUP BY word
+      |ORDER BY tf DESC, word
+      |LIMIT 20""".stripMargin
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t1_lang_id" -> t1LangId,
     "t2_quality_score" -> t2QualityScore,
@@ -330,6 +367,7 @@ object TextAnalysis {
     "t4_fingerprint" -> t4Fingerprint,
     "t5_pii_redact" -> t5PiiRedact,
     "t6_repetition" -> t6Repetition,
+    "t7_vocab_topk" -> t7VocabTopK,
   )
 
   val oracle: Map[String, String] = Map(
@@ -339,5 +377,6 @@ object TextAnalysis {
     "t4_fingerprint" -> t4Sql,
     "t5_pii_redact" -> t5Sql,
     "t6_repetition" -> t6Sql,
+    "t7_vocab_topk" -> t7Sql,
   )
 }

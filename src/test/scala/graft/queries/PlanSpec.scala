@@ -38,6 +38,12 @@ class PlanSpec extends SparkSpecBase {
       .contains("TakeOrderedAndProject"))
   }
 
+  test("t7 vocab cut is per-partition top-k, never a global sort") {
+    val p = plan(TextAnalysis.t7VocabTopK(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"),
+      s"t7 lost the top-k pushthrough:\n$p")
+  }
+
   test("similarity hot path uses graft_dot, not interpreted HOFs") {
     val p = plan(Similarity.s3EmbeddingNearDup(spark, sf))
     assert(p.contains("graft_dot"))
