@@ -1,0 +1,92 @@
+package graft.ingest
+
+import org.scalacheck.{Gen, Prop, Properties}
+import org.scalacheck.Prop.forAll
+
+/** Generative round-trip contract for the HTML parser: ANY table we
+  * render (escaped cell text, optional comment wrapping, optional
+  * missing cells) must parse back to exactly the headers and rows we
+  * rendered — the property that regex-based parsing most needs, since
+  * hand-picked fixtures can't cover the text-content space.
+  */
+object HtmlTablesProps extends Properties("HtmlTables") {
+
+  // cell alphabet deliberately includes the characters that must survive
+  // escaping (&, <, >) plus digits/punctuation seen in stat cells
+  private val cellChar: Gen[Char] = Gen.frequency(
+    8 -> Gen.alphaNumChar,
+    1 -> Gen.oneOf('&', '<', '>', '.', '%', '-', '\''),
+    1 -> Gen.const(' '))
+
+  private val cellText: Gen[String] = for {
+    n <- Gen.choose(1, 12)
+    cs <- Gen.listOfN(n, cellChar)
+  } yield cs.mkString
+
+  // header names: non-empty, no leading "unnamed" (flattenHeader drops
+  // those by design), normalized later by the caller
+  private val headerText: Gen[String] = for {
+    n <- Gen.choose(1, 8)
+    cs <- Gen.listOfN(n, Gen.alphaNumChar)
+  } yield cs.mkString
+
+  private def esc(s: String): String =
+    s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+
+  /** What the parser is SPECIFIED to produce for a rendered cell:
+    * whitespace collapsed/trimmed, empty → null.
+    */
+  private def expectCell(raw: String): String = {
+    val t = raw.replaceAll("\\s+", " ").trim
+    if (t.isEmpty) null else t
+  }
+
+  private case class Table(headers: List[String], rows: List[List[String]])
+
+  private val tableGen: Gen[Table] = for {
+    nCols <- Gen.choose(1, 6)
+    headers <- Gen.listOfN(nCols, headerText)
+    nRows <- Gen.choose(1, 8)
+    rows <- Gen.listOfN(nRows, Gen.listOfN(nCols, cellText))
+  } yield Table(headers, rows)
+
+  private def render(t: Table): String = {
+    val thead = t.headers.map(h => s"<th>${esc(h)}</th>").mkString
+    val body = t.rows.map { r =>
+      "<tr>" + r.map(c => s"<td>${esc(c)}</td>").mkString + "</tr>"
+    }.mkString("\n")
+    s"""<table id="t"><thead><tr>$thead</tr></thead><tbody>$body</tbody></table>"""
+  }
+
+  property("rendered table parses back to the same headers and rows") =
+    forAll(tableGen) { t =>
+      HtmlTables.extractAll(render(t)) match {
+        case Seq(parsed) =>
+          val headersOk = parsed.flatHeaders == t.headers.map(expectCell)
+          val expected = t.rows.map(_.map(expectCell))
+          val rowsOk = parsed.rows == expected
+          Prop(headersOk && rowsOk) :| s"parsed=$parsed expected=$expected"
+        case other => Prop(false) :| s"expected 1 table, got ${other.size}"
+      }
+    }
+
+  property("comment wrapping preserves content and sets fromComment") =
+    forAll(tableGen) { t =>
+      val html = s"<div>x</div><!--\n${render(t)}\n-->"
+      HtmlTables.extractAll(html) match {
+        case Seq(parsed) =>
+          Prop(parsed.fromComment &&
+            parsed.rows == t.rows.map(_.map(expectCell))) :| s"parsed=$parsed"
+        case other => Prop(false) :| s"expected 1 table, got ${other.size}"
+      }
+    }
+
+  property("visible and commented copies of the same table both surface, in order") =
+    forAll(tableGen) { t =>
+      val html = render(t) + "\n<!-- " + render(t) + " -->"
+      val parsed = HtmlTables.extractAll(html)
+      Prop(parsed.size == 2 &&
+        !parsed(0).fromComment && parsed(1).fromComment &&
+        parsed(0).rows == parsed(1).rows) :| s"parsed=$parsed"
+    }
+}
