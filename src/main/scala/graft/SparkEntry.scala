@@ -37,7 +37,8 @@ object SparkEntry {
       _root_.graft.queries.Multimodal.defs ++
       _root_.graft.streaming.EventWindows.defs ++
       _root_.graft.streaming.Sessionize.defs ++
-      _root_.graft.streaming.IntervalJoin.defs
+      _root_.graft.streaming.IntervalJoin.defs ++
+      _root_.graft.streaming.StreamDedup.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -57,5 +58,6 @@ object SparkEntry {
       _root_.graft.queries.Multimodal.oracle ++
       _root_.graft.streaming.EventWindows.oracle ++
       _root_.graft.streaming.Sessionize.oracle ++
-      _root_.graft.streaming.IntervalJoin.oracle
+      _root_.graft.streaming.IntervalJoin.oracle ++
+      _root_.graft.streaming.StreamDedup.oracle
 }
