@@ -90,7 +90,8 @@ object Readers {
     // drop empty-named columns and Spark's auto-generated _c<N>
     // placeholders only — a legitimate header like "_category" survives
     val keep = df.columns.filter(c => c.trim.nonEmpty && !c.matches("_c\\d+"))
-    val cleaned = keep.map(c => trim(col(s"`$c`")).as(c.trim.stripPrefix("﻿")))
+    val cleaned = keep.toIndexedSeq
+      .map(c => trim(col(s"`$c`")).as(c.trim.stripPrefix("﻿")))
     df.select(cleaned: _*)
   }
 }
