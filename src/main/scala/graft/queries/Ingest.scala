@@ -301,9 +301,11 @@ object Ingest {
     * the last capability delta vs the reference): the checked-in team
     * page goes through the REAL extraction stack — [[graft.ingest
     * .HtmlTables]] visible ∪ comment-embedded table parsing inside the
-    * [[graft.sources.HtmlTableSource]] DSv2 reader — and every extracted
-    * table is unpivoted to one uniform (table_id, row_idx, col, value)
-    * relation. The oracle replays a HAND-DERIVED golden of the same
+    * [[graft.sources.HtmlTableSource]] DSv2 reader, in its `tableId=*`
+    * long mode: ALL tables of the page in ONE parse, one row per cell
+    * (table_id, row_idx, col, value) — the reference's own access
+    * pattern, and 1 parse per page instead of 1 per (page × table).
+    * The oracle replays a HAND-DERIVED golden of the same
     * extraction (`html_golden.jsonl`, authored from the fixture page
     * independently of the parser), so the hash certifies comment
     * recovery, `Unidentified_Table_{i}` naming, MultiIndex colspan
@@ -318,24 +320,12 @@ object Ingest {
     * mid-`<tbody>` repeated header row (kept as data, as pandas does),
     * a commented `shooting` with a short row, and a table-less comment.
     */
-  def i7HtmlScan(s: SparkSession, d: String): DataFrame = {
-    val tables = Seq("Roster", "Unidentified_Table_1", "Per_100", "Shooting")
-    tables.map { t =>
-      val df = s.read.format("graft.sources.HtmlTableSource")
-        .option("path", htmlFixture).option("tableId", t).load()
-      val dataCols = df.columns
-        .filterNot(Set("page", "from_comment", "row_idx")).toSeq
-      // explode-of-structs rather than unpivot: null VALUES must survive
-      // (SQL UNPIVOT excludes nulls; the golden carries them)
-      val pairs = array(dataCols.map(c =>
-        struct(lit(c).as("col"), col(s"`$c`").as("value"))): _*)
-      df.select(lit(t).as("table_id"), col("from_comment"), col("row_idx"),
-          explode(pairs).as("p"))
-        .select(col("table_id"), col("from_comment"), col("row_idx"),
-          col("p.col").as("col"), col("p.value").as("value"))
-    }.reduce(_ unionByName _)
+  def i7HtmlScan(s: SparkSession, d: String): DataFrame =
+    s.read.format("graft.sources.HtmlTableSource")
+      .option("path", htmlFixture).option("tableId", "*").load()
+      .select(col("table_id"), col("from_comment"), col("row_idx"),
+        col("col"), col("value"))
       .orderBy("table_id", "row_idx", "col")
-  }
 
   val i7Sql: String =
     s"""SELECT table_id, from_comment, row_idx, col, value

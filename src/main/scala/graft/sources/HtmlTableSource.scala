@@ -44,7 +44,13 @@ import graft.normalize.Columns
   * spark.read.format("graft.sources.HtmlTableSource")
   *   .option("path", "/…/pages")          // file or directory of .html
   *   .option("tableId", "Roster")         // friendly name (post-map)
-  *   .load()
+  *   .load()                              // wide: meta + header columns
+  *
+  * spark.read.format("graft.sources.HtmlTableSource")
+  *   .option("path", "/…/pages")
+  *   .option("tableId", "*")              // ALL tables, ONE parse/page
+  *   .load()                              // long: page, table_id,
+  *                                        //   from_comment, row_idx, col, value
   * }}}
   */
 class HtmlTableSource extends TableProvider {
@@ -66,6 +72,23 @@ object HtmlTableSource {
     StructField("page", StringType),
     StructField("from_comment", BooleanType),
     StructField("row_idx", LongType))
+
+  /** `tableId = "*"`: ALL tables of every page in ONE parse, as the
+    * uniform long relation below — the reference's actual access
+    * pattern (`unified_nba_scraper.py:260` iterates every table of a
+    * page it has already parsed once). Per-table wide reads parse each
+    * page once PER TABLE; a 13-table team page costs 13 parses that
+    * way and one this way.
+    */
+  private[sources] val allTables = "*"
+
+  private[sources] val longSchema: StructType = StructType(Seq(
+    StructField("page", StringType),
+    StructField("table_id", StringType),
+    StructField("from_comment", BooleanType),
+    StructField("row_idx", LongType),
+    StructField("col", StringType),
+    StructField("value", StringType)))
 
   /** Page files under `path`: the file itself, or the lexicographically
     * sorted `*.html`/`*.htm` children of a directory (sorted so page
@@ -100,13 +123,15 @@ object HtmlTableSource {
     Columns.normalizeRawHeaders(t.flatHeaders,
       reserved = Set("page", "from_comment", "row_idx"))
 
-  private[sources] def buildSchema(path: String, tableId: String): StructType = {
-    val headerFields = pageFiles(path).iterator
-      .flatMap(tableIn(_, tableId)).take(1).toSeq.headOption
-      .map(t => dataNames(t).map(StructField(_, StringType)))
-      .getOrElse(Seq.empty)
-    StructType(metaFields ++ headerFields)
-  }
+  private[sources] def buildSchema(path: String, tableId: String): StructType =
+    if (tableId == allTables) longSchema
+    else {
+      val headerFields = pageFiles(path).iterator
+        .flatMap(tableIn(_, tableId)).take(1).toSeq.headOption
+        .map(t => dataNames(t).map(StructField(_, StringType)))
+        .getOrElse(Seq.empty)
+      StructType(metaFields ++ headerFields)
+    }
 }
 
 class HtmlTableTable(path: String, tableId: String, tableSchema: StructType)
@@ -181,6 +206,12 @@ class HtmlTableReaderFactory(tableId: String,
 
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val file = new java.io.File(p.asInstanceOf[HtmlPagePartition].file)
+    if (tableId == HtmlTableSource.allTables) longReader(file)
+    else wideReader(file)
+  }
+
+  /** Per-table wide relation: meta columns + one column per header. */
+  private def wideReader(file: java.io.File): PartitionReader[InternalRow] =
     new PartitionReader[InternalRow] {
       private val page = HtmlTableSource.pageName(file)
       private val rows: Iterator[(Long, Boolean, Seq[String])] =
@@ -210,5 +241,47 @@ class HtmlTableReaderFactory(tableId: String,
       override def get(): InternalRow = current
       override def close(): Unit = ()
     }
-  }
+
+  /** All tables in one parse: one long row per cell, header
+    * normalization identical to the wide path (same [[HtmlTableSource
+    * .dataNames]] algebra, so wide and long reads of a table agree on
+    * column names by construction).
+    */
+  private def longReader(file: java.io.File): PartitionReader[InternalRow] =
+    new PartitionReader[InternalRow] {
+      private val page = HtmlTableSource.pageName(file)
+      private val cells: Iterator[(String, Boolean, Long, String, String)] = {
+        val html = new String(
+          java.nio.file.Files.readAllBytes(file.toPath),
+          java.nio.charset.StandardCharsets.UTF_8)
+        graft.ingest.HtmlTables.extractAll(html).iterator.flatMap { t =>
+          val names = HtmlTableSource.dataNames(t)
+          t.rows.iterator.zipWithIndex.flatMap { case (r, i) =>
+            names.iterator.zip(r.iterator).map { case (n, v) =>
+              (t.tableId, t.fromComment, i.toLong, n, v)
+            }
+          }
+        }
+      }
+      private val ordinals = required.fieldNames.map(full.fieldIndex)
+      private var current: InternalRow = _
+
+      override def next(): Boolean = {
+        if (!cells.hasNext) return false
+        val (tid, fromComment, idx, colName, value) = cells.next()
+        def fullValue(i: Int): Any = i match {
+          case 0 => UTF8String.fromString(page)
+          case 1 => UTF8String.fromString(tid)
+          case 2 => fromComment
+          case 3 => idx
+          case 4 => UTF8String.fromString(colName)
+          case 5 => Option(value).map(UTF8String.fromString).orNull
+        }
+        current = InternalRow.fromSeq(ordinals.toIndexedSeq.map(fullValue))
+        true
+      }
+
+      override def get(): InternalRow = current
+      override def close(): Unit = ()
+    }
 }

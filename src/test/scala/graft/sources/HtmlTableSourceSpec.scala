@@ -51,6 +51,27 @@ class HtmlTableSourceSpec extends SparkSpecBase {
       s"scan not pruned: ${scans.head.schema.fieldNames.mkString(",")}")
   }
 
+  test("tableId=* long mode agrees cell-for-cell with the wide reads") {
+    val long = load("*")
+      .select("table_id", "row_idx", "col", "value")
+      .collect().map(_.toSeq).toSet
+    val wide = Seq("Roster", "Unidentified_Table_1", "Per_100", "Shooting")
+      .flatMap { t =>
+        val df = load(t)
+        val dataCols = df.columns
+          .filterNot(Set("page", "from_comment", "row_idx")).toSeq
+        df.collect().flatMap { r =>
+          dataCols.map(c =>
+            Seq[Any](t, r.getLong(r.fieldIndex("row_idx")), c,
+              r.get(r.fieldIndex(c))))
+        }
+      }.toSet
+    assert(long == wide)
+    // the long schema is the uniform cell relation
+    assert(load("*").schema.fieldNames.toSeq == Seq(
+      "page", "table_id", "from_comment", "row_idx", "col", "value"))
+  }
+
   test("a directory of pages scans one partition per page, page filter prunes files") {
     val dir = java.nio.file.Files.createTempDirectory("graft_html_pages")
     try {
