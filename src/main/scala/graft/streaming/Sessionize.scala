@@ -207,11 +207,86 @@ object Sessionize {
       }
   }
 
+  /** ST3's streaming form as a REAL execution under the oracle (the
+    * st5/st6 pattern): the events table staged into a watched directory,
+    * run through the SAME [[sessionizeStream]] `flatMapGroupsWithState`
+    * operator with `Trigger.AvailableNow`, terminal session set
+    * hash-compared against DuckDB replaying the batch gap-window
+    * formulation. This is the strongest streaming row in the surface:
+    * custom keyed state, not a built-in aggregation, certified
+    * equivalent to its batch twin by the oracle rather than only by the
+    * parity spec.
+    *
+    * `total_value` is deliberately NOT in the projection: the streaming
+    * fold sums doubles in arrival order while the oracle sums decimals —
+    * numerically equal, not bit-pinned (same exclusion the parity spec
+    * makes). Update-mode re-emissions are collapsed by latest-wins
+    * (max-struct per (user, start)); with the single staged file there
+    * is exactly one micro-batch, so the collapse is 1:1 and the output
+    * deterministic.
+    */
+  def st7StreamSessionize(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    import s.implicits._
+    graft.Tables.events(s, d) // sets the nanosAsLong conf
+    val rawSchema = s.read.parquet(s"$d/events.parquet").schema
+    val dir = java.nio.file.Files.createTempDirectory("graft_st7_")
+    val sink = "st7_out_" +
+      java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+    try {
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$d/events.parquet"),
+        dir.resolve("events.parquet"))
+      val streamEvs = s.readStream
+        .schema(rawSchema)
+        .parquet(dir.toString)
+        .select(col("event_id"), col("user_id"),
+          expr("ts div 1000").as("tsMicros"), col("value"))
+        .as[Ev]
+      val q = sessionizeStream(streamEvs, idleTimeout = None)
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("update").trigger(Trigger.AvailableNow()).start()
+      require(q.awaitTermination(180000), "st7 stream did not finish in time")
+      s.table(sink)
+        .groupBy(col("user_id"), col("session_start"))
+        .agg(max(struct(col("session_end"), col("n_events"))).as("s"))
+        .select(col("user_id"),
+          col("session_start").as("session_start_us"),
+          col("s.session_end").as("session_end_us"),
+          col("s.n_events").as("n_events"))
+        .localCheckpoint()
+        .orderBy("user_id", "session_start_us")
+    } finally {
+      s.catalog.dropTempView(sink)
+      org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+    }
+  }
+
+  val st7Sql: String =
+    """SELECT user_id, epoch_us(min(ts)) AS session_start_us,
+      |  epoch_us(max(ts)) AS session_end_us, count(*) AS n_events
+      |FROM (
+      |  SELECT user_id, ts,
+      |    CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+      |  FROM (
+      |    SELECT user_id, event_id, ts,
+      |      CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |                IS NOT NULL
+      |            AND epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id
+      |                ORDER BY ts, event_id)) <= 600000000
+      |        THEN 0 ELSE 1 END AS new_sess
+      |    FROM events))
+      |GROUP BY user_id, session_seq
+      |ORDER BY user_id, session_start_us""".stripMargin
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st3_sessionize" -> st3Sessionize,
+    "st7_stream_sessionize" -> st7StreamSessionize,
   )
 
   val oracle: Map[String, String] = Map(
     "st3_sessionize" -> st3Sql,
+    "st7_stream_sessionize" -> st7Sql,
   )
 }
