@@ -101,10 +101,13 @@ object HtmlTables {
     })
 
   /** read_html-style cell text: drop tags, decode entities, collapse
-    * ALL whitespace (nbsp included) to single spaces, trim.
+    * ALL whitespace (nbsp included) to single spaces, trim. Tags are
+    * removed with NO separator \u2014 BeautifulSoup `get_text()` parity:
+    * `A<b>B</b>` is "AB", not "A B" (whitespace between tags is literal
+    * text and survives on its own).
     */
   def cellText(inner: String): String =
-    decodeEntities(inner.replaceAll("(?is)<[^>]*>", " "))
+    decodeEntities(inner.replaceAll("(?is)<[^>]*>", ""))
       .replace('\u00a0', ' ')
       .replaceAll("\\s+", " ")
       .trim

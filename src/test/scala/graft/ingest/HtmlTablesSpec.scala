@@ -84,6 +84,12 @@ class HtmlTablesSpec extends AnyFunSuite {
     assert(HtmlTables.decodeEntities("&#65;&#x42;&amp;&unknown;") == "AB&&unknown;")
   }
 
+  test("adjacent inline tags join with no separator (get_text parity)") {
+    assert(HtmlTables.cellText("Porzi<b>ņģis</b>") == "Porziņģis")
+    assert(HtmlTables.cellText("<a href='x'>Jayson</a> <em>Tatum</em>") == "Jayson Tatum")
+    assert(HtmlTables.cellText("A<br/>B") == "AB") // literal BS4 behavior
+  }
+
   test("empty-bodied tables are dropped like the reference's len(df)<1 skip") {
     val html = """<table id="empty"><tr><th>A</th></tr></table>"""
     assert(HtmlTables.extractAll(html).isEmpty)
