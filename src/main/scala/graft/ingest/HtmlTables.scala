@@ -67,10 +67,6 @@ object HtmlTables {
     */
   case class ParsedTable(tableId: String, fromComment: Boolean,
       headerParts: Seq[Seq[String]], rows: Seq[Seq[String]]) {
-    /** Column count: header width, or widest body row for headerless. */
-    def width: Int =
-      if (headerParts.nonEmpty) headerParts.size
-      else if (rows.isEmpty) 0 else rows.map(_.size).max
     /** Flattened header names (P1 algebra), pre-canonicalization. */
     def flatHeaders: Seq[String] =
       headerParts.map(graft.normalize.Columns.flattenHeader(_))
