@@ -437,6 +437,38 @@ object Relational {
       |  count(*) AS n
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** A12 — grouped top-k through the `graft_topk` bounded-heap aggregate
+    * on the RELATIONAL domain (top 3 orders per customer by price): the
+    * window row_number formulation sorts every order of every customer
+    * before discarding all but k, while the heap aggregate's map-side
+    * partials carry ≤k rows per group into the shuffle — the standard
+    * scale rewrite for "top N per key" (the similarity family proves the
+    * same aggregate on cosine scores; this row proves it generalizes).
+    * The oracle replays the window formulation, so the hash certifies
+    * the heap ≡ window equivalence on this domain too (desc score, asc
+    * id tie-break — exactly the `TopKByScore` comparator contract).
+    */
+  def a12GroupedTopK(s: SparkSession, d: String): DataFrame = {
+    graft.plans.GraftExtensions.ensureRegistered(s)
+    orders(s, d)
+      .groupBy(col("o_custkey"))
+      .agg(expr("graft_topk(o_totalprice, o_orderkey, 3)").as("top"))
+      .select(col("o_custkey"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("o_custkey"), (col("pos") + 1).cast("int").as("rank"),
+        col("t.id").as("o_orderkey"), col("t.score").as("o_totalprice"))
+      .orderBy("o_custkey", "rank")
+  }
+
+  val a12Sql: String =
+    """SELECT o_custkey, rank, o_orderkey, o_totalprice
+      |FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |    CAST(row_number() OVER (PARTITION BY o_custkey
+      |      ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rank
+      |  FROM orders)
+      |WHERE rank <= 3
+      |ORDER BY o_custkey, rank""".stripMargin
+
   /** Set intersection: nations hosting BOTH a high-balance customer and
     * a high-balance supplier (hash-based INTERSECT — a semi-join shape
     * at scale, no row explosion).
@@ -485,6 +517,7 @@ object Relational {
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a10_rollup_totals" -> a10RollupTotals,
     "a11_percentiles" -> a11Percentiles,
+    "a12_grouped_topk" -> a12GroupedTopK,
     "o8_intersect" -> o8Intersect,
     "w4_lead_lag" -> w4LeadLag,
     "q1_pricing_summary" -> q1PricingSummary,
@@ -511,6 +544,7 @@ object Relational {
   val oracle: Map[String, String] = Map(
     "a10_rollup_totals" -> a10Sql,
     "a11_percentiles" -> a11Sql,
+    "a12_grouped_topk" -> a12Sql,
     "o8_intersect" -> o8Sql,
     "w4_lead_lag" -> w4Sql,
     "q1_pricing_summary" -> q1Sql,
