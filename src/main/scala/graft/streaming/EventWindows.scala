@@ -122,15 +122,81 @@ object EventWindows {
     */
   val st5Sql: String = st1Sql
 
+  /** T1/S13 — checkpointed incremental processing: the reference's
+    * skip-if-exists gate (`get_basketball_stats_all_teams_Version6.py`)
+    * in its Spark-native form. TWO AvailableNow runs share one
+    * checkpoint over a growing directory: run 1 processes file A and
+    * commits its offsets + window state; file B (a second copy of the
+    * events) arrives; run 2 reads ONLY file B from the source's file
+    * log, resumes the window aggregation from the RECOVERED state
+    * store, and its terminal complete-mode table must therefore be the
+    * aggregate of A ∪ B — every count and sum exactly doubled. The
+    * oracle replays `events UNION ALL events` relationally, so the hash
+    * certifies both halves of production streaming at once: no
+    * reprocessing of seen files, no loss of checkpointed state.
+    */
+  def st8CheckpointResume(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    events(s, d) // sets the nanosAsLong conf
+    val rawSchema = s.read.parquet(s"$d/events.parquet").schema
+    val root = java.nio.file.Files.createTempDirectory("graft_st8_")
+    val data = root.resolve("data"); java.nio.file.Files.createDirectory(data)
+    val cp = root.resolve("cp").toString
+    val runId = java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+
+    def runOnce(sink: String): Unit = {
+      val streamEv = s.readStream
+        .schema(rawSchema)
+        .parquet(data.toString)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .withWatermark("ts", "10 minutes")
+      val q = tumbling(streamEv)
+        .writeStream
+        .format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .option("checkpointLocation", cp)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      require(q.awaitTermination(180000), "st8 run did not finish in time")
+    }
+
+    try {
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$d/events.parquet"), data.resolve("a.parquet"))
+      runOnce(s"st8_run1_$runId")
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$d/events.parquet"), data.resolve("b.parquet"))
+      runOnce(s"st8_run2_$runId")
+      s.table(s"st8_run2_$runId").localCheckpoint()
+        .orderBy("window_start", "event_type")
+    } finally {
+      s.catalog.dropTempView(s"st8_run1_$runId")
+      s.catalog.dropTempView(s"st8_run2_$runId")
+      org.apache.commons.io.FileUtils.deleteDirectory(root.toFile)
+    }
+  }
+
+  val st8Sql: String =
+    """SELECT time_bucket(INTERVAL '5 minutes', ts) AS window_start,
+      |  event_type, count(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+      |FROM (SELECT ts, event_type, value FROM events
+      |      UNION ALL
+      |      SELECT ts, event_type, value FROM events)
+      |GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st1_tumbling_window" -> st1Tumbling,
     "st2_sliding_window" -> st2Sliding,
     "st5_availablenow_catchup" -> st5AvailableNow,
+    "st8_checkpoint_resume" -> st8CheckpointResume,
   )
 
   val oracle: Map[String, String] = Map(
     "st1_tumbling_window" -> st1Sql,
     "st2_sliding_window" -> st2Sql,
     "st5_availablenow_catchup" -> st5Sql,
+    "st8_checkpoint_resume" -> st8Sql,
   )
 }
