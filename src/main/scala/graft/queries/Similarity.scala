@@ -317,6 +317,70 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** S8 — the IVF index as a PERSISTED artifact (build once / probe
+    * many, how ANN actually ships): the nearest-centroid assignment and
+    * the centroid table are REALLY written to parquet; the probe phase
+    * reads both back, assigns the incoming queries through the
+    * read-back centroids, and cell-probes the read-back index. Same
+    * relational answer as s4 — the oracle certifies that the index
+    * roundtrip (float-array parquet encode/decode included) changes no
+    * result bit, the d8/s9 pattern on the similarity side.
+    *
+    * Scale shape: the build is s4's one broadcast-assign pass persisted
+    * with ONE write; every later query batch pays only centroid
+    * broadcast + one cell-keyed equi-join against the index scan —
+    * amortizing the n×k assignment across all future probes.
+    */
+  def s8IvfPersisted(s: SparkSession, d: String): DataFrame = {
+    val e = withNorm(s, d)
+    val dir = java.nio.file.Files.createTempDirectory("graft_s8_")
+    try {
+      val cent = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cent_id"), col("embedding").as("ce"),
+          col("nrm").as("cnrm"))
+      e.crossJoin(broadcast(cent))
+        .withColumn("ccos",
+          expr("graft_dot(embedding, ce)") / (col("nrm") * col("cnrm")))
+        .groupBy(col("vec_id"))
+        .agg(first(col("embedding")).as("embedding"),
+          first(col("nrm")).as("nrm"),
+          expr("graft_topk(ccos, cent_id, 1)").as("top"))
+        .select(col("vec_id"), col("embedding"), col("nrm"),
+          try_element_at(col("top"), lit(1)).getField("id").as("cent_id"))
+        .write.parquet(s"$dir/ivf")
+      cent.write.parquet(s"$dir/centroids")
+
+      // ---- probe phase: only the persisted artifacts from here on ----
+      val index = s.read.parquet(s"$dir/ivf")
+      val cents = s.read.parquet(s"$dir/centroids")
+      val q = e.filter(col("vec_id") >= 8 && col("vec_id") < 13)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+          col("nrm").as("qnrm"))
+        .crossJoin(broadcast(cents))
+        .withColumn("ccos",
+          expr("graft_dot(qe, ce)") / (col("qnrm") * col("cnrm")))
+        .groupBy(col("query_id"))
+        .agg(first(col("qe")).as("qe"), first(col("qnrm")).as("qnrm"),
+          expr("graft_topk(ccos, cent_id, 1)").as("top"))
+        .select(col("query_id"), col("qe"), col("qnrm"),
+          try_element_at(col("top"), lit(1)).getField("id").as("qcell"))
+      index.join(broadcast(q),
+          col("cent_id") === col("qcell") && col("vec_id") =!= col("query_id"))
+        .withColumn("cos",
+          expr("graft_dot(qe, embedding)") / (col("qnrm") * col("nrm")))
+        .groupBy(col("query_id"))
+        .agg(expr("graft_topk(cos, vec_id, 3)").as("top"))
+        .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "t")))
+        .select(col("query_id"), col("t.id").as("neighbor_id"),
+          (col("pos") + 1).cast("int").as("rank"),
+          r6(col("t.score")).as("cos_sim"))
+        .localCheckpoint()
+        .orderBy("query_id", "rank")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+    }
+  }
+
   /** The S4 relation over any source relation `src(vec_id, embedding)`,
     * unordered — single SQL source for the s4 oracle and composites.
     */
@@ -532,6 +596,7 @@ object Similarity {
     "s2_lsh_neardup" -> s2LshNearDup,
     "s3_embedding_neardup" -> s3EmbeddingNearDup,
     "s4_ivf_topk" -> s4IvfTopK,
+    "s8_ivf_persisted" -> s8IvfPersisted,
   )
 
   val oracle: Map[String, String] = Map(
@@ -542,5 +607,6 @@ object Similarity {
     "s2_lsh_neardup" -> s2Sql,
     "s3_embedding_neardup" -> s3Sql,
     "s4_ivf_topk" -> s4Sql,
+    "s8_ivf_persisted" -> s4Sql,
   )
 }
