@@ -487,6 +487,44 @@ object Relational {
       |SELECT s_nationkey FROM supplier WHERE s_acctbal > 5000.0
       |ORDER BY nationkey""".stripMargin
 
+  /** O9 — full-outer reconciliation: per nation, customer-side vs
+    * supplier-side account totals with presence flags — the two-ledger
+    * diff (rows only-left, only-right, both) that completes the join
+    * matrix (inner/left/semi/anti/theta/as-of/range/interval are
+    * covered elsewhere). Shuffle hash join on the nation key; neither
+    * side is a dimension, so no broadcast is expected or wanted.
+    */
+  def o9FullOuterReconcile(s: SparkSession, d: String): DataFrame = {
+    val c = customer(s, d).groupBy(col("c_nationkey").as("nationkey"))
+      .agg(dsum(col("c_acctbal")).as("cust_bal"),
+        count(lit(1)).as("n_cust"))
+    val sup = supplier(s, d).groupBy(col("s_nationkey").as("nationkey"))
+      .agg(dsum(col("s_acctbal")).as("supp_bal"),
+        count(lit(1)).as("n_supp"))
+    c.join(sup, Seq("nationkey"), "full_outer")
+      .select(col("nationkey"),
+        col("cust_bal"), col("n_cust"), col("supp_bal"), col("n_supp"),
+        (col("cust_bal").isNotNull && col("supp_bal").isNotNull)
+          .as("in_both"))
+      .orderBy("nationkey")
+  }
+
+  val o9Sql: String =
+    """SELECT COALESCE(c.nationkey, s.nationkey) AS nationkey,
+      |  c.cust_bal, c.n_cust, s.supp_bal, s.n_supp,
+      |  c.cust_bal IS NOT NULL AND s.supp_bal IS NOT NULL AS in_both
+      |FROM (SELECT c_nationkey AS nationkey,
+      |        CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS cust_bal,
+      |        count(*) AS n_cust
+      |      FROM customer GROUP BY 1) c
+      |FULL OUTER JOIN
+      |     (SELECT s_nationkey AS nationkey,
+      |        CAST(SUM(CAST(s_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS supp_bal,
+      |        count(*) AS n_supp
+      |      FROM supplier GROUP BY 1) s
+      |USING (nationkey)
+      |ORDER BY nationkey""".stripMargin
+
   /** lead/lag analytics: per event, the gap (seconds) to the user's
     * previous and next event — the inter-arrival profile underlying the
     * sessionization gap threshold. One shuffle on user_id; both offsets
@@ -518,6 +556,7 @@ object Relational {
     "a10_rollup_totals" -> a10RollupTotals,
     "a11_percentiles" -> a11Percentiles,
     "a12_grouped_topk" -> a12GroupedTopK,
+    "o9_full_outer_reconcile" -> o9FullOuterReconcile,
     "o8_intersect" -> o8Intersect,
     "w4_lead_lag" -> w4LeadLag,
     "q1_pricing_summary" -> q1PricingSummary,
@@ -545,6 +584,7 @@ object Relational {
     "a10_rollup_totals" -> a10Sql,
     "a11_percentiles" -> a11Sql,
     "a12_grouped_topk" -> a12Sql,
+    "o9_full_outer_reconcile" -> o9Sql,
     "o8_intersect" -> o8Sql,
     "w4_lead_lag" -> w4Sql,
     "q1_pricing_summary" -> q1Sql,
