@@ -177,6 +177,88 @@ object EventWindows {
     }
   }
 
+  /** T2/T3 — source-commit protocol: the reference's row-count
+    * stabilization gate and download-completion watch
+    * (`DEFENSEVSPOSTION.PY:251-309`, `ctg_export_league.py:292-309`) in
+    * their Spark-native form. A producer that writes data files
+    * non-atomically must make in-progress output INVISIBLE to readers
+    * until committed — Spark's file-source convention is write-to-temp
+    * then atomic rename into the watched glob. This query stages a
+    * watched directory with one committed file (`a.parquet`) and one
+    * in-progress file (`_b.parquet.inprogress` — hidden by both the
+    * leading underscore and the explicit `pathGlobFilter=*.parquet`);
+    * checkpointed AvailableNow run 1 must aggregate ONLY the committed
+    * file. The producer then commits via atomic rename to `b.parquet`,
+    * and run 2 — resuming from the same checkpoint — reads only the
+    * newly committed file and folds it into recovered state.
+    *
+    * The returned frame carries BOTH terminal states per window:
+    * `n_committed` (run 1) and `n_after_commit` (run 2). The oracle
+    * replays them relationally as `count(*)` and `2*count(*)`, so the
+    * hash certifies the whole protocol: had the uncommitted file leaked
+    * into run 1, `n_committed` would be 2× and mismatch; had the rename
+    * not been picked up (or state been lost), `n_after_commit` would not
+    * be exactly double.
+    */
+  def st9CommitProtocol(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    events(s, d) // sets the nanosAsLong conf
+    val rawSchema = s.read.parquet(s"$d/events.parquet").schema
+    val root = java.nio.file.Files.createTempDirectory("graft_st9_")
+    val data = root.resolve("data"); java.nio.file.Files.createDirectory(data)
+    val cp = root.resolve("cp").toString
+    val runId = java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+
+    def runOnce(sink: String): Unit = {
+      val streamEv = s.readStream
+        .schema(rawSchema)
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(data.toString)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .withWatermark("ts", "10 minutes")
+      val q = tumbling(streamEv)
+        .writeStream
+        .format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .option("checkpointLocation", cp)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      require(q.awaitTermination(180000), "st9 run did not finish in time")
+    }
+
+    try {
+      val src = java.nio.file.Paths.get(s"$d/events.parquet")
+      java.nio.file.Files.copy(src, data.resolve("a.parquet"))
+      // producer starts writing b: in-progress name, outside the glob
+      java.nio.file.Files.copy(src, data.resolve("_b.parquet.inprogress"))
+      runOnce(s"st9_run1_$runId")
+      // producer commits b: atomic rename into the watched glob
+      java.nio.file.Files.move(
+        data.resolve("_b.parquet.inprogress"), data.resolve("b.parquet"),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      runOnce(s"st9_run2_$runId")
+      s.table(s"st9_run1_$runId").select(
+          col("window_start"), col("event_type"), col("n").as("n_committed"))
+        .join(
+          s.table(s"st9_run2_$runId").select(
+            col("window_start"), col("event_type"),
+            col("n").as("n_after_commit")),
+          Seq("window_start", "event_type"))
+        .localCheckpoint()
+        .orderBy("window_start", "event_type")
+    } finally {
+      s.catalog.dropTempView(s"st9_run1_$runId")
+      s.catalog.dropTempView(s"st9_run2_$runId")
+      org.apache.commons.io.FileUtils.deleteDirectory(root.toFile)
+    }
+  }
+
+  val st9Sql: String =
+    """SELECT time_bucket(INTERVAL '5 minutes', ts) AS window_start,
+      |  event_type, count(*) AS n_committed, 2 * count(*) AS n_after_commit
+      |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin
+
   val st8Sql: String =
     """SELECT time_bucket(INTERVAL '5 minutes', ts) AS window_start,
       |  event_type, count(*) AS n,
@@ -191,6 +273,7 @@ object EventWindows {
     "st2_sliding_window" -> st2Sliding,
     "st5_availablenow_catchup" -> st5AvailableNow,
     "st8_checkpoint_resume" -> st8CheckpointResume,
+    "st9_commit_protocol" -> st9CommitProtocol,
   )
 
   val oracle: Map[String, String] = Map(
@@ -198,5 +281,6 @@ object EventWindows {
     "st2_sliding_window" -> st2Sql,
     "st5_availablenow_catchup" -> st5Sql,
     "st8_checkpoint_resume" -> st8Sql,
+    "st9_commit_protocol" -> st9Sql,
   )
 }
