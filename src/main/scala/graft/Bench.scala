@@ -95,6 +95,16 @@ object Bench {
     val total = passes.head.map(_._2).sum
     val sumOfMin = minPer.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_first_pass":$firstQs,"sum_of_min":$sumOfMin,"reps":$reps,"errors":$errJson,"sf":"${esc(sfDir)}"}""")
+    // Compact summary, printed LAST (r8 verdict #3): the driver records
+    // only a bounded TAIL of stdout, and the full line above has grown
+    // past it — two rounds in a row the leading total/sum_of_min fields
+    // were truncated away, leaving only load-sensitive first-pass times
+    // and triggering false regression alarms. The final ~300-byte line
+    // always survives the tail and carries the contention-resistant
+    // numbers: sum-of-min, first-pass total, error count, and the ten
+    // most expensive per-query MINS.
+    val top10 = minPer.filter(_._2 >= 0).sortBy(-_._2).take(10)
+    println(s"""{"metric":"summary","sum_of_min":$sumOfMin,"total":$total,"n_queries":${minPer.size},"n_errors":${errors.size},"top10_min":${jmap(top10.map { case (k, v) => k -> f"$v%.3f" })},"sf":"${esc(sfDir)}"}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

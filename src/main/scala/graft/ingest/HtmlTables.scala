@@ -30,9 +30,18 @@ import scala.collection.mutable.ArrayBuffer
   *    `colspan` repeats the value across the span; short rows are
   *    null-padded to header width (pandas fills NaN).
   *
-  * Known subset limitations (document-shaped, verified against the
-  * reference's actual pages): no nested `<table>`, no `rowspan`
-  * carry-down — neither occurs in the stat-table family.
+  *  - `rowspan` carries the cell value down into the following rows at
+  *    its column position (pandas `_expand_colspan_rowspan` parity —
+  *    the reference's extractor is `read_html`, which does this
+  *    natively); the carry is per section (thead rows and body rows
+  *    expand independently, matching pandas's per-section calls);
+  *  - body rows WIDER than the header widen the table: extra columns
+  *    get positional `col_{i}` names (pandas widens with integer
+  *    labels; a stable string form keeps the P1/P2 algebra total).
+  *
+  * Known subset limitation (document-shaped, verified against the
+  * reference's actual pages): no nested `<table>` — does not occur in
+  * the stat-table family.
   *
   * Parsing is a per-page, executor-side operation (see
   * [[graft.sources.HtmlTableSource]] — one input partition per page
@@ -140,6 +149,7 @@ object HtmlTables {
   private val theadRe = "(?is)<thead\\b[^>]*>(.*?)</thead\\s*>".r
   private val idRe = "(?is)\\bid\\s*=\\s*(\"([^\"]*)\"|'([^']*)'|([^\\s>]+))".r
   private val colspanRe = "(?is)\\bcolspan\\s*=\\s*[\"']?(\\d+)".r
+  private val rowspanRe = "(?is)\\browspan\\s*=\\s*[\"']?(\\d+)".r
 
   /** id attribute of the opening tag of `tableHtml`, or "". */
   private def tableId(tableHtml: String): String = {
@@ -150,15 +160,59 @@ object HtmlTables {
     }.getOrElse("").trim
   }
 
-  /** One `<tr>`'s cells as (isHeaderCell, colspan, text), spans expanded. */
-  private def parseRow(rowInner: String): Seq[(Boolean, String)] =
-    cellRe.findAllMatchIn(rowInner).flatMap { m =>
+  /** One raw cell: header-ness, spans, text — before any expansion. */
+  private[ingest] case class Cell(isTh: Boolean, colspan: Int, rowspan: Int,
+      text: String)
+
+  /** One `<tr>`'s cells, spans still attached. */
+  private def parseRow(rowInner: String): Seq[Cell] =
+    cellRe.findAllMatchIn(rowInner).map { m =>
       val isTh = m.group(1).equalsIgnoreCase("th")
-      val span = colspanRe.findFirstMatchIn(m.group(2))
+      val cs = colspanRe.findFirstMatchIn(m.group(2))
         .map(_.group(1).toInt).getOrElse(1).max(1)
-      val text = cellText(m.group(3))
-      Seq.fill(span)((isTh, text))
+      val rs = rowspanRe.findFirstMatchIn(m.group(2))
+        .map(_.group(1).toInt).getOrElse(1).max(1)
+      Cell(isTh, cs, rs, cellText(m.group(3)))
     }.toSeq
+
+  /** pandas `_expand_colspan_rowspan` parity: colspan repeats a cell
+    * across its row; rowspan carries it DOWN into the next rows at its
+    * column index. The remainder list holds (columnIndex, text,
+    * rowsLeft, isTh) for cells still spanning; each new row interleaves
+    * carried cells (at their recorded index) with the row's own cells,
+    * exactly pandas's `while remainder and remainder[0][0] <= index`
+    * merge. Expansion is per section — callers pass thead rows and body
+    * rows separately, as pandas does.
+    */
+  private[ingest] def expandSpans(rawRows: Seq[Seq[Cell]])
+      : Seq[Seq[(Boolean, String)]] = {
+    var remainder = List.empty[(Int, String, Int, Boolean)]
+    rawRows.map { row =>
+      val texts = ArrayBuffer.empty[(Boolean, String)]
+      val next = ArrayBuffer.empty[(Int, String, Int, Boolean)]
+      var index = 0
+      var rem = remainder
+      row.foreach { c =>
+        while (rem.nonEmpty && rem.head._1 <= index) {
+          val (pi, pt, left, pth) = rem.head; rem = rem.tail
+          texts += ((pth, pt))
+          if (left > 1) next += ((pi, pt, left - 1, pth))
+          index += 1
+        }
+        (0 until c.colspan).foreach { _ =>
+          texts += ((c.isTh, c.text))
+          if (c.rowspan > 1) next += ((index, c.text, c.rowspan - 1, c.isTh))
+          index += 1
+        }
+      }
+      rem.foreach { case (pi, pt, left, pth) =>
+        texts += ((pth, pt))
+        if (left > 1) next += ((pi, pt, left - 1, pth))
+      }
+      remainder = next.sortBy(_._1).toList
+      texts.toSeq
+    }
+  }
 
   /** Parse one `<table>…</table>` fragment (id resolution happens in
     * [[extractAll]] because the Unidentified fallback is positional).
@@ -168,30 +222,36 @@ object HtmlTables {
     val theadInner = theadRe.findFirstMatchIn(tableHtml).map(_.group(1))
     val bodyHtml = theadRe.replaceAllIn(tableHtml, "")
 
-    val headerRows: Seq[Seq[String]] = theadInner match {
-      case Some(h) =>
-        trRe.findAllMatchIn(h).map(m => parseRow(m.group(1)).map(_._2)).toSeq
-      case None =>
-        // pandas: leading all-<th> rows act as the header
-        trRe.findAllMatchIn(tableHtml).map(m => parseRow(m.group(1)))
-          .takeWhile(cells => cells.nonEmpty && cells.forall(_._1))
-          .map(_.map(_._2)).toSeq
-    }
-
-    val bodyAll = (theadInner match {
-      case Some(_) => trRe.findAllMatchIn(bodyHtml).map(m => parseRow(m.group(1))).toSeq
-      case None => trRe.findAllMatchIn(tableHtml).map(m => parseRow(m.group(1))).toSeq
-        .drop(headerRows.size)
-    }).map(_.map(_._2))
+    val (headerRows, bodyAll): (Seq[Seq[String]], Seq[Seq[String]]) =
+      theadInner match {
+        case Some(h) =>
+          // thead and body expand as separate sections (pandas parity)
+          val hdr = expandSpans(
+            trRe.findAllMatchIn(h).map(m => parseRow(m.group(1))).toSeq)
+          val body = expandSpans(
+            trRe.findAllMatchIn(bodyHtml).map(m => parseRow(m.group(1))).toSeq)
+          (hdr.map(_.map(_._2)), body.map(_.map(_._2)))
+        case None =>
+          // pandas: one section; leading all-<th> rows act as the header
+          val all = expandSpans(
+            trRe.findAllMatchIn(tableHtml).map(m => parseRow(m.group(1))).toSeq)
+          val hdr = all.takeWhile(cs => cs.nonEmpty && cs.forall(_._1))
+          (hdr.map(_.map(_._2)), all.drop(hdr.size).map(_.map(_._2)))
+      }
 
     val nHeader = headerRows.map(_.size).maxOption.getOrElse(0)
-    val width = math.max(nHeader,
-      if (nHeader > 0) 0 else bodyAll.map(_.size).maxOption.getOrElse(0))
+    val nBody = bodyAll.map(_.size).maxOption.getOrElse(0)
+    val width = math.max(nHeader, nBody)
 
-    // per-column MultiIndex parts: ragged header rows right-pad with ""
+    // per-column MultiIndex parts: ragged header rows right-pad with "";
+    // body columns beyond the header widen the table with positional
+    // names (pandas widens with integer labels)
     val headerParts: Seq[Seq[String]] =
       if (headerRows.isEmpty) Seq.empty
-      else (0 until width).map(c => headerRows.map(r => r.lift(c).getOrElse("")))
+      else (0 until width).map { c =>
+        if (c < nHeader) headerRows.map(r => r.lift(c).getOrElse(""))
+        else Seq(s"col_$c")
+      }
 
     // read_html parity: an empty/whitespace-only cell is NaN, not ""
     val rows = bodyAll.map { r =>

@@ -22,12 +22,19 @@ object Columns {
 
   /** Join the non-empty parts of one MultiIndex header tuple. Parts that
     * are blank or pandas-style `Unnamed: 3_level_0` placeholders are
-    * dropped; a fully-empty tuple becomes `Unnamed`.
+    * dropped, as are consecutive repeats (a `rowspan`'d header cell
+    * occupies every level of its column's tuple — ("Rk","Rk") means the
+    * one label "Rk", not a two-part name); a fully-empty tuple becomes
+    * `Unnamed`.
     */
   def flattenHeader(parts: Seq[String], sep: String = " "): String = {
     val kept = parts.map(_.trim)
       .filter(p => p.nonEmpty && !p.toLowerCase.startsWith("unnamed"))
-    if (kept.isEmpty) "Unnamed" else kept.mkString(sep)
+    val deduped = kept.foldLeft(List.empty[String]) {
+      case (acc, p) if acc.headOption.contains(p) => acc
+      case (acc, p) => p :: acc
+    }.reverse
+    if (deduped.isEmpty) "Unnamed" else deduped.mkString(sep)
   }
 
   /** Flatten a full two-row (or n-row) header into one name per column. */

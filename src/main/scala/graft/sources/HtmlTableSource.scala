@@ -107,21 +107,34 @@ object HtmlTableSource {
   private[sources] def pageName(f: java.io.File): String =
     f.getName.replaceAll("\\.html?$", "")
 
-  /** Parse ONE page and return the named table, if present. */
+  /** Parse ONE page and return the named table, if present. LAST match
+    * wins when several raw ids map to one friendly name (advanced /
+    * advanced_stats → Advanced): the reference assigns tables into a
+    * dict keyed by name (`unified_nba_scraper.py:262-274`), so a later
+    * variant overwrites an earlier one.
+    */
   private[sources] def tableIn(file: java.io.File, tableId: String)
       : Option[HtmlTables.ParsedTable] = {
     val html = new String(
       java.nio.file.Files.readAllBytes(file.toPath),
       java.nio.charset.StandardCharsets.UTF_8)
-    HtmlTables.extractAll(html).find(_.tableId == tableId)
+    HtmlTables.extractAll(html).filter(_.tableId == tableId).lastOption
   }
 
   /** Normalized header names for the table (shared algebra with every
-    * other raw-table path — [[Columns.normalizeRawHeaders]]).
+    * other raw-table path — [[Columns.normalizeRawHeaders]]). A
+    * headerless table (no thead, no leading all-`<th>` row) gets
+    * positional `col_{i}` names — pandas `read_html` keeps such data
+    * under integer column labels rather than dropping it.
     */
-  private[sources] def dataNames(t: HtmlTables.ParsedTable): Seq[String] =
-    Columns.normalizeRawHeaders(t.flatHeaders,
+  private[sources] def dataNames(t: HtmlTables.ParsedTable): Seq[String] = {
+    val flat =
+      if (t.flatHeaders.nonEmpty) t.flatHeaders
+      else (0 until t.rows.map(_.size).maxOption.getOrElse(0))
+        .map(i => s"col_$i")
+    Columns.normalizeRawHeaders(flat,
       reserved = Set("page", "from_comment", "row_idx"))
+  }
 
   private[sources] def buildSchema(path: String, tableId: String): StructType =
     if (tableId == allTables) longSchema
@@ -216,8 +229,21 @@ class HtmlTableReaderFactory(tableId: String,
       private val page = HtmlTableSource.pageName(file)
       private val rows: Iterator[(Long, Boolean, Seq[String])] =
         HtmlTableSource.tableIn(file, tableId) match {
-          case Some(t) => t.rows.iterator.zipWithIndex
-            .map { case (r, i) => (i.toLong, t.fromComment, r) }
+          case Some(t) =>
+            // schema-drift guard: the schema was inferred from the first
+            // page carrying this table; a page whose headers differ would
+            // otherwise misalign cells POSITIONALLY and silently corrupt
+            // every downstream value. Fail loudly with the page name
+            // instead (the reference re-reads each page's own headers,
+            // `unified_nba_scraper.py:284-289`, so it cannot misalign).
+            val names = HtmlTableSource.dataNames(t)
+            val expected = full.fieldNames.drop(HtmlTableSource.metaFields.size).toSeq
+            if (names != expected)
+              throw new IllegalStateException(
+                s"html table '$tableId' on page '$page' has drifted headers: " +
+                  s"expected $expected, found $names")
+            t.rows.iterator.zipWithIndex
+              .map { case (r, i) => (i.toLong, t.fromComment, r) }
           case None => Iterator.empty
         }
       // source-side projection: only required ordinals materialize

@@ -81,6 +81,41 @@ object HtmlTablesProps extends Properties("HtmlTables") {
       }
     }
 
+  /** Rowspan round-trip: take any full grid, give cell (r,c) rowspan=k
+    * and DELETE the covered cells from the next k-1 rows (that's what a
+    * producer emitting rowspan does); the parser must reconstruct the
+    * full grid, with (r,c)'s value carried into the deleted positions.
+    */
+  property("rowspan carry-down reconstructs the full grid") =
+    forAll(for {
+      t <- tableGen.suchThat(t => t.rows.size >= 2)
+      r <- Gen.choose(0, t.rows.size - 2)
+      c <- Gen.choose(0, t.headers.size - 1)
+      k <- Gen.choose(2, t.rows.size - r)
+    } yield (t, r, c, k)) { case (t, r, c, k) =>
+      val thead = t.headers.map(h => s"<th>${esc(h)}</th>").mkString
+      val body = t.rows.zipWithIndex.map { case (row, i) =>
+        val cells = row.zipWithIndex.flatMap { case (v, j) =>
+          if (i == r && j == c) Some(s"""<td rowspan="$k">${esc(v)}</td>""")
+          else if (i > r && i < r + k && j == c) None // covered by the span
+          else Some(s"<td>${esc(v)}</td>")
+        }
+        "<tr>" + cells.mkString + "</tr>"
+      }.mkString("\n")
+      val html =
+        s"""<table id="t"><thead><tr>$thead</tr></thead><tbody>$body</tbody></table>"""
+      val expected = t.rows.zipWithIndex.map { case (row, i) =>
+        val filled =
+          if (i > r && i < r + k) row.updated(c, t.rows(r)(c)) else row
+        filled.map(expectCell)
+      }
+      HtmlTables.extractAll(html) match {
+        case Seq(parsed) =>
+          Prop(parsed.rows == expected) :| s"parsed=${parsed.rows} expected=$expected"
+        case other => Prop(false) :| s"expected 1 table, got ${other.size}"
+      }
+    }
+
   property("visible and commented copies of the same table both surface, in order") =
     forAll(tableGen) { t =>
       val html = render(t) + "\n<!-- " + render(t) + " -->"

@@ -90,6 +90,54 @@ class HtmlTablesSpec extends AnyFunSuite {
     assert(HtmlTables.cellText("A<br/>B") == "AB") // literal BS4 behavior
   }
 
+  test("body rowspan carries the cell value down (read_html parity)") {
+    val html =
+      """<table id="r"><thead><tr><th>Team</th><th>Player</th></tr></thead>
+        |<tbody>
+        |<tr><td rowspan="2">BOS</td><td>Tatum</td></tr>
+        |<tr><td>Brown</td></tr>
+        |<tr><td>LAL</td><td>James</td></tr>
+        |</tbody></table>""".stripMargin
+    val t = HtmlTables.extractAll(html).head
+    assert(t.rows == Seq(
+      Seq("BOS", "Tatum"), Seq("BOS", "Brown"), Seq("LAL", "James")))
+  }
+
+  test("thead rowspan fills every level of its column's tuple") {
+    val html =
+      """<table id="h"><thead>
+        |<tr><th rowspan="2">Rk</th><th colspan="2">Offense</th></tr>
+        |<tr><th>PTS</th><th>FG%</th></tr>
+        |</thead><tbody><tr><td>1</td><td>30</td><td>.5</td></tr></tbody></table>"""
+        .stripMargin
+    val t = HtmlTables.extractAll(html).head
+    assert(t.headerParts == Seq(
+      Seq("Rk", "Rk"), Seq("Offense", "PTS"), Seq("Offense", "FG%")))
+    assert(t.flatHeaders == Seq("Rk", "Offense PTS", "Offense FG%"))
+  }
+
+  test("rowspan+colspan on one cell blocks out its full rectangle") {
+    val html =
+      """<table id="rc"><tbody>
+        |<tr><td rowspan="2" colspan="2">X</td><td>a</td></tr>
+        |<tr><td>b</td></tr>
+        |<tr><td>p</td><td>q</td><td>r</td></tr>
+        |</tbody></table>""".stripMargin
+    val t = HtmlTables.extractAll(html).head
+    assert(t.rows == Seq(
+      Seq("X", "X", "a"), Seq("X", "X", "b"), Seq("p", "q", "r")))
+  }
+
+  test("body rows wider than the header widen the table with col_i names") {
+    val html =
+      """<table id="w"><thead><tr><th>A</th></tr></thead>
+        |<tbody><tr><td>1</td><td>2</td></tr><tr><td>3</td></tr></tbody></table>"""
+        .stripMargin
+    val t = HtmlTables.extractAll(html).head
+    assert(t.flatHeaders == Seq("A", "col_1"))
+    assert(t.rows == Seq(Seq("1", "2"), Seq("3", null)))
+  }
+
   test("empty-bodied tables are dropped like the reference's len(df)<1 skip") {
     val html = """<table id="empty"><tr><th>A</th></tr></table>"""
     assert(HtmlTables.extractAll(html).isEmpty)

@@ -1,8 +1,10 @@
 package graft.queries
 
 import graft.{SparkSpecBase, SparkEntry}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.catalyst.plans.logical.{Join, Window => LWindow}
 import org.apache.spark.sql.catalyst.plans.{Cross, InnerLike}
+import org.apache.spark.sql.functions._
 
 /** The round-audit "no scale-killers" claim as a CI contract: every
   * registered query's optimized logical plan is swept for the two
@@ -24,6 +26,15 @@ import org.apache.spark.sql.catalyst.plans.{Cross, InnerLike}
   * AdaptiveSparkPlanExec, which hides children from collect; the
   * optimized logical plan is fully traversable and is where both
   * patterns are decided anyway.
+  *
+  * EAGERLY-EXECUTING queries (r8 advice): queries that return a
+  * `localCheckpoint`ed frame (their scratch files/memory sinks don't
+  * outlive the call) present only a truncated checkpoint-scan plan
+  * here, so sweeping them would (a) audit nothing real and (b) fully
+  * execute their streaming jobs and file I/O inside a "planning" test.
+  * They are EXCLUDED from the registered-query sweep; the second test
+  * audits their inner batch transforms directly, and the map below
+  * records where each one's real plan shape is certified.
   */
 class AntiPatternSweepSpec extends SparkSpecBase {
 
@@ -35,29 +46,95 @@ class AntiPatternSweepSpec extends SparkSpecBase {
     "s4_ivf_topk",            // bounded centroid/dim relation
     "a9_completeness_grid")   // expected-grid dim × dim (SURVEY A9)
 
+  /** Checkpoint-truncated queries → where the real plan shape IS
+    * audited instead (inner-transform test below, a batch twin, or a
+    * dedicated spec).
+    */
+  private val checkpointTruncated = Map(
+    "st5_availablenow_catchup" -> "EventWindows.tumbling audited below",
+    "st8_checkpoint_resume" -> "EventWindows.tumbling audited below",
+    "st9_commit_protocol" -> "EventWindows.tumbling audited below",
+    "st6_stream_dedup" ->
+      ("streaming-only dropDuplicatesWithinWatermark; state bounded by " +
+        "watermark horizon (StreamingDedupSpec)"),
+    "st7_stream_sessionize" ->
+      "batch twin st3_sessionize swept here; typed state in SessionizeSpec",
+    "d6_neardup_clusters" ->
+      "iterative star-contraction; per-round shape in ChainGraphSpec",
+    "d8_incremental_dedup" -> "Dedup.d8Decide audited below",
+    "s8_ivf_persisted" ->
+      "probe plan identical to s4_ivf_topk (swept); build ≡ s4 assignment",
+    "s9_partitioned_roundtrip" ->
+      "bounded broadcast(meta) cross join (allowlist); rest is scratch scan",
+    "a1_fanout_layout" ->
+      ("per-dir scan union + window PARTITIONED by source_dir " +
+        "(a1Layout audited below)"),
+    "s11_run_summary" ->
+      ("pre-write side is one groupBy tally (Sinks.writeRunSummary); " +
+        "result is a scratch scan"),
+    "s12_csv_to_json" ->
+      "bounded broadcast(_meta) cross join (allowlist); rest is scratch scan",
+    "s13_skip_existing" ->
+      ("existence probe loops over DISTINCT partition keys only (spec'd); " +
+        "result is a scratch scan"))
+
+  private def sweep(name: String, df: => DataFrame,
+      failures: scala.collection.mutable.ArrayBuffer[String]): Unit = {
+    val plan =
+      try df.queryExecution.optimizedPlan
+      catch { case e: Throwable =>
+        failures += s"$name: failed to plan (${e.getMessage})"
+        null
+      }
+    if (plan != null) {
+      val globalWindows = plan.collect {
+        case w: LWindow if w.partitionSpec.isEmpty => w
+      }
+      if (globalWindows.nonEmpty)
+        failures += s"$name: window with empty partitionSpec (global order)"
+      val bareCross = plan.collect {
+        case j: Join if j.condition.isEmpty &&
+          (j.joinType == Cross || j.joinType.isInstanceOf[InnerLike]) => j
+      }
+      if (bareCross.nonEmpty && !boundedCrossJoins(name))
+        failures += s"$name: condition-less inner/cross join outside the audited set"
+    }
+  }
+
   test("no registered query plans a global-order window or unbounded cross join") {
     val failures = scala.collection.mutable.ArrayBuffer.empty[String]
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-      val plan =
-        try fn(spark, sf).queryExecution.optimizedPlan
-        catch { case e: Throwable =>
-          failures += s"$name: failed to plan (${e.getMessage})"
-          null
-        }
-      if (plan != null) {
-        val globalWindows = plan.collect {
-          case w: LWindow if w.partitionSpec.isEmpty => w
-        }
-        if (globalWindows.nonEmpty)
-          failures += s"$name: window with empty partitionSpec (global order)"
-        val bareCross = plan.collect {
-          case j: Join if j.condition.isEmpty &&
-            (j.joinType == Cross || j.joinType.isInstanceOf[InnerLike]) => j
-        }
-        if (bareCross.nonEmpty && !boundedCrossJoins(name))
-          failures += s"$name: condition-less inner/cross join outside the audited set"
-      }
+    SparkEntry.queries.toSeq.sortBy(_._1)
+      .filterNot { case (name, _) => checkpointTruncated.contains(name) }
+      .foreach { case (name, fn) => sweep(name, fn(spark, sf), failures) }
+    assert(failures.isEmpty, failures.mkString("\n"))
+  }
+
+  test("checkpoint-truncated queries: inner transforms pass the same sweep") {
+    val failures = scala.collection.mutable.ArrayBuffer.empty[String]
+    val ev = graft.Tables.events(spark, sf)
+
+    // st5/st8/st9 run these exact transforms through readStream
+    sweep("EventWindows.tumbling", graft.streaming.EventWindows.tumbling(ev),
+      failures)
+    sweep("EventWindows.sliding", graft.streaming.EventWindows.sliding(ev),
+      failures)
+
+    // d8's decision join/window over batch-shaped inputs
+    val docs = graft.Tables.documents(spark, sf)
+    val batch = docs.select(col("doc_id"), md5(col("text")).as("text_hash"))
+    val index = docs.limit(10)
+      .select(md5(col("text")).as("text_hash"), col("doc_id").as("keeper_id"))
+    sweep("Dedup.d8Decide", Dedup.d8Decide(batch, index), failures)
+
+    // a1's read-back shape: per-key scan union + key-partitioned window
+    val a1Layout = {
+      import org.apache.spark.sql.expressions.Window
+      docs.select(col("doc_id"), col("source").as("source_dir"))
+        .withColumn("n_in_dir",
+          count(lit(1)).over(Window.partitionBy(col("source_dir"))))
     }
+    sweep("a1.layout", a1Layout, failures)
+
     assert(failures.isEmpty, failures.mkString("\n"))
   }
 }

@@ -72,6 +72,71 @@ class HtmlTableSourceSpec extends SparkSpecBase {
       "page", "table_id", "from_comment", "row_idx", "col", "value"))
   }
 
+  private def writePage(dir: java.nio.file.Path, name: String,
+      html: String): Unit =
+    java.nio.file.Files.writeString(dir.resolve(name), html)
+
+  private def inTempDir[A](f: java.nio.file.Path => A): A = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_html_src")
+    try f(dir)
+    finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.list(dir).iterator().asScala
+        .foreach(java.nio.file.Files.delete)
+      java.nio.file.Files.delete(dir)
+    }
+  }
+
+  test("duplicate friendly name: LAST table wins (reference dict-overwrite)") {
+    inTempDir { dir =>
+      // advanced and advanced_stats both map to Advanced; the reference's
+      // dict assignment keeps the later one
+      writePage(dir, "bos.html",
+        """<table id="advanced"><tr><th>A</th></tr><tr><td>old</td></tr></table>
+          |<table id="advanced_stats"><tr><th>A</th></tr><tr><td>new</td></tr>
+          |</table>""".stripMargin)
+      val df = spark.read.format("graft.sources.HtmlTableSource")
+        .option("path", dir.toString).option("tableId", "Advanced").load()
+      assert(df.select("A").collect().map(_.getString(0)).toSeq == Seq("new"))
+    }
+  }
+
+  test("headerless table surfaces under positional col_i names (long and wide)") {
+    inTempDir { dir =>
+      writePage(dir, "bos.html",
+        """<table id="notes"><tr><td>Arena</td><td>TD Garden</td></tr>
+          |<tr><td>Coach</td><td>Joe Mazzulla</td></tr></table>""".stripMargin)
+      val wide = spark.read.format("graft.sources.HtmlTableSource")
+        .option("path", dir.toString).option("tableId", "notes").load()
+      assert(wide.schema.fieldNames.toSeq ==
+        Seq("page", "from_comment", "row_idx", "col_0", "col_1"))
+      assert(wide.orderBy("row_idx").select("col_0", "col_1").collect()
+        .map(_.toSeq).toSeq ==
+        Seq(Seq("Arena", "TD Garden"), Seq("Coach", "Joe Mazzulla")))
+      val long = spark.read.format("graft.sources.HtmlTableSource")
+        .option("path", dir.toString).option("tableId", "*").load()
+        .filter(col("table_id") === "notes")
+      assert(long.count() == 4) // 2 rows x 2 cells — no silent drop
+    }
+  }
+
+  test("schema drift across pages fails loudly with the page name") {
+    inTempDir { dir =>
+      writePage(dir, "a_first.html",
+        """<table id="roster"><tr><th>Rk</th><th>Name</th></tr>
+          |<tr><td>1</td><td>Tatum</td></tr></table>""".stripMargin)
+      writePage(dir, "b_drifted.html",
+        """<table id="roster"><tr><th>Rk</th><th>FullName</th></tr>
+          |<tr><td>1</td><td>James</td></tr></table>""".stripMargin)
+      val df = spark.read.format("graft.sources.HtmlTableSource")
+        .option("path", dir.toString).option("tableId", "Roster").load()
+      val e = intercept[org.apache.spark.SparkException] { df.collect() }
+      val msg = Option(e.getCause).map(_.getMessage).getOrElse(e.getMessage)
+      assert(msg.contains("b_drifted") && msg.contains("drifted headers"),
+        s"unexpected message: $msg")
+    }
+  }
+
   test("a directory of pages scans one partition per page, page filter prunes files") {
     val dir = java.nio.file.Files.createTempDirectory("graft_html_pages")
     try {
