@@ -276,11 +276,18 @@ object Similarity {
   def s4IvfTopK(s: SparkSession, d: String): DataFrame =
     ivfTopKOf(withNorm(s, d))
 
-  /** The IVF pipeline over any (vec_id, embedding, nrm) frame — used by
-    * the registered query and by s7's recall measurement over the capped
-    * set.
+  /** The scored IVF candidate set over any (vec_id, embedding, nrm)
+    * frame: every (query, indexed-vector) pair the probe phase scans,
+    * with its cosine — `(query_id, vec_id, cos)`. With `nprobe > 1` the
+    * query probes its `nprobe` NEAREST cells instead of only its own
+    * (production IVF tuning: recall rises with the number of probed
+    * cells, and so does scan cost — this frame's cardinality IS that
+    * cost). Each indexed vector lives in exactly one cell (k=1
+    * assignment) and a query's probed cells are distinct, so a pair is
+    * emitted at most once; the plan stays equi-join-shaped (cell-keyed
+    * join, never all-pairs) at every nprobe.
     */
-  private def ivfTopKOf(e: DataFrame): DataFrame = {
+  private def ivfCandidates(e: DataFrame, nprobe: Int): DataFrame = {
     val cent = e.filter(col("vec_id") < 8)
       .select(col("vec_id").as("cent_id"), col("embedding").as("ce"),
         col("nrm").as("cnrm"))
@@ -289,9 +296,10 @@ object Similarity {
     // n×k assignment rows partial-aggregate map-side to one row per
     // vector instead of window-sorting the full product. embedding/nrm
     // are constant within a vec_id group, so first() is deterministic.
-    val assigned = e.crossJoin(broadcast(cent))
+    val scored = e.crossJoin(broadcast(cent))
       .withColumn("ccos",
         expr("graft_dot(embedding, ce)") / (col("nrm") * col("cnrm")))
+    val assigned = scored
       .groupBy(col("vec_id"))
       .agg(first(col("embedding")).as("embedding"), first(col("nrm")).as("nrm"),
         expr("graft_topk(ccos, cent_id, 1)").as("top"))
@@ -301,13 +309,29 @@ object Similarity {
       // under ANSI. Null cent_id rows then drop out of the probe join.
       .select(col("vec_id"), col("embedding"), col("nrm"),
         try_element_at(col("top"), lit(1)).getField("id").as("cent_id"))
-    val q = assigned.filter(col("vec_id") >= 8 && col("vec_id") < 13)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
-        col("nrm").as("qnrm"), col("cent_id").as("qcell"))
+    // the query side re-aggregates with k=nprobe and EXPLODES into one
+    // probe row per (query, cell) — still bounded by 5 queries × nprobe
+    val q = scored.filter(col("vec_id") >= 8 && col("vec_id") < 13)
+      .groupBy(col("vec_id"))
+      .agg(first(col("embedding")).as("qe"), first(col("nrm")).as("qnrm"),
+        expr(s"graft_topk(ccos, cent_id, $nprobe)").as("top"))
+      .select(col("vec_id").as("query_id"), col("qe"), col("qnrm"),
+        explode(col("top")).as("t"))
+      .select(col("query_id"), col("qe"), col("qnrm"),
+        col("t.id").as("qcell"))
     assigned.join(broadcast(q),
         col("cent_id") === col("qcell") && col("vec_id") =!= col("query_id"))
-      .withColumn("cos",
-        expr("graft_dot(qe, embedding)") / (col("qnrm") * col("nrm")))
+      .select(col("query_id"), col("vec_id"),
+        (expr("graft_dot(qe, embedding)") / (col("qnrm") * col("nrm")))
+          .as("cos"))
+  }
+
+  /** The IVF top-3 pipeline over any (vec_id, embedding, nrm) frame —
+    * used by the registered s4 query, s7's recall measurement, and the
+    * s10 multi-probe harness.
+    */
+  private def ivfTopKOf(e: DataFrame, nprobe: Int = 1): DataFrame =
+    ivfCandidates(e, nprobe)
       .groupBy(col("query_id"))
       .agg(expr("graft_topk(cos, vec_id, 3)").as("top"))
       .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "t")))
@@ -315,7 +339,6 @@ object Similarity {
         (col("pos") + 1).cast("int").as("rank"),
         r6(col("t.score")).as("cos_sim"))
       .orderBy("query_id", "rank")
-  }
 
   /** S8 — the IVF index as a PERSISTED artifact (build once / probe
     * many, how ANN actually ships): the nearest-centroid assignment and
@@ -588,8 +611,106 @@ object Similarity {
       |FROM rows ORDER BY method""".stripMargin
   }
 
+  /** S10 — the IVF recall/cost trade-off curve (how `nprobe` is tuned
+    * in production, r8 verdict stretch): for nprobe ∈ {1, 2, 4}, top-3
+    * recall against the exact brute-force top-3 over the bounded
+    * [[s3Cap]] set, next to the probe's SCAN COST — the number of
+    * (query, candidate) pairs the cell-keyed join emits at that nprobe.
+    * Wall-clock latency is machine-dependent and can't be hash-pinned;
+    * the candidate count is its deterministic proxy (the probe does
+    * O(1) work per candidate pair). The oracle replays every level
+    * relationally, so the hash certifies the whole tuning curve: a
+    * growing probed-cell set makes recall non-decreasing in nprobe, and
+    * `candidates` records what each recall point costs. The plan stays
+    * equi-join-shaped at every level — nprobe multiplies probe rows
+    * (queries × cells), never join structure.
+    */
+  def s10IvfMultiprobe(s: SparkSession, d: String): DataFrame = {
+    val capped = withNorm(s, d).filter(col("vec_id") < s3Cap)
+      .select(col("vec_id"), col("embedding"), col("nrm"))
+    val q = capped.filter(col("vec_id") >= 8 && col("vec_id") < 13)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        col("nrm").as("qnrm"))
+    val exactTop = capped.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .withColumn("cos",
+        expr("graft_dot(qe, embedding)") / (col("qnrm") * col("nrm")))
+      .groupBy(col("query_id"))
+      .agg(expr("graft_topk(cos, vec_id, 3)").as("top"))
+      .select(col("query_id"), explode(col("top")).as("t"))
+      .select(col("query_id"), col("t.id").as("neighbor_id"))
+    Seq(1, 2, 4).map { np =>
+      ivfTopKOf(capped, np).select("query_id", "neighbor_id")
+        .intersect(exactTop).agg(count(lit(1)).as("hits"))
+        .crossJoin(exactTop.agg(count(lit(1)).as("truth")))
+        .crossJoin(ivfCandidates(capped, np)
+          .agg(count(lit(1)).as("candidates")))
+        .select(lit(np).as("nprobe"), col("hits"), col("truth"),
+          when(col("truth") === 0, lit(null).cast("double"))
+            .otherwise(r6(col("hits") / col("truth"))).as("recall"),
+          col("candidates"))
+    }.reduce(_ unionByName _)
+      .orderBy("nprobe")
+  }
+
+  val s10Sql: String = {
+    val assignCos = cosineSql("e.embedding", "c.ce")
+    val probeCos = cosineSql("q.qe", "a.embedding")
+    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < $s3Cap),
+      |cent AS (SELECT vec_id AS cent_id, embedding AS ce FROM e WHERE vec_id < 8),
+      |crn AS (
+      |  SELECT e.vec_id, e.embedding, c.cent_id,
+      |    row_number() OVER (PARTITION BY e.vec_id
+      |      ORDER BY $assignCos DESC, c.cent_id) AS crn
+      |  FROM e CROSS JOIN cent c),
+      |assigned AS (SELECT vec_id, embedding, cent_id FROM crn WHERE crn = 1),
+      |qc AS (SELECT vec_id AS query_id, embedding AS qe, cent_id AS qcell, crn
+      |  FROM crn WHERE vec_id >= 8 AND vec_id < 13),
+      |cand AS (
+      |  SELECT q.query_id, a.vec_id, $probeCos AS cos, q.crn
+      |  FROM qc q JOIN assigned a
+      |    ON a.cent_id = q.qcell AND a.vec_id <> q.query_id),
+      |cand_np AS (
+      |  SELECT l.np, c.query_id, c.vec_id, c.cos
+      |  FROM (VALUES (1), (2), (4)) l(np) JOIN cand c ON c.crn <= l.np),
+      |top_np AS (
+      |  SELECT np, query_id, vec_id FROM (
+      |    SELECT np, query_id, vec_id,
+      |      row_number() OVER (PARTITION BY np, query_id
+      |        ORDER BY cos DESC, vec_id) AS rn
+      |    FROM cand_np) t
+      |  WHERE rn <= 3),
+      |exact_top AS (
+      |  SELECT query_id, neighbor_id FROM (
+      |    SELECT q.query_id, a.vec_id AS neighbor_id,
+      |      row_number() OVER (PARTITION BY q.query_id
+      |        ORDER BY $probeCos DESC, a.vec_id) AS rank
+      |    FROM (SELECT vec_id AS query_id, embedding AS qe FROM e
+      |          WHERE vec_id >= 8 AND vec_id < 13) q
+      |    JOIN e a ON a.vec_id <> q.query_id) t
+      |  WHERE rank <= 3),
+      |truth AS (SELECT count(*) AS truth FROM exact_top)
+      |SELECT l.np AS nprobe,
+      |  coalesce(h.hits, 0) AS hits,
+      |  t.truth,
+      |  CASE WHEN t.truth = 0 THEN NULL
+      |    ELSE floor((coalesce(h.hits, 0) / t.truth) * 1000000.0 + 0.5)
+      |      / 1000000.0 END AS recall,
+      |  coalesce(c.n, 0) AS candidates
+      |FROM (VALUES (1), (2), (4)) l(np)
+      |CROSS JOIN truth t
+      |LEFT JOIN (
+      |  SELECT np, count(*) AS hits FROM top_np tn
+      |  JOIN exact_top x ON tn.query_id = x.query_id
+      |    AND tn.vec_id = x.neighbor_id
+      |  GROUP BY np) h ON h.np = l.np
+      |LEFT JOIN (SELECT np, count(*) AS n FROM cand_np GROUP BY np) c
+      |  ON c.np = l.np
+      |ORDER BY nprobe""".stripMargin
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s7_ann_recall" -> s7AnnRecall,
+    "s10_ivf_multiprobe" -> s10IvfMultiprobe,
     "s6_quantize_int8" -> s6QuantizeInt8,
     "s5_label_centroids" -> s5LabelCentroids,
     "s1_bruteforce_topk" -> s1BruteForceTopK,
@@ -601,6 +722,7 @@ object Similarity {
 
   val oracle: Map[String, String] = Map(
     "s7_ann_recall" -> s7Sql,
+    "s10_ivf_multiprobe" -> s10Sql,
     "s6_quantize_int8" -> s6Sql,
     "s5_label_centroids" -> s5Sql,
     "s1_bruteforce_topk" -> s1Sql,
