@@ -41,7 +41,9 @@ import scala.collection.mutable.ArrayBuffer
   *
   * Known subset limitation (document-shaped, verified against the
   * reference's actual pages): no nested `<table>` — does not occur in
-  * the stat-table family.
+  * the stat-table family, and a page that DOES nest tables is rejected
+  * loudly ([[parseTable]] throws) rather than parsed into silently
+  * truncated fragments.
   *
   * Parsing is a per-page, executor-side operation (see
   * [[graft.sources.HtmlTableSource]] — one input partition per page
@@ -217,8 +219,20 @@ object HtmlTables {
   /** Parse one `<table>…</table>` fragment (id resolution happens in
     * [[extractAll]] because the Unidentified fallback is positional).
     */
+  private val openTableRe = "(?i)<table\\b".r
+
   private[ingest] def parseTable(tableHtml: String, fromComment: Boolean)
       : (String, ParsedTable) = {
+    // nested-table guard: the table regex is non-greedy to the FIRST
+    // </table>, so a nested opening inside this fragment means the
+    // fragment is a truncated outer table — silently shifted cells.
+    // Out of the supported subset: refuse loudly.
+    val afterOpen = tableHtml.substring(tableHtml.indexOf('>') + 1)
+    if (openTableRe.findFirstIn(afterOpen).isDefined)
+      throw new IllegalArgumentException(
+        "nested <table> elements are outside the supported subset " +
+          s"(table id '${tableId(tableHtml)}'); refusing to parse rather " +
+          "than emit truncated rows")
     val theadInner = theadRe.findFirstMatchIn(tableHtml).map(_.group(1))
     val bodyHtml = theadRe.replaceAllIn(tableHtml, "")
 

@@ -138,6 +138,17 @@ class HtmlTablesSpec extends AnyFunSuite {
     assert(t.rows == Seq(Seq("1", "2"), Seq("3", null)))
   }
 
+  test("nested tables are rejected loudly, not parsed as truncated fragments") {
+    val html =
+      """<table id="outer"><tr><td>
+        |<table id="inner"><tr><td>x</td></tr></table>
+        |</td></tr></table>""".stripMargin
+    val e = intercept[IllegalArgumentException] {
+      HtmlTables.extractAll(html)
+    }
+    assert(e.getMessage.contains("nested <table>"))
+  }
+
   test("empty-bodied tables are dropped like the reference's len(df)<1 skip") {
     val html = """<table id="empty"><tr><th>A</th></tr></table>"""
     assert(HtmlTables.extractAll(html).isEmpty)
