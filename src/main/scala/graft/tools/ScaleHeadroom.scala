@@ -89,6 +89,7 @@ object ScaleHeadroom {
       "d2_ngram_jaccard" -> (n => Dedup.d2PairsOf(setsOf(docsAt(n)))),
       "d3_minhash_lsh" -> (n => Dedup.minhashLsh(setsOf(docsAt(n)))),
       "d5_simhash_pairs" -> (n => Dedup.d5PairsOf(docsAt(n))),
+      "d9_simhash64_pairs" -> (n => Dedup.d9PairsOf(docsAt(n))),
       "s2_lsh_neardup" -> (n => Similarity.lshNearDup(embAt(n))),
       "c4_decontaminate" ->
         (n => Curation.decontaminateOf(setsOf(docsAt(n)), isBench)))
