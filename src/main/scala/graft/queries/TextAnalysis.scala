@@ -360,8 +360,61 @@ object TextAnalysis {
       |ORDER BY tf DESC, word
       |LIMIT 20""".stripMargin
 
+  /** T8 — corpus-statistics quality score: the unigram-LM filter proxy
+    * production curation pipelines run (the KenLM-perplexity gate shape
+    * of CCNet/RefinedWeb), with an integer-exact information measure
+    * both engines replay bit-identically. Pass 1 builds the corpus
+    * unigram table `tf(word)`; pass 2 scores every token OCCURRENCE
+    * with `bits = 64 − length(bin(tf))` — an integer ⌊−log2⌋ rarity
+    * rank (no floating log, so no cross-engine ulp risk) — and
+    * aggregates per document. Common-word documents score low,
+    * rare-token/junk documents score high; both tails are gate
+    * candidates, and the score composes with the c1 cascade exactly
+    * like t2's.
+    *
+    * Scale shape: pass 1 is t7's single explode + one map-side-combined
+    * shuffle. Pass 2 joins tokens to the vocab DIMENSION — broadcast,
+    * deliberately: a real-corpus word vocab is ~10⁷ bounded rows while
+    * the token side is corpus-sized and pathologically skewed on
+    * exactly the hottest keys (stopwords); a shuffle join would
+    * hot-spot where the data concentrates, the broadcast makes hot
+    * keys free map-side lookups. Per-doc aggregation is the one
+    * doc_id shuffle. All-integer sums; the only double is the final
+    * mean, r6-rounded on both sides.
+    */
+  def t8Surprisal(s: SparkSession, d: String): DataFrame = {
+    val words = documentsSpread(s, d)
+      .select(col("doc_id"),
+        explode(split(trim(col("text")), "\\s+")).as("word"))
+      .filter(length(col("word")) > 0)
+    val vocab = words.groupBy("word").agg(count(lit(1)).as("tf"))
+    words.join(broadcast(vocab), "word")
+      .withColumn("bits", lit(64) - length(expr("bin(tf)")))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("bits")).as("total_bits"))
+      .withColumn("mean_bits", r6(col("total_bits") / col("n_tokens")))
+      .orderBy("doc_id")
+  }
+
+  val t8Sql: String =
+    s"""WITH words AS (
+      |  SELECT doc_id, word FROM (
+      |    SELECT doc_id,
+      |      unnest(string_split_regex(trim(text), '\\s+')) AS word
+      |    FROM documents)
+      |  WHERE len(word) > 0),
+      |vocab AS (SELECT word, count(*) AS tf FROM words GROUP BY word)
+      |SELECT doc_id, count(*) AS n_tokens,
+      |  CAST(sum(64 - len(bin(tf))) AS BIGINT) AS total_bits,
+      |  ${r6Sql("CAST(sum(64 - len(bin(tf))) AS DOUBLE) / count(*)")}
+      |    AS mean_bits
+      |FROM words JOIN vocab USING (word)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t1_lang_id" -> t1LangId,
+    "t8_surprisal" -> t8Surprisal,
     "t2_quality_score" -> t2QualityScore,
     "t3_token_count" -> t3TokenCount,
     "t4_fingerprint" -> t4Fingerprint,
@@ -372,6 +425,7 @@ object TextAnalysis {
 
   val oracle: Map[String, String] = Map(
     "t1_lang_id" -> t1Sql,
+    "t8_surprisal" -> t8Sql,
     "t2_quality_score" -> t2Sql,
     "t3_token_count" -> t3Sql,
     "t4_fingerprint" -> t4Sql,

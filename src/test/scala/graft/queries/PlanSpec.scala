@@ -38,6 +38,14 @@ class PlanSpec extends SparkSpecBase {
       .contains("TakeOrderedAndProject"))
   }
 
+  test("t8 surprisal joins tokens to the vocab via broadcast (skew-proof hot keys)") {
+    val p = plan(TextAnalysis.t8Surprisal(spark, sf))
+    assert(p.contains("BroadcastHashJoin"),
+      s"vocab join not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"token-side shuffle join would hot-spot on stopwords:\n$p")
+  }
+
   test("t7 vocab cut is per-partition top-k, never a global sort") {
     val p = plan(TextAnalysis.t7VocabTopK(spark, sf))
     assert(p.contains("TakeOrderedAndProject"),
