@@ -116,6 +116,58 @@ object HtmlTablesProps extends Properties("HtmlTables") {
       }
     }
 
+  /** Two independent rowspans in DIFFERENT columns, possibly
+    * overlapping row ranges: the remainder list must interleave both
+    * carries correctly with each row's own cells.
+    */
+  property("two concurrent rowspans in different columns both carry down") =
+    forAll(for {
+      t <- tableGen.suchThat(t => t.rows.size >= 3 && t.headers.size >= 2)
+      c1 <- Gen.choose(0, t.headers.size - 1)
+      c2 <- Gen.oneOf((0 until t.headers.size).filter(_ != c1))
+      r1 <- Gen.choose(0, t.rows.size - 2)
+      k1 <- Gen.choose(2, t.rows.size - r1)
+      r2 <- Gen.choose(0, t.rows.size - 2)
+      k2 <- Gen.choose(2, t.rows.size - r2)
+    } yield (t, (r1, c1, k1), (r2, c2, k2))) {
+      case (t, (r1, c1, k1), (r2, c2, k2)) =>
+        def covered(r: Int, c: Int): Boolean =
+          (c == c1 && r > r1 && r < r1 + k1) ||
+            (c == c2 && r > r2 && r < r2 + k2)
+        def spanAt(r: Int, c: Int): Option[Int] =
+          if (r == r1 && c == c1) Some(k1)
+          else if (r == r2 && c == c2) Some(k2)
+          else None
+        val thead = t.headers.map(h => s"<th>${esc(h)}</th>").mkString
+        val body = t.rows.zipWithIndex.map { case (row, i) =>
+          val cells = row.zipWithIndex.flatMap { case (v, j) =>
+            if (covered(i, j)) None
+            else spanAt(i, j) match {
+              case Some(k) => Some(s"""<td rowspan="$k">${esc(v)}</td>""")
+              case None => Some(s"<td>${esc(v)}</td>")
+            }
+          }
+          "<tr>" + cells.mkString + "</tr>"
+        }.mkString("\n")
+        val html =
+          s"""<table id="t"><thead><tr>$thead</tr></thead><tbody>$body</tbody></table>"""
+        val expected = t.rows.zipWithIndex.map { case (row, i) =>
+          row.zipWithIndex.map { case (v, j) =>
+            val src =
+              if (j == c1 && i > r1 && i < r1 + k1) t.rows(r1)(c1)
+              else if (j == c2 && i > r2 && i < r2 + k2) t.rows(r2)(c2)
+              else v
+            expectCell(src)
+          }
+        }
+        HtmlTables.extractAll(html) match {
+          case Seq(parsed) =>
+            Prop(parsed.rows == expected) :|
+              s"parsed=${parsed.rows} expected=$expected"
+          case other => Prop(false) :| s"expected 1 table, got ${other.size}"
+        }
+    }
+
   property("visible and commented copies of the same table both surface, in order") =
     forAll(tableGen) { t =>
       val html = render(t) + "\n<!-- " + render(t) + " -->"
