@@ -335,8 +335,52 @@ object Ingest {
       |    row_idx: 'BIGINT', col: 'VARCHAR', value: 'VARCHAR'})
       |ORDER BY table_id, row_idx, col""".stripMargin
 
+  /** S1/S2 at the DIRECTORY level — the multi-page DSv2 read path under
+    * the oracle: three copies of the fixture page staged as a crawl
+    * directory (bos/mil/nyk), read through [[graft.sources
+    * .HtmlTableSource]]'s per-table wide mode with a
+    * `page IN ('bos','mil')` filter the source pushes down to prune
+    * nyk's FILE at planning time (`HtmlTableSourceSpec` pins the
+    * planned-partition count; this row certifies the surviving pages'
+    * VALUES and metadata). The oracle replays the hand-derived golden's
+    * Roster player column once per surviving page — so the hash covers
+    * directory listing, per-page parsing, page metadata, the wide
+    * projection, and that pruning removes exactly the filtered page and
+    * nothing else.
+    */
+  def i8HtmlPagePrune(s: SparkSession, d: String): DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_i8_")
+    try {
+      val src = java.nio.file.Paths.get(htmlFixture)
+      Seq("bos", "mil", "nyk").foreach { p =>
+        java.nio.file.Files.copy(src, dir.resolve(s"$p.html"))
+      }
+      s.read.format("graft.sources.HtmlTableSource")
+        .option("path", dir.toString).option("tableId", "Roster").load()
+        .filter(col("page").isin("bos", "mil"))
+        .select(col("page"), col("row_idx"), col("Player").as("player"))
+        // scratch dir is deleted in finally — materialize first
+        .localCheckpoint()
+        .orderBy("page", "row_idx")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+    }
+  }
+
+  val i8Sql: String =
+    s"""SELECT p.page, g.row_idx, g.value AS player
+      |FROM (SELECT unnest(['bos','mil']) AS page) p
+      |CROSS JOIN (
+      |  SELECT row_idx, value FROM read_json('$htmlGolden',
+      |    format='newline_delimited',
+      |    columns={table_id: 'VARCHAR', from_comment: 'BOOLEAN',
+      |      row_idx: 'BIGINT', col: 'VARCHAR', value: 'VARCHAR'})
+      |  WHERE table_id = 'Roster' AND col = 'Player') g
+      |ORDER BY page, row_idx""".stripMargin
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s5_csv_scan" -> s5CsvScan,
+    "i8_html_page_prune" -> i8HtmlPagePrune,
     "p11_table_size_gate" -> p11TableSizeGate,
     "s11_run_summary" -> s11RunSummary,
     "s12_csv_to_json" -> s12CsvToJson,
@@ -348,6 +392,7 @@ object Ingest {
 
   val oracle: Map[String, String] = Map(
     "s5_csv_scan" -> s5Sql,
+    "i8_html_page_prune" -> i8Sql,
     "p11_table_size_gate" -> p11Sql,
     "s11_run_summary" -> s11Sql,
     "s12_csv_to_json" -> s12Sql,

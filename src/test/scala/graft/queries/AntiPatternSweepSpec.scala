@@ -77,7 +77,10 @@ class AntiPatternSweepSpec extends SparkSpecBase {
       "bounded broadcast(_meta) cross join (allowlist); rest is scratch scan",
     "s13_skip_existing" ->
       ("existence probe loops over DISTINCT partition keys only (spec'd); " +
-        "result is a scratch scan"))
+        "result is a scratch scan"),
+    "i8_html_page_prune" ->
+      ("DSv2 scan of staged fixture pages (one partition per page, " +
+        "pruning pinned in HtmlTableSourceSpec); result is a scratch scan"))
 
   private def sweep(name: String, df: => DataFrame,
       failures: scala.collection.mutable.ArrayBuffer[String]): Unit = {
