@@ -271,12 +271,72 @@ object EventWindows {
       |      SELECT ts, event_type, value FROM events)
       |GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin
 
+  /** J1 × T1 — stream-static enrichment under the oracle: the
+    * streaming form of the broadcast dimension join (the reference's
+    * alias lookup applied to a live feed — `enrich.Teams` on a stream).
+    * A REAL readStream over the staged events joins the STATIC customer
+    * dimension inside the streaming query (broadcast — the stream side
+    * never shuffles for the join; Spark re-evaluates the static side
+    * per micro-batch) and aggregates tumbling windows per market
+    * segment; the AvailableNow terminal state must equal the batch
+    * join+aggregate the oracle replays relationally. Stream-static
+    * inner joins need no watermark-state for the static side — state is
+    * only the window aggregate, bounded as in st5.
+    */
+  def st10StreamStaticEnrich(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    events(s, d) // sets the nanosAsLong conf
+    val rawSchema = s.read.parquet(s"$d/events.parquet").schema
+    val dim = customer(s, d)
+      .select(col("c_custkey").as("user_id"),
+        col("c_mktsegment").as("segment"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_st10_")
+    val sink = "st10_out_" +
+      java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+    try {
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$d/events.parquet"),
+        dir.resolve("events.parquet"))
+      val enriched = s.readStream
+        .schema(rawSchema)
+        .parquet(dir.toString)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .withWatermark("ts", "10 minutes")
+        .join(broadcast(dim), "user_id")
+      val q = enriched
+        .groupBy(window(col("ts"), "5 minutes").as("win"), col("segment"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
+        .select(col("win.start").as("window_start"), col("segment"),
+          col("n"), col("total_value"))
+        .writeStream
+        .format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      require(q.awaitTermination(180000), "st10 stream did not finish in time")
+      s.table(sink).localCheckpoint()
+        .orderBy("window_start", "segment")
+    } finally {
+      s.catalog.dropTempView(sink)
+      org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+    }
+  }
+
+  val st10Sql: String =
+    """SELECT time_bucket(INTERVAL '5 minutes', ts) AS window_start,
+      |  c_mktsegment AS segment, count(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+      |FROM events JOIN customer ON user_id = c_custkey
+      |GROUP BY 1, 2 ORDER BY window_start, segment""".stripMargin
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st1_tumbling_window" -> st1Tumbling,
     "st2_sliding_window" -> st2Sliding,
     "st5_availablenow_catchup" -> st5AvailableNow,
     "st8_checkpoint_resume" -> st8CheckpointResume,
     "st9_commit_protocol" -> st9CommitProtocol,
+    "st10_stream_static_enrich" -> st10StreamStaticEnrich,
   )
 
   val oracle: Map[String, String] = Map(
@@ -285,5 +345,6 @@ object EventWindows {
     "st5_availablenow_catchup" -> st5Sql,
     "st8_checkpoint_resume" -> st8Sql,
     "st9_commit_protocol" -> st9Sql,
+    "st10_stream_static_enrich" -> st10Sql,
   )
 }

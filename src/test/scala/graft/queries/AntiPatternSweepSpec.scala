@@ -55,6 +55,9 @@ class AntiPatternSweepSpec extends SparkSpecBase {
     "st5_availablenow_catchup" -> "EventWindows.tumbling audited below",
     "st8_checkpoint_resume" -> "EventWindows.tumbling audited below",
     "st9_commit_protocol" -> "EventWindows.tumbling audited below",
+    "st10_stream_static_enrich" ->
+      ("broadcast-dim join + tumbling agg; batch twin audited below, " +
+        "join shape in StreamStaticJoinSpec"),
     "st6_stream_dedup" ->
       ("streaming-only dropDuplicatesWithinWatermark; state bounded by " +
         "watermark horizon (StreamingDedupSpec)"),
@@ -122,6 +125,15 @@ class AntiPatternSweepSpec extends SparkSpecBase {
       failures)
     sweep("EventWindows.sliding", graft.streaming.EventWindows.sliding(ev),
       failures)
+
+    // st10's batch twin: broadcast-dim enrichment into the tumbling agg
+    val dim = graft.Tables.customer(spark, sf)
+      .select(col("c_custkey").as("user_id"),
+        col("c_mktsegment").as("segment"))
+    sweep("st10.enrichTumbling",
+      ev.join(broadcast(dim), "user_id")
+        .groupBy(window(col("ts"), "5 minutes"), col("segment"))
+        .agg(count(lit(1)).as("n")), failures)
 
     // d8's decision join/window over batch-shaped inputs
     val docs = graft.Tables.documents(spark, sf)
