@@ -708,9 +708,103 @@ object Similarity {
       |ORDER BY nprobe""".stripMargin
   }
 
+  /** S14 — the IVF quantizer BUILD path as real clustering: two
+    * deterministic spherical k-means (Lloyd) iterations refining the
+    * first-8 seed quantizer s4/s8 probe against, entirely under the
+    * oracle. Each iteration assigns every vector to its
+    * max-cosine centroid (cosine is scale-invariant, so the mean
+    * centroid needs no renormalization — textbook spherical k-means),
+    * then recomputes centroids as per-cell per-dimension MEANS made
+    * cross-engine-exact the dsum way: per-dim sums go through
+    * DECIMAL(18,6) (both engines round the cast identically) and the
+    * exact decimal sum casts to double before the division, so the
+    * derived centroids are bit-identical in Spark and DuckDB and the
+    * second assignment's cosine ranking cannot diverge. Cells that
+    * lose all members simply vanish (standard drop-empty-cell
+    * behavior). Output: each vector's cell after iterations 1 and 2 —
+    * the oracle hash certifies both assignment rounds AND the derived
+    * centroids (any drifted mean flips some vector's argmax).
+    *
+    * Scale shape: assignment is the s4 broadcast-centroid pass; the
+    * update is one explode-by-dimension shuffle (k×dims groups,
+    * map-side combined) and a bounded k-row collect_list — no
+    * driver-side iteration state, each Lloyd round is two jobs
+    * regardless of corpus size.
+    */
+  def s14KmeansRefine(s: SparkSession, d: String): DataFrame = {
+    val e = withNorm(s, d).filter(col("vec_id") < s3Cap)
+      .select(col("vec_id"), col("embedding"))
+    val cent0 = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cent_id"),
+        transform(col("embedding"), x => x.cast("double")).as("ce"))
+
+    def assign(cents: DataFrame): DataFrame =
+      e.crossJoin(broadcast(cents))
+        .withColumn("cos", cosineHof(col("embedding"), col("ce")))
+        .groupBy(col("vec_id"))
+        .agg(expr("graft_topk(cos, cent_id, 1)").as("top"))
+        .select(col("vec_id"),
+          try_element_at(col("top"), lit(1)).getField("id").as("cell"))
+
+    def refit(assigned: DataFrame): DataFrame =
+      assigned.join(e, "vec_id")
+        .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy(col("cell"), col("pos"))
+        .agg((sum(col("v").cast("decimal(18,6)")).cast("double") /
+          count(lit(1))).as("m"))
+        .groupBy(col("cell"))
+        .agg(sort_array(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("cell").as("cent_id"),
+          expr("transform(pm, x -> x.m)").as("ce"))
+
+    val a1 = assign(cent0)
+    val a2 = assign(refit(a1))
+    a1.select(col("vec_id"), col("cell").as("cell_iter1"))
+      .join(a2.select(col("vec_id"), col("cell").as("cell_iter2")),
+        Seq("vec_id"))
+      .orderBy("vec_id")
+  }
+
+  val s14Sql: String = {
+    def cos(a: String, b: String) = cosineSql(a, b)
+    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < $s3Cap),
+      |cent0 AS (SELECT vec_id AS cent_id,
+      |    list_transform(embedding, x -> x::DOUBLE) AS ce
+      |  FROM e WHERE vec_id < 8),
+      |a1 AS (
+      |  SELECT vec_id, cent_id AS cell FROM (
+      |    SELECT e.vec_id, c.cent_id,
+      |      row_number() OVER (PARTITION BY e.vec_id
+      |        ORDER BY ${cos("e.embedding", "c.ce")} DESC, c.cent_id) AS rn
+      |    FROM e CROSS JOIN cent0 c) t
+      |  WHERE rn = 1),
+      |dims AS (
+      |  SELECT a1.cell, i - 1 AS pos,
+      |    CAST(e.embedding[i] AS DECIMAL(18,6)) AS v
+      |  FROM a1 JOIN e USING (vec_id),
+      |    LATERAL (SELECT unnest(range(1, len(e.embedding) + 1)) AS i)),
+      |means AS (
+      |  SELECT cell, pos, CAST(sum(v) AS DOUBLE) / count(*) AS m
+      |  FROM dims GROUP BY cell, pos),
+      |cent1 AS (
+      |  SELECT cell AS cent_id, list(m ORDER BY pos) AS ce
+      |  FROM means GROUP BY cell),
+      |a2 AS (
+      |  SELECT vec_id, cent_id AS cell FROM (
+      |    SELECT e.vec_id, c.cent_id,
+      |      row_number() OVER (PARTITION BY e.vec_id
+      |        ORDER BY ${cos("e.embedding", "c.ce")} DESC, c.cent_id) AS rn
+      |    FROM e CROSS JOIN cent1 c) t
+      |  WHERE rn = 1)
+      |SELECT a1.vec_id, a1.cell AS cell_iter1, a2.cell AS cell_iter2
+      |FROM a1 JOIN a2 USING (vec_id)
+      |ORDER BY vec_id""".stripMargin
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s7_ann_recall" -> s7AnnRecall,
     "s10_ivf_multiprobe" -> s10IvfMultiprobe,
+    "s14_kmeans_refine" -> s14KmeansRefine,
     "s6_quantize_int8" -> s6QuantizeInt8,
     "s5_label_centroids" -> s5LabelCentroids,
     "s1_bruteforce_topk" -> s1BruteForceTopK,
@@ -723,6 +817,7 @@ object Similarity {
   val oracle: Map[String, String] = Map(
     "s7_ann_recall" -> s7Sql,
     "s10_ivf_multiprobe" -> s10Sql,
+    "s14_kmeans_refine" -> s14Sql,
     "s6_quantize_int8" -> s6Sql,
     "s5_label_centroids" -> s5Sql,
     "s1_bruteforce_topk" -> s1Sql,

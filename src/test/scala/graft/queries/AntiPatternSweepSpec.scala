@@ -45,6 +45,7 @@ class AntiPatternSweepSpec extends SparkSpecBase {
     "s7_ann_recall",          // 1-row recall denominator, broadcast
     "s4_ivf_topk",            // bounded centroid/dim relation
     "s10_ivf_multiprobe",     // bounded centroids + 1-row count aggregates
+    "s14_kmeans_refine",      // broadcast of k centroid rows per iteration
     "a9_completeness_grid")   // expected-grid dim × dim (SURVEY A9)
 
   /** Checkpoint-truncated queries → where the real plan shape IS
