@@ -1,0 +1,49 @@
+package graft.queries
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The Lloyd guarantee as CI: each spherical k-means iteration must not
+  * decrease the clustering objective (mean cosine of every vector to
+  * its assigned centroid). The spec recomputes both halves of the
+  * registered s14 query independently — assignments from the query
+  * output, objectives from the raw embeddings — so a refactor that
+  * breaks the refit (wrong mean, wrong dimension order, dropped cell)
+  * shows up as a falling objective even if the query still runs.
+  */
+class KmeansRefineSpec extends SparkSpecBase {
+
+  test("the refit iteration does not decrease the mean assigned cosine") {
+    val out = Similarity.s14KmeansRefine(spark, sf).persist()
+    try {
+      val e = graft.Tables.embeddings(spark, sf)
+        .filter(col("vec_id") < 300).select("vec_id", "embedding")
+
+      def objective(cellCol: String): Double = {
+        val assigned = out.select(col("vec_id"), col(cellCol).as("cell"))
+          .join(e, "vec_id")
+        // centroid of each cell under THIS assignment (decimal-exact
+        // means, like the query's refit)
+        val cents = assigned
+          .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "v")))
+          .groupBy(col("cell"), col("pos"))
+          .agg((sum(col("v").cast("decimal(18,6)")).cast("double") /
+            count(lit(1))).as("m"))
+          .groupBy(col("cell"))
+          .agg(sort_array(collect_list(struct(col("pos"), col("m")))).as("pm"))
+          .select(col("cell"), expr("transform(pm, x -> x.m)").as("ce"))
+        assigned.join(cents, "cell")
+          .select(Similarity.cosineHof(col("embedding"), col("ce")).as("cos"))
+          .agg(avg(col("cos"))).head().getDouble(0)
+      }
+
+      val o1 = objective("cell_iter1")
+      val o2 = objective("cell_iter2")
+      assert(o2 >= o1 - 1e-12,
+        s"refit decreased the objective: iter1=$o1 iter2=$o2")
+      // and it genuinely moves vectors on this corpus (not a no-op)
+      assert(out.filter(col("cell_iter1") =!= col("cell_iter2")).count() > 0)
+    } finally out.unpersist()
+  }
+}
