@@ -56,7 +56,8 @@ object IntervalJoin {
     * like [[clicksOf]]/[[buysOf]] output. The range condition plus both
     * watermarks let Spark bound the join state (clicks older than
     * watermark − interval can never match a future purchase and are
-    * evicted). Used by the stream↔batch parity spec.
+    * evicted). Used by the stream↔batch parity spec AND executed for
+    * real (AvailableNow, oracle-compared) by [[st4sStreamIntervalJoin]].
     */
   def streamJoin(clicks: DataFrame, buys: DataFrame): DataFrame =
     clicks.join(buys,
@@ -88,6 +89,58 @@ object IntervalJoin {
       .orderBy("click_id", "buy_id")
   }
 
+  /** ST4's streaming form as a REAL execution under the oracle (the
+    * st7/st9 pattern, closing the last spec-only streaming shape): the
+    * events table staged into a watched directory, read as TWO file
+    * streams (clicks / purchases), both WATERMARKED at the join
+    * interval, pushed through the SAME [[streamJoin]] stream-stream
+    * inner join with `Trigger.AvailableNow`, and the terminal match set
+    * hash-compared against DuckDB replaying the exact interval join.
+    *
+    * Determinism: a watermarked stream-stream INNER join emits a pair
+    * exactly once, when both sides have arrived — the watermark governs
+    * only state EVICTION (clicks older than watermark − interval can
+    * never match and are dropped), never emission. With the single
+    * staged file both sides arrive in micro-batch 0, so the appended
+    * result is the complete, deterministic pair set regardless of how
+    * the trigger slices batches.
+    */
+  def st4sStreamIntervalJoin(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    graft.Tables.events(s, d) // sets the nanosAsLong conf
+    val rawSchema = s.read.parquet(s"$d/events.parquet").schema
+    val dir = java.nio.file.Files.createTempDirectory("graft_st4s_")
+    val sink = "st4s_out_" +
+      java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+    try {
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$d/events.parquet"),
+        dir.resolve("events.parquet"))
+      // two independent sources over the same staged directory — at
+      // scale these are two topics/directories; the join state is what
+      // matters, not the scan
+      def stagedEvents(): DataFrame = s.readStream
+        .schema(rawSchema)
+        .parquet(dir.toString)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val clicks = clicksOf(stagedEvents())
+        .withWatermark("click_ts", s"$intervalHours hours")
+      val buys = buysOf(stagedEvents())
+        .withWatermark("buy_ts", s"$intervalHours hours")
+      val q = streamJoin(clicks, buys)
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      require(q.awaitTermination(180000), "st4s stream did not finish in time")
+      s.table(sink)
+        .select(col("click_id"), col("buy_id"), col("user_id"), col("lag_us"))
+        .localCheckpoint()
+        .orderBy("click_id", "buy_id")
+    } finally {
+      s.catalog.dropTempView(sink)
+      org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+    }
+  }
+
   val st4Sql: String =
     s"""WITH c AS (
       |  SELECT event_id AS click_id, user_id, ts AS click_ts
@@ -104,9 +157,12 @@ object IntervalJoin {
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st4_interval_join" -> st4IntervalJoin,
+    "st4s_stream_interval_join" -> st4sStreamIntervalJoin,
   )
 
   val oracle: Map[String, String] = Map(
     "st4_interval_join" -> st4Sql,
+    // the streaming run must reproduce the EXACT batch interval join
+    "st4s_stream_interval_join" -> st4Sql,
   )
 }
