@@ -39,11 +39,14 @@ import scala.collection.mutable.ArrayBuffer
   *    get positional `col_{i}` names (pandas widens with integer
   *    labels; a stable string form keeps the P1/P2 algebra total).
   *
-  * Known subset limitation (document-shaped, verified against the
-  * reference's actual pages): no nested `<table>` — does not occur in
-  * the stat-table family, and a page that DOES nest tables is rejected
-  * loudly ([[parseTable]] throws) rather than parsed into silently
-  * truncated fragments.
+  *  - nested `<table>` elements are emitted as SEPARATE tables in
+  *    document order of their opening tags — `read_html` parity
+  *    (BeautifulSoup `find_all('table')` is recursive, so pandas hands
+  *    every nesting level to the frame builder). The outer table parses
+  *    only its OWN cells: each nested span is blanked out of the outer
+  *    fragment first, so an outer cell that wraps a widget table keeps
+  *    its own text and the nested rows appear exactly once, in their
+  *    own frame — never as truncated/duplicated rows of the outer.
   *
   * Parsing is a per-page, executor-side operation (see
   * [[graft.sources.HtmlTableSource]] — one input partition per page
@@ -145,7 +148,6 @@ object HtmlTables {
     sb.toString
   }
 
-  private val tableRe = "(?is)<table\\b[^>]*>.*?</table\\s*>".r
   private val trRe = "(?is)<tr\\b[^>]*>(.*?)</tr\\s*>".r
   private val cellRe = "(?is)<(th|td)\\b([^>]*)>(.*?)</\\1\\s*>".r
   private val theadRe = "(?is)<thead\\b[^>]*>(.*?)</thead\\s*>".r
@@ -216,23 +218,52 @@ object HtmlTables {
     }
   }
 
+  /** Every `<table>` span in `html` — outer AND nested — in document
+    * order of the opening tags, each matched to its OWN closing tag by
+    * nesting depth (the non-greedy-regex alternative would cut an outer
+    * table at its first nested close). An opening tag left unmatched at
+    * end-of-input is dropped, like the unmatched-`</table>`-less tables
+    * the old regex never saw.
+    */
+  private val tableTagRe = "(?is)<(/?)table\\b[^>]*>".r
+
+  private[ingest] def tableSpans(html: String): Seq[(Int, Int)] = {
+    val out = ArrayBuffer.empty[(Int, Int)]
+    var stack = List.empty[Int]
+    tableTagRe.findAllMatchIn(html).foreach { m =>
+      if (m.group(1).isEmpty) stack ::= m.start
+      else stack match {
+        case top :: rest => out += ((top, m.end)); stack = rest
+        case Nil => // stray close tag before any open: ignore
+      }
+    }
+    out.sortBy(_._1).toSeq
+  }
+
+  /** All tables of one markup fragment as (rawId, parsed) pairs, nested
+    * tables emitted separately (read_html recursion parity): each span
+    * is parsed with every span nested INSIDE it blanked, so outer rows
+    * and cell text never include nested content — the nested rows
+    * arrive once, via the nested table's own entry.
+    */
+  private[ingest] def tablesIn(fragment: String, fromComment: Boolean)
+      : Seq[(String, ParsedTable)] = {
+    val spans = tableSpans(fragment)
+    spans.map { case (s, e) =>
+      val sb = new StringBuilder(fragment.substring(s, e))
+      spans.foreach { case (is, ie) =>
+        if (is > s && ie <= e) (is until ie).foreach(i => sb.setCharAt(i - s, ' '))
+      }
+      parseTable(sb.toString, fromComment)
+    }
+  }
+
   /** Parse one `<table>…</table>` fragment (id resolution happens in
     * [[extractAll]] because the Unidentified fallback is positional).
+    * Callers guarantee nested spans are already blanked ([[tablesIn]]).
     */
-  private val openTableRe = "(?i)<table\\b".r
-
   private[ingest] def parseTable(tableHtml: String, fromComment: Boolean)
       : (String, ParsedTable) = {
-    // nested-table guard: the table regex is non-greedy to the FIRST
-    // </table>, so a nested opening inside this fragment means the
-    // fragment is a truncated outer table — silently shifted cells.
-    // Out of the supported subset: refuse loudly.
-    val afterOpen = tableHtml.substring(tableHtml.indexOf('>') + 1)
-    if (openTableRe.findFirstIn(afterOpen).isDefined)
-      throw new IllegalArgumentException(
-        "nested <table> elements are outside the supported subset " +
-          s"(table id '${tableId(tableHtml)}'); refusing to parse rather " +
-          "than emit truncated rows")
     val theadInner = theadRe.findFirstMatchIn(tableHtml).map(_.group(1))
     val bodyHtml = theadRe.replaceAllIn(tableHtml, "")
 
@@ -286,13 +317,10 @@ object HtmlTables {
     * reference's `len(df) < 1: continue`.
     */
   def extractAll(html: String): Seq[ParsedTable] = {
-    val visible = tableRe.findAllIn(stripComments(html))
-      .map(parseTable(_, fromComment = false)).toSeq
+    val visible = tablesIn(stripComments(html), fromComment = false)
     val commented = commentSpans(html)
       .filter(_._3.contains("<table"))
-      .flatMap { case (_, _, inner) =>
-        tableRe.findAllIn(inner).map(parseTable(_, fromComment = true))
-      }
+      .flatMap { case (_, _, inner) => tablesIn(inner, fromComment = true) }
     (visible ++ commented).zipWithIndex.map { case ((rawId, t), i) =>
       val name =
         if (rawId.nonEmpty) tableNameMap.getOrElse(rawId, rawId)

@@ -168,6 +168,45 @@ object HtmlTablesProps extends Properties("HtmlTables") {
         }
     }
 
+  /** Nested-table parity: embed a complete rendered inner table inside a
+    * random cell of an outer table. The parser must emit BOTH tables
+    * (outer first — document order of opening tags), the outer's rows
+    * must be exactly its own grid (the hosting cell keeps its own text,
+    * nothing from the nested table leaks in or shifts columns), and the
+    * inner must round-trip unchanged.
+    */
+  property("a nested table emits separately and never leaks into outer cells") =
+    forAll(for {
+      outer <- tableGen
+      inner <- tableGen
+      r <- Gen.choose(0, outer.rows.size - 1)
+      c <- Gen.choose(0, outer.headers.size - 1)
+    } yield (outer, inner, r, c)) { case (outer, inner, r, c) =>
+      def renderWith(t: Table, id: String,
+          embed: Option[(Int, Int, String)]): String = {
+        val thead = t.headers.map(h => s"<th>${esc(h)}</th>").mkString
+        val body = t.rows.zipWithIndex.map { case (row, i) =>
+          "<tr>" + row.zipWithIndex.map { case (v, j) =>
+            val extra = embed.collect { case (er, ec, m) if er == i && ec == j => m }
+            s"<td>${esc(v)}${extra.getOrElse("")}</td>"
+          }.mkString + "</tr>"
+        }.mkString("\n")
+        s"""<table id="$id"><thead><tr>$thead</tr></thead><tbody>$body</tbody></table>"""
+      }
+      val innerHtml = renderWith(inner, "inner", None)
+      val html = renderWith(outer, "outer", Some((r, c, innerHtml)))
+      HtmlTables.extractAll(html) match {
+        case Seq(o, in) =>
+          val orderOk = o.tableId == "outer" && in.tableId == "inner"
+          val outerOk = o.rows == outer.rows.map(_.map(expectCell)) &&
+            o.flatHeaders == outer.headers.map(expectCell)
+          val innerOk = in.rows == inner.rows.map(_.map(expectCell))
+          Prop(orderOk && outerOk && innerOk) :|
+            s"outer=${o.rows} inner=${in.rows}"
+        case other => Prop(false) :| s"expected 2 tables, got ${other.size}"
+      }
+    }
+
   property("visible and commented copies of the same table both surface, in order") =
     forAll(tableGen) { t =>
       val html = render(t) + "\n<!-- " + render(t) + " -->"

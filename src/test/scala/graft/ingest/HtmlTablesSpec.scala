@@ -138,15 +138,48 @@ class HtmlTablesSpec extends AnyFunSuite {
     assert(t.rows == Seq(Seq("1", "2"), Seq("3", null)))
   }
 
-  test("nested tables are rejected loudly, not parsed as truncated fragments") {
+  test("nested tables emit as separate frames; outer cells exclude nested content") {
     val html =
-      """<table id="outer"><tr><td>
-        |<table id="inner"><tr><td>x</td></tr></table>
+      """<table id="outer"><tr><td>before
+        |<table id="inner"><tr><td>x</td><td>y</td></tr></table>
+        |after</td><td>plain</td></tr></table>""".stripMargin
+    val ts = HtmlTables.extractAll(html)
+    assert(ts.map(_.tableId) == Seq("outer", "inner"))
+    // outer keeps its own text around the widget table, nothing from it
+    assert(ts(0).rows == Seq(Seq("before after", "plain")))
+    assert(ts(1).rows == Seq(Seq("x", "y")))
+  }
+
+  test("doubly nested tables all surface, document order, each with own rows") {
+    val html =
+      """<table id="a"><tr><td>A
+        |<table id="b"><tr><td>B
+        |<table id="c"><tr><td>C</td></tr></table>
+        |</td></tr></table>
         |</td></tr></table>""".stripMargin
-    val e = intercept[IllegalArgumentException] {
-      HtmlTables.extractAll(html)
-    }
-    assert(e.getMessage.contains("nested <table>"))
+    val ts = HtmlTables.extractAll(html)
+    assert(ts.map(_.tableId) == Seq("a", "b", "c"))
+    assert(ts.map(_.rows) == Seq(
+      Seq(Seq("A")), Seq(Seq("B")), Seq(Seq("C"))))
+  }
+
+  test("nested table inside a commented table surfaces with fromComment set") {
+    val html =
+      """<p>x</p><!-- <table id="outer"><tr><td>o
+        |<table id="inner"><tr><td>i</td></tr></table>
+        |</td></tr></table> -->""".stripMargin
+    val ts = HtmlTables.extractAll(html)
+    assert(ts.map(_.tableId) == Seq("outer", "inner"))
+    assert(ts.forall(_.fromComment))
+    assert(ts.map(_.rows) == Seq(Seq(Seq("o")), Seq(Seq("i"))))
+  }
+
+  test("an unclosed table is dropped; its closed siblings still parse") {
+    val html =
+      """<table id="closed"><tr><td>ok</td></tr></table>
+        |<table id="unclosed"><tr><td>gone</td></tr>""".stripMargin
+    val ts = HtmlTables.extractAll(html)
+    assert(ts.map(_.tableId) == Seq("closed"))
   }
 
   test("empty-bodied tables are dropped like the reference's len(df)<1 skip") {
