@@ -713,8 +713,13 @@ object Similarity {
     * first-8 seed quantizer s4/s8 probe against, entirely under the
     * oracle. Each iteration assigns every vector to its
     * max-cosine centroid (cosine is scale-invariant, so the mean
-    * centroid needs no renormalization — textbook spherical k-means),
-    * then recomputes centroids as per-cell per-dimension MEANS made
+    * centroid needs no renormalization), then recomputes centroids as
+    * per-cell per-dimension MEANS of the raw vectors — a documented
+    * approximation of the spherical-k-means update (which would mean
+    * the NORMALIZED vectors; raw means weight each member by its norm —
+    * equivalent when norms are uniform, near-identical on this corpus's
+    * tightly-clustered norms, and cheaper by one normalization pass at
+    * scale) — made
     * cross-engine-exact the dsum way: per-dim sums go through
     * DECIMAL(18,6) (both engines round the cast identically) and the
     * exact decimal sum casts to double before the division, so the
@@ -731,31 +736,48 @@ object Similarity {
     * driver-side iteration state, each Lloyd round is two jobs
     * regardless of corpus size.
     */
-  def s14KmeansRefine(s: SparkSession, d: String): DataFrame = {
-    val e = withNorm(s, d).filter(col("vec_id") < s3Cap)
-      .select(col("vec_id"), col("embedding"))
-    val cent0 = e.filter(col("vec_id") < 8)
+  /** First-`nlist` seed quantizer over an (vec_id, embedding) frame —
+    * the deterministic seeding every IVF build here starts from.
+    */
+  private[queries] def seedCentroids(e: DataFrame, nlist: Int): DataFrame =
+    e.filter(col("vec_id") < nlist)
       .select(col("vec_id").as("cent_id"),
         transform(col("embedding"), x => x.cast("double")).as("ce"))
 
-    def assign(cents: DataFrame): DataFrame =
-      e.crossJoin(broadcast(cents))
-        .withColumn("cos", cosineHof(col("embedding"), col("ce")))
-        .groupBy(col("vec_id"))
-        .agg(expr("graft_topk(cos, cent_id, 1)").as("top"))
-        .select(col("vec_id"),
-          try_element_at(col("top"), lit(1)).getField("id").as("cell"))
+  /** One Lloyd assignment pass: every vector to its max-cosine centroid
+    * (ties broken by lowest cent_id, the graft_topk order) →
+    * `(vec_id, cell)`.
+    */
+  private[queries] def lloydAssign(e: DataFrame, cents: DataFrame): DataFrame =
+    e.crossJoin(broadcast(cents))
+      .withColumn("cos", cosineHof(col("embedding"), col("ce")))
+      .groupBy(col("vec_id"))
+      .agg(expr("graft_topk(cos, cent_id, 1)").as("top"))
+      .select(col("vec_id"),
+        try_element_at(col("top"), lit(1)).getField("id").as("cell"))
 
-    def refit(assigned: DataFrame): DataFrame =
-      assigned.join(e, "vec_id")
-        .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "v")))
-        .groupBy(col("cell"), col("pos"))
-        .agg((sum(col("v").cast("decimal(18,6)")).cast("double") /
-          count(lit(1))).as("m"))
-        .groupBy(col("cell"))
-        .agg(sort_array(collect_list(struct(col("pos"), col("m")))).as("pm"))
-        .select(col("cell").as("cent_id"),
-          expr("transform(pm, x -> x.m)").as("ce"))
+  /** One Lloyd update pass: per-cell per-dimension DECIMAL-exact means
+    * (cross-engine bit-identical, see [[s14KmeansRefine]]); cells that
+    * lose all members vanish.
+    */
+  private[queries] def lloydRefit(e: DataFrame, assigned: DataFrame): DataFrame =
+    assigned.join(e, "vec_id")
+      .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy(col("cell"), col("pos"))
+      .agg((sum(col("v").cast("decimal(18,6)")).cast("double") /
+        count(lit(1))).as("m"))
+      .groupBy(col("cell"))
+      .agg(sort_array(collect_list(struct(col("pos"), col("m")))).as("pm"))
+      .select(col("cell").as("cent_id"),
+        expr("transform(pm, x -> x.m)").as("ce"))
+
+  def s14KmeansRefine(s: SparkSession, d: String): DataFrame = {
+    val e = withNorm(s, d).filter(col("vec_id") < s3Cap)
+      .select(col("vec_id"), col("embedding"))
+    val cent0 = seedCentroids(e, 8)
+
+    def assign(cents: DataFrame): DataFrame = lloydAssign(e, cents)
+    def refit(assigned: DataFrame): DataFrame = lloydRefit(e, assigned)
 
     val a1 = assign(cent0)
     val a2 = assign(refit(a1))
@@ -801,10 +823,164 @@ object Similarity {
       |ORDER BY vec_id""".stripMargin
   }
 
+  /** The (nlist, nprobe) configurations s15 compares: equal candidate
+    * budget — nlist=32 cells are ~4× smaller than nlist=8 cells, so
+    * probing 4× the cells scans about the same number of candidates.
+    */
+  val s15Configs: Seq[(Int, Int)] = Seq((8, 1), (32, 4))
+
+  /** S15 — the IVF quantizer at a SCALED nlist (r9 verdict ask #4): the
+    * production tuning rule is nlist ≈ √n with nprobe raised to hold
+    * the per-query candidate budget, so this row builds the quantizer at
+    * nlist=8 and nlist=32 — both seeded deterministically (first-nlist)
+    * and refined by ONE [[lloydRefit]] step, the s14 build path — and
+    * probes each at the budget-matched nprobe ([[s15Configs]]). Output
+    * per configuration: top-3 recall against the exact answer plus the
+    * candidate count the probe scanned. The oracle replays both builds
+    * relationally, so the hash certifies the full comparison; the
+    * accompanying spec pins the headline (recall at nlist=32 is not
+    * below nlist=8 at equal budget — finer cells spend the same scan
+    * budget closer to the query).
+    *
+    * Scale shape: nlist only widens the broadcast centroid set (32 rows
+    * here; √n rows in production — still a broadcast, an nlist beyond
+    * broadcast size would shard the assignment join instead) and the
+    * probe stays a cell-keyed equi-join at every configuration — the
+    * candidate count, not the join structure, is what nlist/nprobe
+    * trade against each other.
+    */
+  def s15ScaledNlist(s: SparkSession, d: String): DataFrame = {
+    val e = withNorm(s, d).filter(col("vec_id") < s3Cap)
+      .select(col("vec_id"), col("embedding"))
+    val q = e.filter(col("vec_id") >= 8 && col("vec_id") < 13)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val exactTop = e.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .withColumn("cos", cosineHof(col("qe"), col("embedding")))
+      .groupBy(col("query_id"))
+      .agg(expr("graft_topk(cos, vec_id, 3)").as("top"))
+      .select(col("query_id"), explode(col("top")).as("t"))
+      .select(col("query_id"), col("t.id").as("neighbor_id"))
+    s15Configs.map { case (nlist, np) =>
+      val cents = lloydRefit(e, lloydAssign(e, seedCentroids(e, nlist)))
+      val assigned = lloydAssign(e, cents)
+      val qcells = q.crossJoin(broadcast(cents))
+        .withColumn("ccos", cosineHof(col("qe"), col("ce")))
+        .groupBy(col("query_id"))
+        .agg(first(col("qe")).as("qe"),
+          expr(s"graft_topk(ccos, cent_id, $np)").as("top"))
+        .select(col("query_id"), col("qe"), explode(col("top")).as("t"))
+        .select(col("query_id"), col("qe"), col("t.id").as("qcell"))
+      val cand = assigned.join(e, "vec_id")
+        .join(broadcast(qcells),
+          col("cell") === col("qcell") && col("vec_id") =!= col("query_id"))
+        .withColumn("cos", cosineHof(col("qe"), col("embedding")))
+        .select(col("query_id"), col("vec_id"), col("cos"))
+      val top3 = cand.groupBy(col("query_id"))
+        .agg(expr("graft_topk(cos, vec_id, 3)").as("top"))
+        .select(col("query_id"), explode(col("top")).as("t"))
+        .select(col("query_id"), col("t.id").as("neighbor_id"))
+      top3.intersect(exactTop).agg(count(lit(1)).as("hits"))
+        .crossJoin(exactTop.agg(count(lit(1)).as("truth")))
+        .crossJoin(cand.agg(count(lit(1)).as("candidates")))
+        .select(lit(nlist).as("nlist"), lit(np).as("nprobe"),
+          col("hits"), col("truth"),
+          when(col("truth") === 0, lit(null).cast("double"))
+            .otherwise(r6(col("hits") / col("truth"))).as("recall"),
+          col("candidates"))
+    }.reduce(_ unionByName _)
+      .orderBy("nlist")
+  }
+
+  val s15Sql: String = {
+    val assignCos = cosineSql("e.embedding", "c.ce")
+    val probeCos = cosineSql("q.qe", "a.embedding")
+    val cfgValues = s15Configs.map { case (nl, np) => s"($nl, $np)" }.mkString(", ")
+    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < $s3Cap),
+      |cfg AS (SELECT * FROM (VALUES $cfgValues) c(nlist, np)),
+      |seeds AS (
+      |  SELECT g.nlist, e.vec_id AS cent_id,
+      |    list_transform(e.embedding, x -> x::DOUBLE) AS ce
+      |  FROM e JOIN (SELECT DISTINCT nlist FROM cfg) g ON e.vec_id < g.nlist),
+      |a1 AS (
+      |  SELECT nlist, vec_id, cent_id AS cell FROM (
+      |    SELECT c.nlist, e.vec_id, c.cent_id,
+      |      row_number() OVER (PARTITION BY c.nlist, e.vec_id
+      |        ORDER BY $assignCos DESC, c.cent_id) AS rn
+      |    FROM e CROSS JOIN seeds c) t
+      |  WHERE rn = 1),
+      |dims AS (
+      |  SELECT a1.nlist, a1.cell, i - 1 AS pos,
+      |    CAST(e.embedding[i] AS DECIMAL(18,6)) AS v
+      |  FROM a1 JOIN e USING (vec_id),
+      |    LATERAL (SELECT unnest(range(1, len(e.embedding) + 1)) AS i)),
+      |cent1 AS (
+      |  SELECT nlist, cell AS cent_id, list(m ORDER BY pos) AS ce FROM (
+      |    SELECT nlist, cell, pos, CAST(sum(v) AS DOUBLE) / count(*) AS m
+      |    FROM dims GROUP BY nlist, cell, pos)
+      |  GROUP BY nlist, cell),
+      |a2 AS (
+      |  SELECT nlist, vec_id, cent_id AS cell FROM (
+      |    SELECT c.nlist, e.vec_id, c.cent_id,
+      |      row_number() OVER (PARTITION BY c.nlist, e.vec_id
+      |        ORDER BY $assignCos DESC, c.cent_id) AS rn
+      |    FROM e CROSS JOIN cent1 c) t
+      |  WHERE rn = 1),
+      |qcells AS (
+      |  SELECT f.nlist, f.np, t.query_id, t.qe, t.cent_id AS qcell FROM (
+      |    SELECT c.nlist, q.vec_id AS query_id, q.embedding AS qe, c.cent_id,
+      |      row_number() OVER (PARTITION BY c.nlist, q.vec_id
+      |        ORDER BY ${cosineSql("q.embedding", "c.ce")} DESC, c.cent_id) AS rn
+      |    FROM (SELECT vec_id, embedding FROM e
+      |          WHERE vec_id >= 8 AND vec_id < 13) q
+      |    CROSS JOIN cent1 c) t
+      |  JOIN cfg f ON f.nlist = t.nlist AND t.rn <= f.np),
+      |cand AS (
+      |  SELECT q.nlist, q.np, q.query_id, a.vec_id,
+      |    ${cosineSql("q.qe", "e.embedding")} AS cos
+      |  FROM qcells q
+      |  JOIN a2 a ON a.nlist = q.nlist AND a.cell = q.qcell
+      |    AND a.vec_id <> q.query_id
+      |  JOIN e ON e.vec_id = a.vec_id),
+      |top3 AS (
+      |  SELECT nlist, np, query_id, vec_id FROM (
+      |    SELECT nlist, np, query_id, vec_id,
+      |      row_number() OVER (PARTITION BY nlist, np, query_id
+      |        ORDER BY cos DESC, vec_id) AS rn
+      |    FROM cand) t
+      |  WHERE rn <= 3),
+      |exact_top AS (
+      |  SELECT query_id, neighbor_id FROM (
+      |    SELECT q.query_id, a.vec_id AS neighbor_id,
+      |      row_number() OVER (PARTITION BY q.query_id
+      |        ORDER BY $probeCos DESC, a.vec_id) AS rank
+      |    FROM (SELECT vec_id AS query_id, embedding AS qe FROM e
+      |          WHERE vec_id >= 8 AND vec_id < 13) q
+      |    JOIN e a ON a.vec_id <> q.query_id) t
+      |  WHERE rank <= 3),
+      |truth AS (SELECT count(*) AS truth FROM exact_top)
+      |SELECT f.nlist, f.np AS nprobe,
+      |  coalesce(h.hits, 0) AS hits, t.truth,
+      |  CASE WHEN t.truth = 0 THEN NULL
+      |    ELSE floor((coalesce(h.hits, 0) / t.truth) * 1000000.0 + 0.5)
+      |      / 1000000.0 END AS recall,
+      |  coalesce(c.n, 0) AS candidates
+      |FROM cfg f
+      |CROSS JOIN truth t
+      |LEFT JOIN (
+      |  SELECT tn.nlist, tn.np, count(*) AS hits FROM top3 tn
+      |  JOIN exact_top x ON tn.query_id = x.query_id
+      |    AND tn.vec_id = x.neighbor_id
+      |  GROUP BY tn.nlist, tn.np) h ON h.nlist = f.nlist AND h.np = f.np
+      |LEFT JOIN (SELECT nlist, np, count(*) AS n FROM cand
+      |  GROUP BY nlist, np) c ON c.nlist = f.nlist AND c.np = f.np
+      |ORDER BY f.nlist""".stripMargin
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s7_ann_recall" -> s7AnnRecall,
     "s10_ivf_multiprobe" -> s10IvfMultiprobe,
     "s14_kmeans_refine" -> s14KmeansRefine,
+    "s15_scaled_nlist" -> s15ScaledNlist,
     "s6_quantize_int8" -> s6QuantizeInt8,
     "s5_label_centroids" -> s5LabelCentroids,
     "s1_bruteforce_topk" -> s1BruteForceTopK,
@@ -818,6 +994,7 @@ object Similarity {
     "s7_ann_recall" -> s7Sql,
     "s10_ivf_multiprobe" -> s10Sql,
     "s14_kmeans_refine" -> s14Sql,
+    "s15_scaled_nlist" -> s15Sql,
     "s6_quantize_int8" -> s6Sql,
     "s5_label_centroids" -> s5Sql,
     "s1_bruteforce_topk" -> s1Sql,

@@ -46,6 +46,7 @@ class AntiPatternSweepSpec extends SparkSpecBase {
     "s4_ivf_topk",            // bounded centroid/dim relation
     "s10_ivf_multiprobe",     // bounded centroids + 1-row count aggregates
     "s14_kmeans_refine",      // broadcast of k centroid rows per iteration
+    "s15_scaled_nlist",       // broadcast of ≤32 centroid rows + 1-row count aggregates
     "a9_completeness_grid")   // expected-grid dim × dim (SURVEY A9)
 
   /** Checkpoint-truncated queries → where the real plan shape IS

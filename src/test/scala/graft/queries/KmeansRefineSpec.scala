@@ -4,21 +4,26 @@ import graft.SparkSpecBase
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-/** The Lloyd guarantee as CI: each spherical k-means iteration must not
-  * decrease the clustering objective (mean cosine of every vector to
-  * its assigned centroid). The spec recomputes both halves of the
-  * registered s14 query independently — assignments from the query
-  * output, objectives from the raw embeddings — so a refactor that
-  * breaks the refit (wrong mean, wrong dimension order, dropped cell)
-  * shows up as a falling objective even if the query still runs.
+/** The Lloyd improvement as CI — a DOCUMENTED EMPIRICAL PIN, not a
+  * theorem: s14's refit uses the mean of RAW vectors, whose direction
+  * only approximates the argmax of summed cosine (exact spherical
+  * k-means would mean the NORMALIZED vectors; raw means weight each
+  * vector by its norm). On this corpus the norms are tightly clustered,
+  * so the iteration behaves like the textbook step and the objective
+  * (mean cosine of every vector to its assigned centroid) rises — the
+  * spec pins that observed behavior so a refactor that breaks the refit
+  * (wrong mean, wrong dimension order, dropped cell) shows up as a
+  * falling objective even if the query still runs. If the fixture
+  * corpus ever changes and this fails with a TINY decrease, that is the
+  * documented raw-mean approximation, not a code bug.
   */
 class KmeansRefineSpec extends SparkSpecBase {
 
-  test("the refit iteration does not decrease the mean assigned cosine") {
+  test("the refit iteration does not decrease the mean assigned cosine (empirical pin)") {
     val out = Similarity.s14KmeansRefine(spark, sf).persist()
     try {
       val e = graft.Tables.embeddings(spark, sf)
-        .filter(col("vec_id") < 300).select("vec_id", "embedding")
+        .filter(col("vec_id") < Similarity.s3Cap).select("vec_id", "embedding")
 
       def objective(cellCol: String): Double = {
         val assigned = out.select(col("vec_id"), col(cellCol).as("cell"))
