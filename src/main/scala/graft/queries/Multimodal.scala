@@ -40,10 +40,12 @@ object Multimodal {
     * typed media Dataset: runs the REAL multimodal plumbing
     * ([[graft.multimodal.Media.extractFeatures]] — case-class encoders,
     * `mapPartitions` batching, binary payloads) end-to-end through the
-    * oracle gate. The decode is the documented deterministic stub
-    * (byte-sum checksum, length-derived frame count), so DuckDB can
-    * replay every output field exactly: swapping a real codec in changes
-    * none of the verified plumbing.
+    * oracle gate. The payloads carry GENUINE PNG/BMP/WAV headers and the
+    * decode is real byte parsing (magic dispatch, endian-correct dims,
+    * RIFF chunk walk); the oracle replays the decoded values from the
+    * source columns the headers were built from, so a hash match proves
+    * the encode→decode roundtrip is lossless — any flipped byte, wrong
+    * endianness, or mis-walked chunk flips some row's decoded_* value.
     */
   def m2MediaFeatures(s: SparkSession, d: String): DataFrame = {
     import graft.multimodal.Media
@@ -52,25 +54,37 @@ object Multimodal {
       .orderBy("media_id")
   }
 
-  /** The stub arithmetic replayed relationally: text is ASCII in the test
-    * tables, so byte-sum == codepoint-sum; thumbnail fit and frame
-    * sampling are pure integer arithmetic (`//` floor-division matches
-    * JVM positive-int division).
+  /** The header roundtrip + feature arithmetic replayed relationally:
+    * text is ASCII in the test tables, so body byte-sum ==
+    * codepoint-sum; header lengths are per-format constants (PNG 33,
+    * WAV 44, BMP 54); thumbnail fit and frame sampling are pure integer
+    * arithmetic (`//` floor-division matches JVM positive-int division).
+    * doc_id%3: 0 → image/png, 1 → audio/wav, 2 → video/bmp.
     */
   val m2Sql: String =
     """SELECT doc_id AS media_id,
       |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
       |    ELSE 'video' END AS kind,
-      |  length(text) AS n_bytes,
+      |  CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'wav'
+      |    ELSE 'bmp' END AS format,
+      |  length(text) + CASE doc_id % 3 WHEN 0 THEN 33 WHEN 1 THEN 44
+      |    ELSE 54 END AS n_bytes,
       |  CAST(coalesce(list_sum(list_transform(range(1, length(text)+1),
       |    i -> ascii(text[i]))), 0) AS BIGINT) AS checksum,
-      |  CASE WHEN w <= 128 AND h <= 128 THEN w
+      |  CASE WHEN doc_id % 3 = 1 THEN 0 ELSE w END AS decoded_w,
+      |  CASE WHEN doc_id % 3 = 1 THEN 0 ELSE h END AS decoded_h,
+      |  CASE WHEN doc_id % 3 = 1 THEN 16000 + (doc_id % 8) * 1000
+      |    ELSE 0 END AS decoded_rate,
+      |  CASE WHEN doc_id % 3 = 1 THEN 0
+      |       WHEN w <= 128 AND h <= 128 THEN w
       |       WHEN w >= h THEN 128
       |       ELSE greatest(1, (w * 128) // h) END AS thumb_w,
-      |  CASE WHEN w <= 128 AND h <= 128 THEN h
+      |  CASE WHEN doc_id % 3 = 1 THEN 0
+      |       WHEN w <= 128 AND h <= 128 THEN h
       |       WHEN w >= h THEN greatest(1, (h * 128) // w)
       |       ELSE 128 END AS thumb_h,
-      |  ((length(text) // 64 + 1) + 9) // 10 AS n_frames_sampled
+      |  CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 0
+      |    ELSE ((length(text) // 64 + 1) + 9) // 10 END AS n_frames_sampled
       |FROM (SELECT doc_id, text,
       |        n_chars % 640 + 16 AS w, n_chars % 480 + 9 AS h
       |      FROM documents)
