@@ -66,7 +66,8 @@ object Ingest {
   // the fixture dir contents changed between class load and query run).
   private val csvFixture: String = fixture("league.csv")
   private val rawTableFixture: String = fixture("raw_table.json")
-  private val dvpFixture: String = fixture("dvp_raw.json")
+  // private[queries]: the e2e replay row chains the same fixture
+  private[queries] val dvpFixture: String = fixture("dvp_raw.json")
   private val lineupsFixture: String = fixture("lineups_raw.json")
   private val htmlFixture: String = fixture("team_page.html")
   private val htmlGolden: String = fixture("html_golden.jsonl")
