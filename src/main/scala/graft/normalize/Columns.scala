@@ -22,19 +22,23 @@ object Columns {
 
   /** Join the non-empty parts of one MultiIndex header tuple. Parts that
     * are blank or pandas-style `Unnamed: 3_level_0` placeholders are
-    * dropped, as are consecutive repeats (a `rowspan`'d header cell
-    * occupies every level of its column's tuple — ("Rk","Rk") means the
-    * one label "Rk", not a two-part name); a fully-empty tuple becomes
-    * `Unnamed`.
+    * dropped. A tuple whose kept parts are ALL the same label collapses
+    * to that single label: a `rowspan`'d header cell occupies EVERY
+    * level of its column's tuple, so ("Rk","Rk") means the one label
+    * "Rk" — and full-height identity is the only repeat shape a rowspan
+    * carry can produce, so the collapse never fires on a PARTIAL repeat
+    * (("Total","Total","PTS") keeps all three parts, matching the
+    * reference's join-all `_flatten_columns`,
+    * `unified_nba_scraper.py:112-121`; r9 advice #1 — the previous
+    * consecutive-pair dedup collapsed those too). A fully-empty tuple
+    * becomes `Unnamed`.
     */
   def flattenHeader(parts: Seq[String], sep: String = " "): String = {
     val kept = parts.map(_.trim)
       .filter(p => p.nonEmpty && !p.toLowerCase.startsWith("unnamed"))
-    val deduped = kept.foldLeft(List.empty[String]) {
-      case (acc, p) if acc.headOption.contains(p) => acc
-      case (acc, p) => p :: acc
-    }.reverse
-    if (deduped.isEmpty) "Unnamed" else deduped.mkString(sep)
+    if (kept.isEmpty) "Unnamed"
+    else if (kept.forall(_ == kept.head)) kept.head
+    else kept.mkString(sep)
   }
 
   /** Flatten a full two-row (or n-row) header into one name per column. */

@@ -42,7 +42,7 @@ object Curation {
     * components. Both registered c1 variants (base corpus, dup-injected)
     * are THIS operator; they differ only in inputs.
     */
-  private def decisionOf(docs: DataFrame, spread: DataFrame,
+  private[graft] def decisionOf(docs: DataFrame, spread: DataFrame,
       clusters: DataFrame): DataFrame = {
     // exact keeper as a window min over the content hash: ONE shuffle on
     // md5(text), vs the groupBy + join-back formulation's two

@@ -330,7 +330,7 @@ object Similarity {
     * used by the registered s4 query, s7's recall measurement, and the
     * s10 multi-probe harness.
     */
-  private def ivfTopKOf(e: DataFrame, nprobe: Int = 1): DataFrame =
+  private[graft] def ivfTopKOf(e: DataFrame, nprobe: Int = 1): DataFrame =
     ivfCandidates(e, nprobe)
       .groupBy(col("query_id"))
       .agg(expr("graft_topk(cos, vec_id, 3)").as("top"))

@@ -381,6 +381,17 @@ object TextAnalysis {
     * keys free map-side lookups. Per-doc aggregation is the one
     * doc_id shuffle. All-integer sums; the only double is the final
     * mean, r6-rounded on both sides.
+    *
+    * Broadcast-size guard (r9 advice #3): the broadcast is safe while
+    * the vocab stays within driver/executor broadcast budget — ~10⁷
+    * word rows ≈ hundreds of MB, the practical ceiling. A corpus whose
+    * UNCAPPED vocab outgrows that (OCR noise, unsegmented scripts)
+    * should first apply t7's min-df cut (junk hapaxes carry no
+    * surprisal signal worth their broadcast bytes) or drop the
+    * `broadcast()` hint and let AQE re-plan the shuffle join's skew:
+    * that fallback is MEASURED, not assumed — SCALE.md's
+    * `powerlaw_skew_join` proof pins that AQE splits the hot stopword
+    * partitions and beats the unsplit shuffle at 10× skew.
     */
   def t8Surprisal(s: SparkSession, d: String): DataFrame = {
     val words = documentsSpread(s, d)

@@ -26,12 +26,25 @@ import graft.queries.{Curation, Dedup, Similarity}
   * the base benches (production shape: eval sets don't grow with the
   * crawl).
   *
+  * Round 10 extends the harness to the COMPOSITE operators (r9 verdict
+  * ask #3): d6 clustering (star contraction + pointer-jumped
+  * propagation over the d5 pair relation — the JSON line also records
+  * the convergence round count, which must stay O(log diameter), not
+  * grow with corpus size), the full c1 curation cascade, and the
+  * s4 IVF probe; plus the AQE skew-join proof (ask #8 stretch): the
+  * t8 token×vocab join SHAPE run as a deliberate SHUFFLE join over a
+  * power-law-keyed fact table (the test corpus's own vocabulary is too
+  * uniform to skew — see the in-line note), with AQE skew splitting on
+  * vs off at 10× — records whether the final plan actually split
+  * ("skewed" AQEShuffleRead) and what the split saves.
+  *
   * Output: one JSON line per (operator, scale) with wall seconds (min
   * over `reps`), plus a final summary line with the growth ratios and
   * the sub-quadratic verdict per operator (ratio < copies² — and the
   * near-linear target is ratio ≈ copies).
   *
   * Usage: `sbt "runMain graft.tools.ScaleHeadroom /root/testdata/sf0.1 10 2"`
+  * Optional 4th arg: comma-list of op names to run (default: all).
   */
 object ScaleHeadroom {
 
@@ -40,6 +53,20 @@ object ScaleHeadroom {
       if (i == 0) base
       else base.select((col("doc_id") + lit(i * 1000000L)).as("doc_id"),
         regexp_replace(col("text"), "(\\S+)", s"c$i$$1").as("text"))
+    }.reduce(_ unionByName _)
+
+  /** Tagged enlargement carrying the full c1 input schema: copies'
+    * texts are word-tagged (no cross-copy shingles), n_chars recomputed
+    * for the retagged text, lang carried from the source row.
+    */
+  private def enlargeDocsFull(base: DataFrame, copies: Int): DataFrame =
+    (0 until copies).map { i =>
+      if (i == 0) base
+      else base.select((col("doc_id") + lit(i * 1000000L)).as("doc_id"),
+        regexp_replace(col("text"), "(\\S+)", s"c$i$$1").as("text"),
+        col("lang"),
+        length(regexp_replace(col("text"), "(\\S+)", s"c$i$$1"))
+          .cast("long").as("n_chars"))
     }.reduce(_ unionByName _)
 
   private def enlargeEmb(base: DataFrame, copies: Int): DataFrame =
@@ -84,6 +111,12 @@ object ScaleHeadroom {
       .select(col("doc_id"),
         array_distinct(expr(Tables.ngramsExpr("w", 3))).as("shingles"))
 
+    def docsFullAt(scale: Int): DataFrame = {
+      val base = Tables.documents(spark, sfDir)
+        .select("doc_id", "text", "lang", "n_chars")
+      enlargeDocsFull(base, scale).repartition(par, col("doc_id"))
+    }
+
     val isBench = col("doc_id") % 100 === 0 && col("doc_id") < 1000000L
     val ops: Seq[(String, Int => DataFrame)] = Seq(
       "d2_ngram_jaccard" -> (n => Dedup.d2PairsOf(setsOf(docsAt(n)))),
@@ -92,26 +125,48 @@ object ScaleHeadroom {
       "d9_simhash64_pairs" -> (n => Dedup.d9PairsOf(docsAt(n))),
       "s2_lsh_neardup" -> (n => Similarity.lshNearDup(embAt(n))),
       "c4_decontaminate" ->
-        (n => Curation.decontaminateOf(setsOf(docsAt(n)), isBench)))
+        (n => Curation.decontaminateOf(setsOf(docsAt(n)), isBench)),
+      // ---- composite operators (r9 ask #3) ----
+      // d6 = d5 pair generation + star-contraction clustering (the full
+      // path a d6 run pays; d5-only is measured above, so the
+      // clustering-only growth is the difference)
+      "d6_neardup_clusters" -> (n => Dedup.neardupClustersOf(docsAt(n))),
+      // full six-gate curation cascade incl. its own clustering
+      "c1_curation_cascade" -> { n =>
+        val full = docsFullAt(n)
+        Curation.decisionOf(full, full, Dedup.neardupClustersOf(
+          full.select("doc_id", "text")))
+      },
+      // IVF build (broadcast-assign) + cell-keyed probe, nprobe=1
+      "s4_ivf_probe" -> (n => Similarity.ivfTopKOf(embAt(n))))
+
+    val opsFilter: Option[Set[String]] =
+      args.lift(3).map(_.split(",").map(_.trim).toSet)
+    val selected = ops.filter { case (n, _) =>
+      opsFilter.forall(_.contains(n)) }
 
     // warm up session/codegen outside the timed region
     spark.range(1000000).selectExpr("sum(id * 2)").collect()
     docsAt(1).count(); embAt(1).count()
 
-    val results = ops.map { case (name, f) =>
-      def time(scale: Int): (Double, Long) = {
+    val results = selected.map { case (name, f) =>
+      def time(scale: Int): (Double, Long, Int) = {
         var rows = 0L
         val t = (1 to reps).map { _ =>
           val t0 = System.nanoTime()
           rows = f(scale).count()
           (System.nanoTime() - t0) / 1e9
         }.min
-        (t, rows)
+        (t, rows, graft.queries.Dedup.lastClusterRounds)
       }
-      val (t1, r1) = time(1)
-      val (tn, rn) = time(copies)
+      val (t1, r1, rounds1) = time(1)
+      val (tn, rn, roundsN) = time(copies)
       val ratio = tn / t1
-      println(f"""{"op":"$name","base_sec":$t1%.2f,"scaled_sec":$tn%.2f,"scale":$copies,"ratio":$ratio%.2f,"base_rows":$r1,"scaled_rows":$rn}""")
+      val roundsJson =
+        if (name.contains("cluster") || name.contains("cascade"))
+          s""","base_rounds":$rounds1,"scaled_rounds":$roundsN"""
+        else ""
+      println(f"""{"op":"$name","base_sec":$t1%.2f,"scaled_sec":$tn%.2f,"scale":$copies,"ratio":$ratio%.2f,"base_rows":$r1,"scaled_rows":$rn$roundsJson}""")
       (name, t1, tn, ratio)
     }
     val verdicts = results.map { case (n, _, _, r) =>
@@ -120,6 +175,76 @@ object ScaleHeadroom {
     val allSub = results.forall { case (_, _, _, r) =>
       r < copies.toDouble * copies }
     println(s"""{"metric":"scale_headroom","copies":$copies,"ratios":$verdicts,"all_subquadratic":$allSub}""")
+
+    // ---- AQE skew-join proof (r9 ask #8 stretch) ----------------------
+    // The t8 token×vocab join as a deliberate SHUFFLE join (broadcast
+    // disabled) over CLONE-enlarged docs: the stopword keys grow with
+    // the corpus, concentrating one shuffle partition per hot word.
+    // Measured base vs 10× with AQE skew splitting ON, then 10× with it
+    // OFF — the split must engage (a "skewed" AQEShuffleRead in the
+    // final adaptive plan) and hold the ON time at or under the OFF
+    // time. This pins that t8's broadcast-vocab choice is a preference,
+    // not a crutch: the shuffle fallback stays viable at skew because
+    // AQE re-plans it.
+    if (opsFilter.forall(_.contains("powerlaw_skew_join"))) {
+      // The TEST corpus cannot exhibit this shape honestly — its
+      // synthetic vocabulary is ~40 words, near-uniform — so the skew
+      // proof keys a deliberately power-law fact table (one "stopword"
+      // key holding HALF the rows, the head a real crawl's token
+      // distribution has) against a 100k-key dimension, the t8
+      // token×vocab join shape at the skew a web corpus produces.
+      def skewFrame(scale: Int): DataFrame = {
+        val n = 200000L * scale
+        // xxhash64 payloads: incompressible, so shuffle-partition BYTES
+        // track row counts — regular sequences compress away the very
+        // size signal the skew detector reads
+        val facts = spark.range(n).select(
+          when(col("id") % 2 === 0, lit(0L))
+            .otherwise(col("id") % 100000L).as("key"),
+          pmod(xxhash64(col("id")), lit(1000000L)).as("value"))
+        val dim = spark.range(100000L).select(col("id").as("key"),
+          pmod(xxhash64(col("id"), lit(1)), lit(1000L)).as("weight"))
+        facts.join(dim, "key") // no broadcast hint: deliberate shuffle
+          .groupBy((col("key") % 32).as("g"))
+          .agg(sum(col("value") * col("weight")).as("total"))
+      }
+      def timedRun(scale: Int, skewOn: Boolean): (Double, Boolean) = {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", skewOn.toString)
+        // lowered thresholds: the default 256 MB skew floor is sized for
+        // production shuffles; the synthetic fact table skews at MBs
+        spark.conf.set(
+          "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "1m")
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1m")
+        try {
+          var skewed = false
+          val t = (1 to reps).map { _ =>
+            val df = skewFrame(scale)
+            val t0 = System.nanoTime()
+            // collect THIS frame (32-row aggregate): a .count() would
+            // execute a different QueryExecution and leave df's own
+            // adaptive plan unfinalized, hiding the skew-read nodes
+            df.collect()
+            val dt = (System.nanoTime() - t0) / 1e9
+            skewed = df.queryExecution.executedPlan.toString.contains("skewed")
+            dt
+          }.min
+          (t, skewed)
+        } finally {
+          Seq("spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.skewJoin.enabled",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes")
+            .foreach(spark.conf.unset)
+        }
+      }
+      val (tBase, _) = timedRun(1, skewOn = true)
+      val (tOn, splitOn) = timedRun(copies, skewOn = true)
+      val (tOff, _) = timedRun(copies, skewOn = false)
+      println(f"""{"op":"powerlaw_skew_join","base_sec":$tBase%.2f,"scaled_sec":$tOn%.2f,"scale":$copies,"ratio":${tOn / tBase}%.2f,"skew_split_engaged":$splitOn,"scaled_noskew_sec":$tOff%.2f}""")
+    }
     spark.stop()
   }
 }

@@ -35,7 +35,7 @@ class BenchBandSpec extends AnyFunSuite {
     assert(BenchBand.regressions(Map("a" -> 5.0), Map("a" -> 0.0)) == Map.empty)
   }
 
-  test("committed band file parses and names only registered queries") {
+  test("committed band file parses and covers the registered surface exactly") {
     val path = java.nio.file.Paths.get("BENCH_BAND.json")
     assume(java.nio.file.Files.exists(path), "band not captured yet")
     val mins = BenchBand.load(path.toString)
@@ -43,5 +43,14 @@ class BenchBandSpec extends AnyFunSuite {
     val registered = SparkEntry.queries.keySet
     val stale = mins.keySet -- registered
     assert(stale.isEmpty, s"band names unregistered queries: $stale")
+    // exact-count contract (r9 advice #5): parseMins slices to the
+    // first '}' after "mins", so any future nesting inside the object
+    // would silently truncate the band and regression checks would
+    // vanish without a failure anywhere. Pinning size == registered
+    // count turns silent truncation (and a stale band after adding
+    // queries) into a red test: recapture the band when this fires.
+    val missing = registered -- mins.keySet
+    assert(mins.size == registered.size,
+      s"band covers ${mins.size}/${registered.size} queries; missing: $missing")
   }
 }

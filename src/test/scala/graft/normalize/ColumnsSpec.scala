@@ -12,6 +12,18 @@ class ColumnsSpec extends AnyFunSuite {
     assert(Columns.flattenHeader(Seq(" Advanced ", "WS/48")) == "Advanced WS/48")
   }
 
+  test("flattenHeader collapses ONLY full-height identical tuples (rowspan shape)") {
+    // a rowspan'd cell fills every level — collapses to one label
+    assert(Columns.flattenHeader(Seq("Rk", "Rk")) == "Rk")
+    assert(Columns.flattenHeader(Seq("Rk", "Rk", "Rk")) == "Rk")
+    // identical after placeholder drop still counts as full-height
+    assert(Columns.flattenHeader(Seq("Rk", "Unnamed: 1_level_1", "Rk")) == "Rk")
+    // a PARTIAL repeat cannot come from a rowspan carry: keep all parts
+    // (reference join-all semantics; r9 advice #1)
+    assert(Columns.flattenHeader(Seq("Total", "Total", "PTS")) == "Total Total PTS")
+    assert(Columns.flattenHeader(Seq("A", "B", "B")) == "A B B")
+  }
+
   test("canonicalName maps known variants, longest first") {
     assert(Columns.canonicalName("FG%") == "FG_pct")
     assert(Columns.canonicalName("fg pct") == "FG_pct")
