@@ -823,6 +823,118 @@ object Similarity {
       |ORDER BY vec_id""".stripMargin
   }
 
+  /** One TRUE spherical Lloyd update pass (r9 advice #2's strong
+    * resolution): centroid direction = mean of the NORMALIZED member
+    * vectors — the exact argmax of summed cosine for a fixed
+    * assignment, where [[lloydRefit]]'s raw mean only approximates it
+    * (raw means weight members by norm). Cross-engine exactness comes
+    * from integer micro-units: each normalized component v/‖v‖ (the
+    * division is double-exact given the strict-left-fold norm both
+    * engines share) is rounded to `floor(x·10⁶ + 0.5)` micro-units and
+    * summed as a plain BIGINT — integer adds are associative, so the
+    * per-cell mean is bit-identical in Spark and DuckDB with no
+    * decimal-cast boundary risk on irrational components.
+    */
+  private[queries] def lloydRefitSpherical(e: DataFrame,
+      assigned: DataFrame): DataFrame = {
+    assigned.join(e, "vec_id")
+      .withColumn("vnrm",
+        sqrt(aggregate(
+          transform(col("embedding"), x => x.cast("double") * x.cast("double")),
+          lit(0.0), (acc, x) => acc + x)))
+      .select(col("cell"), col("vnrm"),
+        posexplode(col("embedding")).as(Seq("pos", "v")))
+      .withColumn("q",
+        floor(col("v").cast("double") / col("vnrm") * lit(1000000.0)
+          + lit(0.5)).cast("long"))
+      .groupBy(col("cell"), col("pos"))
+      .agg((sum(col("q")) / (count(lit(1)) * lit(1000000.0))).as("m"))
+      .groupBy(col("cell"))
+      .agg(sort_array(collect_list(struct(col("pos"), col("m")))).as("pm"))
+      .select(col("cell").as("cent_id"),
+        expr("transform(pm, x -> x.m)").as("ce"))
+  }
+
+  /** S16 — raw-mean vs TRUE spherical Lloyd refit, side by side under
+    * the oracle: both second-iteration assignments derived from the
+    * same first assignment, so the row set certifies (a) the spherical
+    * update path end-to-end (normalize → micro-unit quantize → integer
+    * mean → reassign) and (b) exactly where the raw-mean approximation
+    * s14 documents diverges from the textbook update on this corpus.
+    * Scale shape is s14's: broadcast centroid assignment + one
+    * explode-by-dimension map-side-combined shuffle per refit.
+    */
+  def s16SphericalRefine(s: SparkSession, d: String): DataFrame = {
+    val e = withNorm(s, d).filter(col("vec_id") < s3Cap)
+      .select(col("vec_id"), col("embedding"))
+    val a1 = lloydAssign(e, seedCentroids(e, 8))
+    val a2raw = lloydAssign(e, lloydRefit(e, a1))
+    val a2sph = lloydAssign(e, lloydRefitSpherical(e, a1))
+    a1.select(col("vec_id"), col("cell").as("cell_iter1"))
+      .join(a2raw.select(col("vec_id"), col("cell").as("cell_raw_refit")),
+        Seq("vec_id"))
+      .join(a2sph.select(col("vec_id"), col("cell").as("cell_sph_refit")),
+        Seq("vec_id"))
+      .orderBy("vec_id")
+  }
+
+  val s16Sql: String = {
+    def cos(a: String, b: String) = cosineSql(a, b)
+    def foldSq(a: String) =
+      s"list_reduce(list_prepend(0.0, list_transform(range(1, len($a)+1), i -> $a[i]::DOUBLE * $a[i]::DOUBLE)), (acc, x) -> acc + x)"
+    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < $s3Cap),
+      |cent0 AS (SELECT vec_id AS cent_id,
+      |    list_transform(embedding, x -> x::DOUBLE) AS ce
+      |  FROM e WHERE vec_id < 8),
+      |a1 AS (
+      |  SELECT vec_id, cent_id AS cell FROM (
+      |    SELECT e.vec_id, c.cent_id,
+      |      row_number() OVER (PARTITION BY e.vec_id
+      |        ORDER BY ${cos("e.embedding", "c.ce")} DESC, c.cent_id) AS rn
+      |    FROM e CROSS JOIN cent0 c) t
+      |  WHERE rn = 1),
+      |dims_raw AS (
+      |  SELECT a1.cell, i - 1 AS pos,
+      |    CAST(e.embedding[i] AS DECIMAL(18,6)) AS v
+      |  FROM a1 JOIN e USING (vec_id),
+      |    LATERAL (SELECT unnest(range(1, len(e.embedding) + 1)) AS i)),
+      |cent_raw AS (
+      |  SELECT cell AS cent_id, list(m ORDER BY pos) AS ce FROM (
+      |    SELECT cell, pos, CAST(sum(v) AS DOUBLE) / count(*) AS m
+      |    FROM dims_raw GROUP BY cell, pos)
+      |  GROUP BY cell),
+      |dims_sph AS (
+      |  SELECT a1.cell, i - 1 AS pos,
+      |    CAST(floor(e.embedding[i]::DOUBLE / sqrt(${foldSq("e.embedding")})
+      |      * 1000000.0 + 0.5) AS BIGINT) AS q
+      |  FROM a1 JOIN e USING (vec_id),
+      |    LATERAL (SELECT unnest(range(1, len(e.embedding) + 1)) AS i)),
+      |cent_sph AS (
+      |  SELECT cell AS cent_id, list(m ORDER BY pos) AS ce FROM (
+      |    SELECT cell, pos,
+      |      CAST(sum(q) AS BIGINT) / (count(*) * 1000000.0) AS m
+      |    FROM dims_sph GROUP BY cell, pos)
+      |  GROUP BY cell),
+      |a2_raw AS (
+      |  SELECT vec_id, cent_id AS cell FROM (
+      |    SELECT e.vec_id, c.cent_id,
+      |      row_number() OVER (PARTITION BY e.vec_id
+      |        ORDER BY ${cos("e.embedding", "c.ce")} DESC, c.cent_id) AS rn
+      |    FROM e CROSS JOIN cent_raw c) t
+      |  WHERE rn = 1),
+      |a2_sph AS (
+      |  SELECT vec_id, cent_id AS cell FROM (
+      |    SELECT e.vec_id, c.cent_id,
+      |      row_number() OVER (PARTITION BY e.vec_id
+      |        ORDER BY ${cos("e.embedding", "c.ce")} DESC, c.cent_id) AS rn
+      |    FROM e CROSS JOIN cent_sph c) t
+      |  WHERE rn = 1)
+      |SELECT a1.vec_id, a1.cell AS cell_iter1,
+      |  r.cell AS cell_raw_refit, p.cell AS cell_sph_refit
+      |FROM a1 JOIN a2_raw r USING (vec_id) JOIN a2_sph p USING (vec_id)
+      |ORDER BY a1.vec_id""".stripMargin
+  }
+
   /** The (nlist, nprobe) configurations s15 compares: equal candidate
     * budget — nlist=32 cells are ~4× smaller than nlist=8 cells, so
     * probing 4× the cells scans about the same number of candidates.
@@ -981,6 +1093,7 @@ object Similarity {
     "s10_ivf_multiprobe" -> s10IvfMultiprobe,
     "s14_kmeans_refine" -> s14KmeansRefine,
     "s15_scaled_nlist" -> s15ScaledNlist,
+    "s16_spherical_refine" -> s16SphericalRefine,
     "s6_quantize_int8" -> s6QuantizeInt8,
     "s5_label_centroids" -> s5LabelCentroids,
     "s1_bruteforce_topk" -> s1BruteForceTopK,
@@ -995,6 +1108,7 @@ object Similarity {
     "s10_ivf_multiprobe" -> s10Sql,
     "s14_kmeans_refine" -> s14Sql,
     "s15_scaled_nlist" -> s15Sql,
+    "s16_spherical_refine" -> s16Sql,
     "s6_quantize_int8" -> s6Sql,
     "s5_label_centroids" -> s5Sql,
     "s1_bruteforce_topk" -> s1Sql,

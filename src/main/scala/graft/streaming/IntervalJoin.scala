@@ -112,6 +112,16 @@ object IntervalJoin {
     val dir = java.nio.file.Files.createTempDirectory("graft_st4s_")
     val sink = "st4s_out_" +
       java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+    // A stateful stream-stream join instantiates FOUR state stores per
+    // shuffle partition (keyWithIndex + keyToNumValues, each side); at
+    // the session's 32 partitions that is 128 store setups/commits per
+    // micro-batch for a bounded catch-up run — pure fixed overhead at
+    // this volume. 8 partitions keep 8-way parallelism and quarter the
+    // store machinery; a production deployment sizes this to cluster
+    // cores × state volume, set BEFORE the query starts (the value is
+    // pinned into the checkpoint for the query's lifetime).
+    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
     try {
       java.nio.file.Files.copy(
         java.nio.file.Paths.get(s"$d/events.parquet"),
@@ -136,6 +146,7 @@ object IntervalJoin {
         .localCheckpoint()
         .orderBy("click_id", "buy_id")
     } finally {
+      s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
       s.catalog.dropTempView(sink)
       org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
     }

