@@ -1,0 +1,31 @@
+package graft.streaming
+
+import org.apache.spark.sql.SparkSession
+
+/** Shared shuffle-partition scope for the BOUNDED streaming catch-up
+  * rows (st4s–st10): a stateful streaming query instantiates state
+  * stores per shuffle partition per stateful operator (a stream-stream
+  * join holds FOUR per partition), and every micro-batch pays a
+  * setup/commit round per store. At the session's 32 partitions that is
+  * pure fixed overhead for a catch-up run over a staged file — measured
+  * on st4s, 32 → 8 partitions cut the run 2.5× with the result
+  * hash-unchanged (the oracle re-certifies every row).
+  *
+  * Production sizing note: this is the same knob a real deployment
+  * sizes to cluster cores × state volume — and it must be set BEFORE
+  * `start()`, because the value is pinned into the checkpoint for the
+  * query's lifetime. The scope restores the caller's setting on exit,
+  * so batch queries in the same session keep their 32-way shuffles.
+  */
+object CatchupConf {
+
+  val boundedStatePartitions = 8
+
+  def withBoundedStatePartitions[A](s: SparkSession,
+      n: Int = boundedStatePartitions)(body: => A): A = {
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", n.toString)
+    try body
+    finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+}

@@ -81,7 +81,8 @@ object EventWindows {
     * never raw events — a production run would `writeStream` to files
     * with the identical plan.
     */
-  def st5AvailableNow(s: SparkSession, d: String): DataFrame = {
+  def st5AvailableNow(s: SparkSession, d: String): DataFrame =
+    CatchupConf.withBoundedStatePartitions(s) {
     import org.apache.spark.sql.streaming.Trigger
     events(s, d) // sets the nanosAsLong conf before any events scan
     val rawSchema = s.read.parquet(s"$d/events.parquet").schema
@@ -138,7 +139,8 @@ object EventWindows {
     * certifies both halves of production streaming at once: no
     * reprocessing of seen files, no loss of checkpointed state.
     */
-  def st8CheckpointResume(s: SparkSession, d: String): DataFrame = {
+  def st8CheckpointResume(s: SparkSession, d: String): DataFrame =
+    CatchupConf.withBoundedStatePartitions(s) {
     import org.apache.spark.sql.streaming.Trigger
     events(s, d) // sets the nanosAsLong conf
     val rawSchema = s.read.parquet(s"$d/events.parquet").schema
@@ -203,7 +205,8 @@ object EventWindows {
     * not been picked up (or state been lost), `n_after_commit` would not
     * be exactly double.
     */
-  def st9CommitProtocol(s: SparkSession, d: String): DataFrame = {
+  def st9CommitProtocol(s: SparkSession, d: String): DataFrame =
+    CatchupConf.withBoundedStatePartitions(s) {
     import org.apache.spark.sql.streaming.Trigger
     events(s, d) // sets the nanosAsLong conf
     val rawSchema = s.read.parquet(s"$d/events.parquet").schema
@@ -283,7 +286,8 @@ object EventWindows {
     * inner joins need no watermark-state for the static side — state is
     * only the window aggregate, bounded as in st5.
     */
-  def st10StreamStaticEnrich(s: SparkSession, d: String): DataFrame = {
+  def st10StreamStaticEnrich(s: SparkSession, d: String): DataFrame =
+    CatchupConf.withBoundedStatePartitions(s) {
     import org.apache.spark.sql.streaming.Trigger
     events(s, d) // sets the nanosAsLong conf
     val rawSchema = s.read.parquet(s"$d/events.parquet").schema

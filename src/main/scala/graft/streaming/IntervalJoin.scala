@@ -105,23 +105,18 @@ object IntervalJoin {
     * result is the complete, deterministic pair set regardless of how
     * the trigger slices batches.
     */
-  def st4sStreamIntervalJoin(s: SparkSession, d: String): DataFrame = {
+  def st4sStreamIntervalJoin(s: SparkSession, d: String): DataFrame =
+    // the stream-stream join is the heaviest state holder (FOUR stores
+    // per partition: keyWithIndex + keyToNumValues, each side) — the
+    // bounded-catch-up partition scope cut this row 2.5× (see
+    // [[CatchupConf]])
+    CatchupConf.withBoundedStatePartitions(s) {
     import org.apache.spark.sql.streaming.Trigger
     graft.Tables.events(s, d) // sets the nanosAsLong conf
     val rawSchema = s.read.parquet(s"$d/events.parquet").schema
     val dir = java.nio.file.Files.createTempDirectory("graft_st4s_")
     val sink = "st4s_out_" +
       java.util.UUID.randomUUID().toString.replace("-", "").take(12)
-    // A stateful stream-stream join instantiates FOUR state stores per
-    // shuffle partition (keyWithIndex + keyToNumValues, each side); at
-    // the session's 32 partitions that is 128 store setups/commits per
-    // micro-batch for a bounded catch-up run — pure fixed overhead at
-    // this volume. 8 partitions keep 8-way parallelism and quarter the
-    // store machinery; a production deployment sizes this to cluster
-    // cores × state volume, set BEFORE the query starts (the value is
-    // pinned into the checkpoint for the query's lifetime).
-    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "8")
     try {
       java.nio.file.Files.copy(
         java.nio.file.Paths.get(s"$d/events.parquet"),
@@ -146,7 +141,6 @@ object IntervalJoin {
         .localCheckpoint()
         .orderBy("click_id", "buy_id")
     } finally {
-      s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
       s.catalog.dropTempView(sink)
       org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
     }

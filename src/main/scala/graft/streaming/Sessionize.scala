@@ -225,7 +225,8 @@ object Sessionize {
     * is exactly one micro-batch, so the collapse is 1:1 and the output
     * deterministic.
     */
-  def st7StreamSessionize(s: SparkSession, d: String): DataFrame = {
+  def st7StreamSessionize(s: SparkSession, d: String): DataFrame =
+    CatchupConf.withBoundedStatePartitions(s) {
     import org.apache.spark.sql.streaming.Trigger
     import s.implicits._
     graft.Tables.events(s, d) // sets the nanosAsLong conf

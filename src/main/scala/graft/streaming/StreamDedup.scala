@@ -30,7 +30,8 @@ import org.apache.spark.sql.streaming.Trigger
   */
 object StreamDedup {
 
-  def st6StreamDedup(s: SparkSession, d: String): DataFrame = {
+  def st6StreamDedup(s: SparkSession, d: String): DataFrame =
+    CatchupConf.withBoundedStatePartitions(s) {
     val injected = graft.Tables.documents(s, d).select("doc_id", "text")
       .unionByName(
         graft.Tables.documents(s, d).select("doc_id", "text")
