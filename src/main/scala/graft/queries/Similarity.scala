@@ -354,6 +354,52 @@ object Similarity {
     * broadcast + one cell-keyed equi-join against the index scan —
     * amortizing the n×k assignment across all future probes.
     */
+  /** Nearest-centroid assignment of `part` against a bounded broadcast
+    * centroid set `(cent_id, ce, cnrm)` — the IVF build/update unit
+    * shared by the persisted build (s8) and the incremental append
+    * (s17): `(vec_id, embedding, nrm, cent_id)`, k=1 heap aggregate,
+    * map-side combined.
+    */
+  private def ivfAssignTo(part: DataFrame, cents: DataFrame): DataFrame =
+    part.crossJoin(broadcast(cents))
+      .withColumn("ccos",
+        expr("graft_dot(embedding, ce)") / (col("nrm") * col("cnrm")))
+      .groupBy(col("vec_id"))
+      .agg(first(col("embedding")).as("embedding"),
+        first(col("nrm")).as("nrm"),
+        expr("graft_topk(ccos, cent_id, 1)").as("top"))
+      .select(col("vec_id"), col("embedding"), col("nrm"),
+        try_element_at(col("top"), lit(1)).getField("id").as("cent_id"))
+
+  /** Probe a read-back IVF index through read-back centroids — the
+    * query-time phase shared by s8 and s17: queries assign to their
+    * cell (k=1), cell-probe the index, top-3 per query.
+    */
+  private def ivfProbeIndex(e: DataFrame, index: DataFrame,
+      cents: DataFrame): DataFrame = {
+    val q = e.filter(col("vec_id") >= 8 && col("vec_id") < 13)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        col("nrm").as("qnrm"))
+      .crossJoin(broadcast(cents))
+      .withColumn("ccos",
+        expr("graft_dot(qe, ce)") / (col("qnrm") * col("cnrm")))
+      .groupBy(col("query_id"))
+      .agg(first(col("qe")).as("qe"), first(col("qnrm")).as("qnrm"),
+        expr("graft_topk(ccos, cent_id, 1)").as("top"))
+      .select(col("query_id"), col("qe"), col("qnrm"),
+        try_element_at(col("top"), lit(1)).getField("id").as("qcell"))
+    index.join(broadcast(q),
+        col("cent_id") === col("qcell") && col("vec_id") =!= col("query_id"))
+      .withColumn("cos",
+        expr("graft_dot(qe, embedding)") / (col("qnrm") * col("nrm")))
+      .groupBy(col("query_id"))
+      .agg(expr("graft_topk(cos, vec_id, 3)").as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("query_id"), col("t.id").as("neighbor_id"),
+        (col("pos") + 1).cast("int").as("rank"),
+        r6(col("t.score")).as("cos_sim"))
+  }
+
   def s8IvfPersisted(s: SparkSession, d: String): DataFrame = {
     val e = withNorm(s, d)
     val dir = java.nio.file.Files.createTempDirectory("graft_s8_")
@@ -361,42 +407,57 @@ object Similarity {
       val cent = e.filter(col("vec_id") < 8)
         .select(col("vec_id").as("cent_id"), col("embedding").as("ce"),
           col("nrm").as("cnrm"))
-      e.crossJoin(broadcast(cent))
-        .withColumn("ccos",
-          expr("graft_dot(embedding, ce)") / (col("nrm") * col("cnrm")))
-        .groupBy(col("vec_id"))
-        .agg(first(col("embedding")).as("embedding"),
-          first(col("nrm")).as("nrm"),
-          expr("graft_topk(ccos, cent_id, 1)").as("top"))
-        .select(col("vec_id"), col("embedding"), col("nrm"),
-          try_element_at(col("top"), lit(1)).getField("id").as("cent_id"))
-        .write.parquet(s"$dir/ivf")
+      ivfAssignTo(e, cent).write.parquet(s"$dir/ivf")
       cent.write.parquet(s"$dir/centroids")
 
       // ---- probe phase: only the persisted artifacts from here on ----
-      val index = s.read.parquet(s"$dir/ivf")
-      val cents = s.read.parquet(s"$dir/centroids")
-      val q = e.filter(col("vec_id") >= 8 && col("vec_id") < 13)
-        .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
-          col("nrm").as("qnrm"))
-        .crossJoin(broadcast(cents))
-        .withColumn("ccos",
-          expr("graft_dot(qe, ce)") / (col("qnrm") * col("cnrm")))
-        .groupBy(col("query_id"))
-        .agg(first(col("qe")).as("qe"), first(col("qnrm")).as("qnrm"),
-          expr("graft_topk(ccos, cent_id, 1)").as("top"))
-        .select(col("query_id"), col("qe"), col("qnrm"),
-          try_element_at(col("top"), lit(1)).getField("id").as("qcell"))
-      index.join(broadcast(q),
-          col("cent_id") === col("qcell") && col("vec_id") =!= col("query_id"))
-        .withColumn("cos",
-          expr("graft_dot(qe, embedding)") / (col("qnrm") * col("nrm")))
-        .groupBy(col("query_id"))
-        .agg(expr("graft_topk(cos, vec_id, 3)").as("top"))
-        .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "t")))
-        .select(col("query_id"), col("t.id").as("neighbor_id"),
-          (col("pos") + 1).cast("int").as("rank"),
-          r6(col("t.score")).as("cos_sim"))
+      ivfProbeIndex(e,
+          s.read.parquet(s"$dir/ivf"), s.read.parquet(s"$dir/centroids"))
+        .localCheckpoint()
+        .orderBy("query_id", "rank")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+    }
+  }
+
+  /** S17 — INCREMENTAL IVF index maintenance (the d8 story on the
+    * similarity side): production ANN indexes are not rebuilt per
+    * arriving batch — the quantizer is FROZEN at build time and new
+    * vectors are assigned against the persisted centroids and APPENDED
+    * to the index. Here the even-id half is built and persisted (s8's
+    * build), then the odd-id half "arrives", assigns through the
+    * READ-BACK centroids only, and appends; the probe runs over the
+    * merged read-back index. Because assignment against frozen
+    * centroids is per-vector (no cross-vector dependence), the merged
+    * index must equal the all-at-once build — so the oracle is exactly
+    * s4's relational answer, and the hash certifies the append path
+    * (parquet append, schema identity, no lost/duplicated cells)
+    * end-to-end.
+    *
+    * Scale shape: the increment pays ONE broadcast-assign pass over the
+    * batch + one append write — O(batch), not O(index); the probe is
+    * unchanged. Centroid drift management (when to re-run s14/s15's
+    * refit and re-shard) is the offline compaction story, deliberately
+    * out of band, exactly as in production ANN services.
+    */
+  def s17IvfIncremental(s: SparkSession, d: String): DataFrame = {
+    val e = withNorm(s, d)
+    val dir = java.nio.file.Files.createTempDirectory("graft_s17_")
+    try {
+      val cent = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cent_id"), col("embedding").as("ce"),
+          col("nrm").as("cnrm"))
+      // build: index only the even half, persist index + centroids
+      ivfAssignTo(e.filter(pmod(col("vec_id"), lit(2)) === 0), cent)
+        .write.parquet(s"$dir/ivf")
+      cent.write.parquet(s"$dir/centroids")
+      // increment: the odd half arrives — assign against the FROZEN
+      // read-back centroids only, append to the persisted index
+      val centsBack = s.read.parquet(s"$dir/centroids")
+      ivfAssignTo(e.filter(pmod(col("vec_id"), lit(2)) === 1), centsBack)
+        .write.mode("append").parquet(s"$dir/ivf")
+      // probe the merged read-back index
+      ivfProbeIndex(e, s.read.parquet(s"$dir/ivf"), centsBack)
         .localCheckpoint()
         .orderBy("query_id", "rank")
     } finally {
@@ -1101,6 +1162,7 @@ object Similarity {
     "s3_embedding_neardup" -> s3EmbeddingNearDup,
     "s4_ivf_topk" -> s4IvfTopK,
     "s8_ivf_persisted" -> s8IvfPersisted,
+    "s17_ivf_incremental" -> s17IvfIncremental,
   )
 
   val oracle: Map[String, String] = Map(
@@ -1115,6 +1177,9 @@ object Similarity {
     "s2_lsh_neardup" -> s2Sql,
     "s3_embedding_neardup" -> s3Sql,
     "s4_ivf_topk" -> s4Sql,
+    // the persisted AND the incrementally-appended index must both
+    // reproduce the EXACT all-at-once IVF answer
     "s8_ivf_persisted" -> s4Sql,
+    "s17_ivf_incremental" -> s4Sql,
   )
 }

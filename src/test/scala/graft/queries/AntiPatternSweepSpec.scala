@@ -72,6 +72,9 @@ class AntiPatternSweepSpec extends SparkSpecBase {
     "d8_incremental_dedup" -> "Dedup.d8Decide audited below",
     "s8_ivf_persisted" ->
       "probe plan identical to s4_ivf_topk (swept); build ≡ s4 assignment",
+    "s17_ivf_incremental" ->
+      ("same probe plan as s8; build/append are two s4-shaped assignment " +
+        "passes against a frozen broadcast centroid set"),
     "s9_partitioned_roundtrip" ->
       "bounded broadcast(meta) cross join (allowlist); rest is scratch scan",
     "a1_fanout_layout" ->
