@@ -89,7 +89,7 @@ object Curation {
     * is plain composition — no post-hoc rewriting of composed SQL that a
     * future literal containing the word 'documents' could break.
     */
-  private def c1SqlOver(corpus: String): String = {
+  private[queries] def c1SqlOver(corpus: String): String = {
     val lang = TextAnalysis.t1CoreSqlOver(corpus)
     val clusters = Dedup.d6CoreSqlOver(corpus)
     s"""SELECT *, (reason = 'keep') AS keep FROM (
@@ -203,7 +203,7 @@ object Curation {
       |      FROM documents)
       |ORDER BY doc_id""".stripMargin
 
-  private val packBudget = 2048
+  private[queries] val packBudget = 2048
 
   /** C3 — sequence packing: assign docs to token-budget packs for
     * pretraining batch assembly, sharded (doc_id mod 32) so each shard

@@ -118,11 +118,89 @@ object EndToEnd {
       |ORDER BY c.canonical, c.position""".stripMargin
   }
 
+  /** E2E-CUR — the training-data curation lifecycle as ONE relation
+    * (the LLM-pipeline counterpart of [[e2eDvpPipeline]]): the c1
+    * six-gate cascade runs in full, the DEDUP gates hard-drop (only
+    * cluster-canonical, exact-unique docs survive to assembly — the
+    * production rule), survivors get their c2 hash-stable split
+    * assignment and c3's offset packing per (split, shard), and every
+    * surviving row CARRIES its full cascade verdict (`reason`) — soft
+    * gates (lang/quality/repetition/PII) ride along as the sampling
+    * metadata real assemblers weight by rather than hard-dropping.
+    * One hash covers all six gate decisions, the dedup survivorship,
+    * the split assignment, and pack offsets shifted by every dropped
+    * duplicate — the handoffs no per-operator row can see. (Hard-
+    * dropping ALL gates here would keep 1 of 500 docs on this corpus —
+    * a 1-row pack certifies nothing; survivorship is therefore pinned
+    * to the dedup gates, with the rest in the hash via `reason`.)
+    *
+    * Scale shape: c1's six doc-keyed joins (session-shared clusters),
+    * one md5-derived split expression (no shuffle), and c3's single
+    * running-sum window now keyed by (split, shard) — still one
+    * shuffle, 3 × 32 ≈ 96 independent window partitions.
+    */
+  /** e2e-cur pack budget: a small-context assembly target (512 tokens)
+    * — c3's 2048 would leave every survivor shard inside pack 0 on this
+    * corpus (~28 tokens/doc), making the packing handoff vacuous.
+    */
+  val e2eCurPackBudget = 512
+
+  def e2eCurationPipeline(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val survivors = Curation.c1CurationDecision(s, d)
+      .filter(!col("reason").isin("exact_dup", "near_dup"))
+      .select(col("doc_id"), col("reason"))
+    val toks = documentsSpread(s, d).join(survivors, "doc_id")
+      .select(col("doc_id"), col("reason"),
+        pmod(md5Hash32(concat(lit("split:"), col("doc_id"))), lit(100))
+          .as("bucket"),
+        // 4 shards, not c3's 32: shard count is sized to the corpus
+        // (the dedup survivors are ~1/3 of it) so per-shard token mass
+        // crosses pack boundaries and the packing handoff is
+        // data-reachable, not vacuously pack 0
+        pmod(col("doc_id"), lit(4)).as("shard"),
+        size(split(trim(col("text")), "\\s+")).as("n_tokens"))
+      .withColumn("split",
+        when(col("bucket") < 98, "train")
+          .when(col("bucket") === 98, "val").otherwise("test"))
+    val w = Window.partitionBy(col("split"), col("shard"))
+      .orderBy(col("doc_id"))
+    toks
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .select(col("doc_id"), col("reason"), col("split"), col("shard"),
+        col("n_tokens"),
+        expr(s"(cum - n_tokens) div $e2eCurPackBudget").as("pack_id"))
+      .orderBy("doc_id")
+  }
+
+  val e2eCurSql: String =
+    s"""WITH c1 AS (${Curation.c1SqlOver("documents")}),
+      |kept AS (SELECT doc_id, reason FROM c1
+      |         WHERE reason NOT IN ('exact_dup', 'near_dup')),
+      |t AS (
+      |  SELECT d.doc_id, k.reason,
+      |    ('0x' || substr(md5('split:' || d.doc_id), 1, 8))::BIGINT % 100
+      |      AS bucket,
+      |    d.doc_id % 4 AS shard,
+      |    len(string_split_regex(trim(d.text), '\\s+')) AS n_tokens
+      |  FROM documents d JOIN kept k USING (doc_id)),
+      |t2 AS (
+      |  SELECT doc_id, reason,
+      |    CASE WHEN bucket < 98 THEN 'train'
+      |         WHEN bucket = 98 THEN 'val' ELSE 'test' END AS split,
+      |    shard, n_tokens FROM t)
+      |SELECT doc_id, reason, split, shard, n_tokens,
+      |  CAST((sum(n_tokens) OVER (PARTITION BY split, shard ORDER BY doc_id)
+      |        - n_tokens) // $e2eCurPackBudget AS BIGINT) AS pack_id
+      |FROM t2 ORDER BY doc_id""".stripMargin
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e2e_dvp_pipeline" -> e2eDvpPipeline,
+    "e2e_curation_pipeline" -> e2eCurationPipeline,
   )
 
   val oracle: Map[String, String] = Map(
     "e2e_dvp_pipeline" -> e2eSql,
+    "e2e_curation_pipeline" -> e2eCurSql,
   )
 }
