@@ -146,6 +146,105 @@ object IntervalJoin {
     }
   }
 
+  /** ST11 — the stream-stream LEFT OUTER interval join, run for real:
+    * the abandonment query (clicks with NO purchase in the following
+    * interval emit a null-padded row) — semantics none of the inner
+    * rows cover, because outer results cannot emit when a match arrives;
+    * they emit only when the WATERMARK proves no match can still come
+    * (state eviction time passed). That makes completeness the hard
+    * part: clicks within one interval of the corpus's end would stay
+    * buffered forever in a bounded catch-up run, so the stage dir gets
+    * a SECOND file carrying a far-future sentinel pair (user −1, +100
+    * days) whose event time drags the watermark past every real click's
+    * eviction bound; `maxFilesPerTrigger=1` + an mtime gap order the
+    * files into separate micro-batches (FileStreamSource batches by
+    * modification time), so the sentinel batch flushes ALL real
+    * unmatched clicks before AvailableNow terminates. Sentinel rows are
+    * dropped from the result; unmatched rows surface as `buy_id = −1 /
+    * lag_us = −1` (no NULLs — null ordering and nullable-int dtypes
+    * differ across engines) and the oracle replays the exact batch
+    * left join.
+    */
+  def st11sStreamOuterJoin(s: SparkSession, d: String): DataFrame =
+    CatchupConf.withBoundedStatePartitions(s) {
+    import org.apache.spark.sql.streaming.Trigger
+    graft.Tables.events(s, d) // sets the nanosAsLong conf
+    val rawSchema = s.read.parquet(s"$d/events.parquet").schema
+    val dir = java.nio.file.Files.createTempDirectory("graft_st11_")
+    val sink = "st11_out_" +
+      java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+    try {
+      val eventsFile = dir.resolve("a_events.parquet")
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$d/events.parquet"), eventsFile)
+      // sentinel pair 100 days past the corpus: joins only itself
+      val maxUs = s.read.parquet(s"$d/events.parquet")
+        .agg(max(expr("ts div 1000"))).head().getLong(0)
+      val sentinelNs = (maxUs + 100L * 24 * 3600 * 1000000L) * 1000L
+      val scratch = dir.resolve("scratch")
+      s.createDataFrame(
+          java.util.Arrays.asList(
+            org.apache.spark.sql.Row(-101L, sentinelNs, -1L, "click", 0.0, ""),
+            org.apache.spark.sql.Row(-102L, sentinelNs, -1L, "purchase", 0.0, "")),
+          rawSchema)
+        .coalesce(1).write.parquet(scratch.toString)
+      import scala.jdk.CollectionConverters._
+      val part = java.nio.file.Files.list(scratch).iterator().asScala
+        .find(_.toString.endsWith(".parquet")).get
+      val sentinelFile = dir.resolve("b_sentinel.parquet")
+      java.nio.file.Files.copy(part, sentinelFile)
+      org.apache.commons.io.FileUtils.deleteDirectory(scratch.toFile)
+      // the sentinel must arrive in a LATER micro-batch: a real click
+      // arriving after the watermark passed it would be dropped as late
+      java.nio.file.Files.setLastModifiedTime(sentinelFile,
+        java.nio.file.attribute.FileTime.fromMillis(
+          java.nio.file.Files.getLastModifiedTime(eventsFile).toMillis + 60000))
+
+      def staged(): DataFrame = s.readStream
+        .schema(rawSchema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(dir.toString)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val clicks = clicksOf(staged())
+        .withWatermark("click_ts", s"$intervalHours hours")
+      val buys = buysOf(staged())
+        .withWatermark("buy_ts", s"$intervalHours hours")
+      val q = clicks.join(buys,
+          col("user_id") === col("buy_user_id") &&
+            withinInterval(col("click_ts"), col("buy_ts")),
+          "left_outer")
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      require(q.awaitTermination(180000), "st11 stream did not finish in time")
+      s.table(sink)
+        .filter(col("user_id") =!= -1L) // drop the sentinel's own rows
+        .select(col("click_id"),
+          coalesce(col("buy_id"), lit(-1L)).as("buy_id"),
+          col("user_id"),
+          coalesce(unix_micros(col("buy_ts")) - unix_micros(col("click_ts")),
+            lit(-1L)).as("lag_us"))
+        .localCheckpoint()
+        .orderBy("click_id", "buy_id")
+    } finally {
+      s.catalog.dropTempView(sink)
+      org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+    }
+  }
+
+  val st11Sql: String =
+    s"""WITH c AS (
+      |  SELECT event_id AS click_id, user_id, ts AS click_ts
+      |  FROM events WHERE event_type = 'click'),
+      |b AS (
+      |  SELECT event_id AS buy_id, user_id, ts AS buy_ts
+      |  FROM events WHERE event_type = 'purchase')
+      |SELECT c.click_id, coalesce(b.buy_id, -1) AS buy_id, c.user_id,
+      |  coalesce(epoch_us(b.buy_ts) - epoch_us(c.click_ts), -1) AS lag_us
+      |FROM c LEFT JOIN b ON c.user_id = b.user_id
+      |  AND b.buy_ts >= c.click_ts
+      |  AND epoch_us(b.buy_ts) - epoch_us(c.click_ts) <= $intervalUs
+      |ORDER BY click_id, buy_id""".stripMargin
+
   val st4Sql: String =
     s"""WITH c AS (
       |  SELECT event_id AS click_id, user_id, ts AS click_ts
@@ -163,11 +262,13 @@ object IntervalJoin {
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st4_interval_join" -> st4IntervalJoin,
     "st4s_stream_interval_join" -> st4sStreamIntervalJoin,
+    "st11s_stream_outer_join" -> st11sStreamOuterJoin,
   )
 
   val oracle: Map[String, String] = Map(
     "st4_interval_join" -> st4Sql,
     // the streaming run must reproduce the EXACT batch interval join
     "st4s_stream_interval_join" -> st4Sql,
+    "st11s_stream_outer_join" -> st11Sql,
   )
 }
