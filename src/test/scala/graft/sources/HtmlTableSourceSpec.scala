@@ -120,6 +120,30 @@ class HtmlTableSourceSpec extends SparkSpecBase {
     }
   }
 
+  test("a nested widget table reads as its own table; the host keeps its cells") {
+    inTempDir { dir =>
+      // a stats table whose last cell hosts a nested "widget" table —
+      // the parity shape read_html produces two frames for; through the
+      // DSv2 source BOTH must be addressable by tableId, the host's
+      // rows unshifted and free of widget content
+      writePage(dir, "bos.html",
+        """<table id="roster"><tr><th>Player</th><th>Note</th></tr>
+          |<tr><td>Tatum</td><td>star
+          |<table id="widget"><tr><td>w1</td><td>w2</td></tr></table>
+          |</td></tr></table>""".stripMargin)
+      val host = spark.read.format("graft.sources.HtmlTableSource")
+        .option("path", dir.toString).option("tableId", "Roster").load()
+      assert(host.select("Player", "Note").collect().map(_.toSeq).toSeq ==
+        Seq(Seq("Tatum", "star")))
+      val widget = spark.read.format("graft.sources.HtmlTableSource")
+        .option("path", dir.toString).option("tableId", "widget").load()
+      assert(widget.schema.fieldNames.toSeq ==
+        Seq("page", "from_comment", "row_idx", "col_0", "col_1"))
+      assert(widget.select("col_0", "col_1").collect().map(_.toSeq).toSeq ==
+        Seq(Seq("w1", "w2")))
+    }
+  }
+
   test("schema drift across pages fails loudly with the page name") {
     inTempDir { dir =>
       writePage(dir, "a_first.html",
