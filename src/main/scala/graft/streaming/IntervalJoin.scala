@@ -231,6 +231,94 @@ object IntervalJoin {
     }
   }
 
+  /** ST12 — the FULL OUTER stream-stream interval join, completing the
+    * outer family: both the abandonment rows (clicks without purchase,
+    * st11's left side) AND the unattributed conversions (purchases no
+    * click preceded within the interval — the right side only a full
+    * join surfaces). Same sentinel-flush machinery as st11; both sides'
+    * state must now drain, and the oracle replays the exact batch FULL
+    * join. Unmatched slots surface as −1 (cross-engine null rules).
+    */
+  def st12sStreamFullOuterJoin(s: SparkSession, d: String): DataFrame =
+    CatchupConf.withBoundedStatePartitions(s) {
+    import org.apache.spark.sql.streaming.Trigger
+    graft.Tables.events(s, d) // sets the nanosAsLong conf
+    val rawSchema = s.read.parquet(s"$d/events.parquet").schema
+    val dir = java.nio.file.Files.createTempDirectory("graft_st12_")
+    val sink = "st12_out_" +
+      java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+    try {
+      val eventsFile = dir.resolve("a_events.parquet")
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$d/events.parquet"), eventsFile)
+      val maxUs = s.read.parquet(s"$d/events.parquet")
+        .agg(max(expr("ts div 1000"))).head().getLong(0)
+      val sentinelNs = (maxUs + 100L * 24 * 3600 * 1000000L) * 1000L
+      val scratch = dir.resolve("scratch")
+      s.createDataFrame(
+          java.util.Arrays.asList(
+            org.apache.spark.sql.Row(-101L, sentinelNs, -1L, "click", 0.0, ""),
+            org.apache.spark.sql.Row(-102L, sentinelNs, -1L, "purchase", 0.0, "")),
+          rawSchema)
+        .coalesce(1).write.parquet(scratch.toString)
+      import scala.jdk.CollectionConverters._
+      val part = java.nio.file.Files.list(scratch).iterator().asScala
+        .find(_.toString.endsWith(".parquet")).get
+      val sentinelFile = dir.resolve("b_sentinel.parquet")
+      java.nio.file.Files.copy(part, sentinelFile)
+      org.apache.commons.io.FileUtils.deleteDirectory(scratch.toFile)
+      java.nio.file.Files.setLastModifiedTime(sentinelFile,
+        java.nio.file.attribute.FileTime.fromMillis(
+          java.nio.file.Files.getLastModifiedTime(eventsFile).toMillis + 60000))
+
+      def staged(): DataFrame = s.readStream
+        .schema(rawSchema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(dir.toString)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val clicks = clicksOf(staged())
+        .withWatermark("click_ts", s"$intervalHours hours")
+      val buys = buysOf(staged())
+        .withWatermark("buy_ts", s"$intervalHours hours")
+      val q = clicks.join(buys,
+          col("user_id") === col("buy_user_id") &&
+            withinInterval(col("click_ts"), col("buy_ts")),
+          "full_outer")
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      require(q.awaitTermination(180000), "st12 stream did not finish in time")
+      s.table(sink)
+        // drop the sentinel pair's own rows (either side)
+        .filter(coalesce(col("user_id"), col("buy_user_id")) =!= -1L)
+        .select(coalesce(col("click_id"), lit(-1L)).as("click_id"),
+          coalesce(col("buy_id"), lit(-1L)).as("buy_id"),
+          coalesce(col("user_id"), col("buy_user_id")).as("user_id"),
+          coalesce(unix_micros(col("buy_ts")) - unix_micros(col("click_ts")),
+            lit(-1L)).as("lag_us"))
+        .localCheckpoint()
+        .orderBy("click_id", "buy_id", "user_id")
+    } finally {
+      s.catalog.dropTempView(sink)
+      org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+    }
+  }
+
+  val st12Sql: String =
+    s"""WITH c AS (
+      |  SELECT event_id AS click_id, user_id, ts AS click_ts
+      |  FROM events WHERE event_type = 'click'),
+      |b AS (
+      |  SELECT event_id AS buy_id, user_id AS buy_user_id, ts AS buy_ts
+      |  FROM events WHERE event_type = 'purchase')
+      |SELECT coalesce(c.click_id, -1) AS click_id,
+      |  coalesce(b.buy_id, -1) AS buy_id,
+      |  coalesce(c.user_id, b.buy_user_id) AS user_id,
+      |  coalesce(epoch_us(b.buy_ts) - epoch_us(c.click_ts), -1) AS lag_us
+      |FROM c FULL JOIN b ON c.user_id = b.buy_user_id
+      |  AND b.buy_ts >= c.click_ts
+      |  AND epoch_us(b.buy_ts) - epoch_us(c.click_ts) <= $intervalUs
+      |ORDER BY click_id, buy_id, user_id""".stripMargin
+
   val st11Sql: String =
     s"""WITH c AS (
       |  SELECT event_id AS click_id, user_id, ts AS click_ts
@@ -263,6 +351,7 @@ object IntervalJoin {
     "st4_interval_join" -> st4IntervalJoin,
     "st4s_stream_interval_join" -> st4sStreamIntervalJoin,
     "st11s_stream_outer_join" -> st11sStreamOuterJoin,
+    "st12s_stream_full_outer" -> st12sStreamFullOuterJoin,
   )
 
   val oracle: Map[String, String] = Map(
@@ -270,5 +359,6 @@ object IntervalJoin {
     // the streaming run must reproduce the EXACT batch interval join
     "st4s_stream_interval_join" -> st4Sql,
     "st11s_stream_outer_join" -> st11Sql,
+    "st12s_stream_full_outer" -> st12Sql,
   )
 }
