@@ -40,13 +40,16 @@ import scala.collection.mutable.ArrayBuffer
   *    labels; a stable string form keeps the P1/P2 algebra total).
   *
   *  - nested `<table>` elements are emitted as SEPARATE tables in
-  *    document order of their opening tags — `read_html` parity
-  *    (BeautifulSoup `find_all('table')` is recursive, so pandas hands
-  *    every nesting level to the frame builder). The outer table parses
-  *    only its OWN cells: each nested span is blanked out of the outer
+  *    document order of their opening tags — this matches `read_html`'s
+  *    `find_all('table')` recursion (pandas hands every nesting level
+  *    to the frame builder). The OUTER-row treatment deliberately
+  *    DIVERGES from pandas: its recursive `'tbody tr'` row select makes
+  *    nested rows ALSO appear (duplicated) inside the outer frame,
+  *    whereas here each nested span is blanked out of the outer
   *    fragment first, so an outer cell that wraps a widget table keeps
   *    its own text and the nested rows appear exactly once, in their
-  *    own frame — never as truncated/duplicated rows of the outer.
+  *    own frame. Separate-frame emission is parity; outer-row exclusion
+  *    is an intentional improvement, not parity.
   *
   * Parsing is a per-page, executor-side operation (see
   * [[graft.sources.HtmlTableSource]] — one input partition per page

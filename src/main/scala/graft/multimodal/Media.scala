@@ -137,7 +137,17 @@ object Media {
       while (dataOff < 0 && off + 8 <= p.length) {
         val id = ascii(off, 4)
         val sz = rle32(off + 4)
-        if (id == "fmt ") rate = rle32(off + 12)
+        // The declared size is untrusted input (extractFeatures runs over
+        // arbitrary table bytes): a negative sz would step the walk
+        // BACKWARDS (infinite loop) and an oversized one would read past
+        // the payload. Fail loudly instead, like the unknown-magic path.
+        require(sz >= 0 && off + 8 + sz <= p.length,
+          s"RIFF chunk '$id' declares invalid size $sz at offset $off " +
+            s"(payload ${p.length} bytes)")
+        if (id == "fmt ") {
+          require(sz >= 8, s"RIFF fmt chunk too short ($sz bytes)")
+          rate = rle32(off + 12)
+        }
         if (id == "data") dataOff = off + 8
         else off += 8 + sz + (sz & 1) // RIFF chunks pad to even length
       }

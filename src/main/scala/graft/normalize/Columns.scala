@@ -30,8 +30,12 @@ object Columns {
     * (("Total","Total","PTS") keeps all three parts, matching the
     * reference's join-all `_flatten_columns`,
     * `unified_nba_scraper.py:112-121`; r9 advice #1 — the previous
-    * consecutive-pair dedup collapsed those too). A fully-empty tuple
-    * becomes `Unnamed`.
+    * consecutive-pair dedup collapsed those too). The full-identity
+    * collapse itself is a DELIBERATE divergence from the reference's
+    * literal join-all, which would emit "Rk Rk" for a rowspan-filled
+    * tuple: the rowspan repeat is an artifact of header expansion, not
+    * a label the page author wrote twice, so the single label is the
+    * faithful column name. A fully-empty tuple becomes `Unnamed`.
     */
   def flattenHeader(parts: Seq[String], sep: String = " "): String = {
     val kept = parts.map(_.trim)

@@ -16,6 +16,15 @@ import org.apache.spark.sql.SparkSession
   * `start()`, because the value is pinned into the checkpoint for the
   * query's lifetime. The scope restores the caller's setting on exit,
   * so batch queries in the same session keep their 32-way shuffles.
+  *
+  * CONCURRENCY CONTRACT: the scope mutates the SESSION-GLOBAL
+  * `spark.sql.shuffle.partitions` and assumes SEQUENTIAL execution on
+  * the session (Verify/Bench run queries one at a time; scalatest runs
+  * suites sequentially). A future parallel harness running a batch
+  * query concurrently with a scoped catch-up would silently plan that
+  * batch at `n` partitions, and nested scopes would restore stale
+  * values — under a parallel runner, give each catch-up its own
+  * `spark.newSession()` (per-session conf) instead of this scope.
   */
 object CatchupConf {
 

@@ -209,6 +209,17 @@ object ScaleHeadroom {
           .agg(sum(col("value") * col("weight")).as("total"))
       }
       def timedRun(scale: Int, skewOn: Boolean): (Double, Boolean) = {
+        // Snapshot BEFORE mutating: a blanket conf.unset on exit would
+        // revert to engine hard defaults, not the session's startup
+        // values — losing e.g. an autoBroadcastJoinThreshold set at
+        // session build for any op that runs after this harness
+        // (same restore contract as CatchupConf).
+        val touched = Seq("spark.sql.autoBroadcastJoinThreshold",
+          "spark.sql.adaptive.skewJoin.enabled",
+          "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+          "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+          "spark.sql.adaptive.advisoryPartitionSizeInBytes")
+        val prior = touched.map(k => k -> spark.conf.getOption(k)).toMap
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
         spark.conf.set("spark.sql.adaptive.skewJoin.enabled", skewOn.toString)
         // lowered thresholds: the default 256 MB skew floor is sized for
@@ -232,12 +243,10 @@ object ScaleHeadroom {
           }.min
           (t, skewed)
         } finally {
-          Seq("spark.sql.autoBroadcastJoinThreshold",
-            "spark.sql.adaptive.skewJoin.enabled",
-            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
-            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
-            "spark.sql.adaptive.advisoryPartitionSizeInBytes")
-            .foreach(spark.conf.unset)
+          prior.foreach {
+            case (k, Some(v)) => spark.conf.set(k, v)
+            case (k, None) => spark.conf.unset(k)
+          }
         }
       }
       val (tBase, _) = timedRun(1, skewOn = true)
