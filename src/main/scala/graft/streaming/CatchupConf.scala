@@ -30,11 +30,36 @@ object CatchupConf {
 
   val boundedStatePartitions = 8
 
+  /** RocksDB state store (r10 verdict #3): the default HDFS-backed
+    * provider keeps every store's working set in executor HEAP —
+    * acceptable for a bounded catch-up, but stream-stream outer joins
+    * ([[IntervalJoin]]) hold BOTH sides' rows until watermark eviction,
+    * so state grows with event volume × watermark horizon and the heap
+    * becomes the scale ceiling. RocksDB spills state to local SSD with
+    * a bounded block-cache, which is the production answer at 100×
+    * event volume: state capacity becomes a disk budget, not a heap
+    * budget. Scoped here so every real streaming row certifies under
+    * the provider a large deployment would actually run.
+    */
+  val rocksDbProvider: String =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
+  /** Conf scope for every real (micro-batch-executed) streaming row:
+    * bounded state partitions + RocksDB state store, prior values
+    * restored on exit (set-or-unset, matching what was there — never
+    * engine defaults).
+    */
   def withBoundedStatePartitions[A](s: SparkSession,
       n: Int = boundedStatePartitions)(body: => A): A = {
-    val prev = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", n.toString)
+    val scoped = Seq(
+      "spark.sql.shuffle.partitions" -> n.toString,
+      "spark.sql.streaming.stateStore.providerClass" -> rocksDbProvider)
+    val prior = scoped.map { case (k, _) => k -> s.conf.getOption(k) }
+    scoped.foreach { case (k, v) => s.conf.set(k, v) }
     try body
-    finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    finally prior.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None) => s.conf.unset(k)
+    }
   }
 }

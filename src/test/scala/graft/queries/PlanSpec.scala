@@ -46,6 +46,23 @@ class PlanSpec extends SparkSpecBase {
       s"token-side shuffle join would hot-spot on stopwords:\n$p")
   }
 
+  test("t8 vocab over the broadcast ceiling falls back to a shuffle join") {
+    // ceiling=0 forces the over-budget branch on the same data: the
+    // guarded plan must drop the broadcast and go through the
+    // AQE-skew-handled sort-merge shape (the SCALE.md powerlaw-proof
+    // fallback), and the result must be row-identical to the broadcast
+    // plan — the guard changes strategy, never semantics.
+    val fallback = TextAnalysis.t8SurprisalGuarded(spark, sf, ceiling = 0L)
+    val p = plan(fallback)
+    assert(p.contains("SortMergeJoin"),
+      s"over-ceiling vocab should shuffle-join:\n$p")
+    assert(!p.contains("BroadcastHashJoin"),
+      s"guard failed to suppress the broadcast:\n$p")
+    val a = fallback.collect().map(_.toSeq)
+    val b = TextAnalysis.t8Surprisal(spark, sf).collect().map(_.toSeq)
+    assert(a.sameElements(b), "join strategies disagree on results")
+  }
+
   test("t7 vocab cut is per-partition top-k, never a global sort") {
     val p = plan(TextAnalysis.t7VocabTopK(spark, sf))
     assert(p.contains("TakeOrderedAndProject"),
