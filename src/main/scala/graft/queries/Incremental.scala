@@ -153,17 +153,24 @@ object Incremental {
     * the 'by_team' save mode groups rows by key and writes each group to
     * that key's OWN folder). The Spark side runs the REAL fan-out:
     * [[Sinks.writePartitioned]] lays the corpus out one directory per
-    * `source`, then each key's directory is read back INDIVIDUALLY —
-    * not via partition discovery over the root — and tagged with the
-    * directory it came from, so a row written to the wrong folder (or a
-    * folder that failed to materialize) shows up as a value/row mismatch
-    * against the relational oracle. Per-directory row counts certify the
-    * per-key tallies the reference stores in each folder's metadata
-    * block.
+    * `source`, then the layout is read back through ONE multi-path scan
+    * whose path list names each key's directory EXPLICITLY (never a
+    * glob over the root): a folder that failed to materialize fails the
+    * read loudly instead of silently shrinking the result, and each
+    * row's `source_dir` provenance comes from the physical directory it
+    * sits in (Spark's partition discovery against the explicit
+    * `basePath`, which applies the engine's own partition-value
+    * unescaping), so a row written to the wrong folder shows up as a
+    * value mismatch against the relational oracle. Per-directory row
+    * counts certify the per-key tallies the reference stores in each
+    * folder's metadata block.
     *
-    * The read-back loop is driver-side over the DISTINCT key list —
-    * bounded by key cardinality, exactly like the reference's per-team
-    * loop (and s13's probe loop), never by row count.
+    * Only the PATH LIST is driver-side (distinct keys — bounded by key
+    * cardinality, like the reference's per-team loop). The read itself
+    * is a single scan relation whose plan size is independent of key
+    * count (r10 verdict #3: the previous per-key `reduce(unionByName)`
+    * built an N-ary union — one branch per key, a driver-side planning
+    * bottleneck at 10⁴ keys; pinned in [[FanoutPlanSpec]]).
     */
   def a1FanoutLayout(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -178,20 +185,31 @@ object Incremental {
       Sinks.writePartitioned(docs, base, Seq("source"))
       val keys = docs.select("source").distinct()
         .orderBy("source").collect().map(_.getString(0))
-      val esc = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-        .escapePathName _
-      val perDir = keys.toSeq.map { src =>
-        s.read.parquet(s"$base/source=${esc(src)}")
-          .select(col("doc_id"))
-          .withColumn("source_dir", lit(src))
-      }
-      perDir.reduce(_ unionByName _)
+      fanoutReadBack(s, base, keys.toSeq)
         .withColumn("n_in_dir",
           count(lit(1)).over(Window.partitionBy(col("source_dir"))))
         // scratch is deleted in finally — materialize the read-back first
         .localCheckpoint()
         .orderBy("doc_id")
     } finally fs.delete(basePath, true)
+  }
+
+  /** The a1 read-back relation: one scan over the explicit per-key
+    * directory list, provenance from the physical partition path. Plan
+    * size is O(1) in key count — the path list lives in the scan's file
+    * index, not in the plan tree ([[FanoutPlanSpec]] pins no-Union /
+    * single-scan at two key cardinalities).
+    */
+  private[queries] def fanoutReadBack(
+      s: SparkSession, base: String, keys: Seq[String]): DataFrame = {
+    val esc = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+      .escapePathName _
+    val paths = keys.map(src => s"$base/source=${esc(src)}")
+    s.read.option("basePath", base).parquet(paths: _*)
+      .select(col("doc_id"),
+        // cast defends against partition-type inference (an all-digit
+        // key would otherwise come back as int and break the hash)
+        col("source").cast("string").as("source_dir"))
   }
 
   val a1Sql: String =

@@ -90,13 +90,117 @@ object Multimodal {
       |      FROM documents)
       |ORDER BY media_id""".stripMargin
 
+  /** M3 — multimodal dedup (r10 verdict #7: the m-family joined to the
+    * d-family): media as a first-class DEDUP surface, not just a decode
+    * demo.
+    *
+    *  - EXACT dedup (the d1 machinery over bytes): identity is
+    *    `md5(payload)` of the REAL encoded payload — header bytes
+    *    included, so two media that differ only in sample rate or
+    *    dimensions are NOT duplicates even with identical body text.
+    *    Each record gets its class representative (min media_id) and
+    *    class size.
+    *  - NEAR-DUP blocking (the d3/d5 banding idea over HEADER
+    *    features): candidate buckets keyed by
+    *    (format, ⌊w/16⌋×⌊h/16⌋, ⌊rate/2000⌋) from the DECODED header —
+    *    the "same format, similar dims / sample rate" candidate
+    *    generator a media pipeline runs before any expensive
+    *    content-level comparison; the bucket size is each record's
+    *    candidate count.
+    *
+    * The oracle replays payload identity relationally — the payload is
+    * a pure function of (format, text, rate, w, h), so the md5 classes
+    * must match the tuple classes partition-for-partition: a hash
+    * match certifies byte-level identity == the declarative rule AND
+    * that the near-dup features come from the real decode.
+    *
+    * Scale shape: one shuffle on the md5 identity key (exactly d1's
+    * hash-groupBy shape), one on the bucket key; both windows are
+    * bounded per class/bucket. No pair emission — the quadratic step
+    * stays inside buckets, as in d3/d5.
+    *
+    * Duplicate injection (the c1b discipline): the synthetic corpus
+    * has ZERO byte-identical texts, so the raw media table would
+    * certify only the negative path. Every 7th media is cloned under
+    * a shifted id BEFORE encoding-independent processing — clones are
+    * byte-identical payloads with real dup classes of size ≥ 2, and
+    * the oracle replays the same injection relationally, so both the
+    * dup-positive and dup-negative paths are under the hash.
+    */
+  def m3MediaDedup(s: SparkSession, d: String): DataFrame = {
+    import graft.multimodal.Media
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val origin = Media.fromDocuments(documentsSpread(s, d))
+    val ds = origin.union(origin.filter(_.media_id % 7 == 0)
+      .map(r => r.copy(media_id = r.media_id + 1000000L)))
+    val ids = ds.toDF().select(col("media_id"), md5(col("payload")).as("pmd5"))
+    val feats = Media.extractFeatures(ds).toDF()
+      .select(col("media_id"), col("kind"), col("format"),
+        col("decoded_w"), col("decoded_h"), col("decoded_rate"))
+    val wG = Window.partitionBy(col("pmd5"))
+    val base = feats.join(ids, "media_id")
+      .withColumn("group_rep", min(col("media_id")).over(wG))
+      .withColumn("group_size", count(lit(1)).over(wG))
+      .withColumn("is_dup",
+        (col("media_id") =!= col("group_rep")).cast("int"))
+      .withColumn("nd_fp", concat_ws(":", col("format"),
+        concat(expr("decoded_w div 16").cast("string"), lit("x"),
+          expr("decoded_h div 16").cast("string")),
+        expr("decoded_rate div 2000").cast("string")))
+    base
+      .withColumn("nd_bucket_size",
+        count(lit(1)).over(Window.partitionBy(col("nd_fp"))))
+      .select(col("media_id"), col("kind"), col("format"),
+        col("group_rep"), col("group_size"), col("is_dup"),
+        col("nd_fp"), col("nd_bucket_size"))
+      .orderBy("media_id")
+  }
+
+  val m3Sql: String =
+    """WITH b AS (
+      |  SELECT doc_id AS media_id,
+      |    CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+      |      ELSE 'video' END AS kind,
+      |    CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'wav'
+      |      ELSE 'bmp' END AS format,
+      |    text,
+      |    CASE WHEN doc_id % 3 = 1 THEN 16000 + (doc_id % 8) * 1000
+      |      ELSE 0 END AS rate,
+      |    CASE WHEN doc_id % 3 = 1 THEN 0
+      |      ELSE n_chars % 640 + 16 END AS w,
+      |    CASE WHEN doc_id % 3 = 1 THEN 0
+      |      ELSE n_chars % 480 + 9 END AS h
+      |  FROM documents),
+      |m AS (
+      |  SELECT * FROM b
+      |  UNION ALL
+      |  SELECT media_id + 1000000, kind, format, text, rate, w, h
+      |  FROM b WHERE media_id % 7 = 0)
+      |SELECT media_id, kind, format,
+      |  min(media_id) OVER (PARTITION BY format, text, rate, w, h)
+      |    AS group_rep,
+      |  count(*) OVER (PARTITION BY format, text, rate, w, h)
+      |    AS group_size,
+      |  CASE WHEN media_id <> min(media_id)
+      |      OVER (PARTITION BY format, text, rate, w, h)
+      |    THEN 1 ELSE 0 END AS is_dup,
+      |  format || ':' || CAST(w // 16 AS VARCHAR) || 'x'
+      |    || CAST(h // 16 AS VARCHAR) || ':'
+      |    || CAST(rate // 2000 AS VARCHAR) AS nd_fp,
+      |  count(*) OVER (PARTITION BY format, w // 16, h // 16, rate // 2000)
+      |    AS nd_bucket_size
+      |FROM m ORDER BY media_id""".stripMargin
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m1_binary_meta" -> m1BinaryMeta,
     "m2_media_features" -> m2MediaFeatures,
+    "m3_media_dedup" -> m3MediaDedup,
   )
 
   val oracle: Map[String, String] = Map(
     "m1_binary_meta" -> m1Sql,
     "m2_media_features" -> m2Sql,
+    "m3_media_dedup" -> m3Sql,
   )
 }

@@ -1149,7 +1149,248 @@ object Similarity {
       |ORDER BY f.nlist""".stripMargin
   }
 
+  /** PQ geometry: 64 dims → [[pqM]]=4 subspaces of [[pqSubDim]]=16 dims,
+    * [[pqKsub]]=8 codewords per subspace — 3 bits × 4 = 12 bits (1.5
+    * bytes) per vector vs 256 raw float bytes, the ~170× compression
+    * class IVF-PQ deploys at 100 TB (production uses m=8..64 at the
+    * same shape; the pipeline is m-invariant).
+    */
+  private[queries] val pqM = 16
+  private[queries] val pqSubDim = 4
+  private[queries] val pqKsub = 16
+
+  /** Explode a (vec_id, embedding) frame into one row per subspace:
+    * `(vec_id, sub, sv[pqSubDim])` — a pure projection, no shuffle.
+    */
+  private def pqSubvectors(e: DataFrame): DataFrame =
+    e.select(col("vec_id"), posexplode(
+      expr(s"transform(sequence(0, ${pqM - 1})," +
+        s" j -> slice(embedding, j * $pqSubDim + 1, $pqSubDim))"))
+      .as(Seq("sub", "sv")))
+
+  /** Encode every subvector by MINIMUM L2 distance to its subspace's
+    * codewords (ties → lowest code, the graft_topk order). The
+    * `‖x‖²` term is constant per (vec_id, sub) and dropped, so the
+    * ranking key is `‖c‖² − 2⟨x,c⟩` — two strict-left-fold dot
+    * products, bit-identical in DuckDB's rendering. Codebooks are a
+    * bounded dimension (m × ksub rows), always broadcast: encode is a
+    * single scan over the subvector frame with one bounded-heap
+    * argmin per (vec_id, sub), never a shuffle of the data side.
+    */
+  private def pqAssign(subs: DataFrame, cb: DataFrame): DataFrame =
+    subs.join(broadcast(cb), "sub")
+      .withColumn("score",
+        -(dotHof(col("cw"), col("cw")) -
+          lit(2.0) * dotHof(col("sv"), col("cw"))))
+      .groupBy(col("vec_id"), col("sub"))
+      .agg(expr("graft_topk(score, code, 1)").as("top"))
+      .select(col("vec_id"), col("sub"),
+        try_element_at(col("top"), lit(1)).getField("id").as("code"))
+
+  /** One per-subspace Lloyd update: per-(sub, code, pos) DECIMAL-exact
+    * means ([[lloydRefit]]'s cross-engine trick, keyed by subspace).
+    */
+  private def pqRefit(subs: DataFrame, assigned: DataFrame): DataFrame =
+    assigned.join(subs, Seq("vec_id", "sub"))
+      .select(col("sub"), col("code"),
+        posexplode(col("sv")).as(Seq("pos", "v")))
+      .groupBy(col("sub"), col("code"), col("pos"))
+      .agg((sum(col("v").cast("decimal(18,6)")).cast("double") /
+        count(lit(1))).as("m"))
+      .groupBy(col("sub"), col("code"))
+      .agg(sort_array(collect_list(struct(col("pos"), col("m")))).as("pm"))
+      .select(col("sub"), col("code"),
+        expr("transform(pm, x -> x.m)").as("cw"))
+
+  /** S18 — product quantization with an ADC probe (r10 verdict #4: the
+    * production ANN compression next to s6's scalar int8). Pipeline:
+    *  1. BUILD: per-subspace codebooks — deterministic first-ksub
+    *     seed + one [[pqRefit]] Lloyd step (the s14 build discipline,
+    *     per subspace);
+    *  2. ENCODE: every vector → m codes ([[pqAssign]] min-L2);
+    *  3. PROBE (asymmetric distance computation): the UNCOMPRESSED
+    *     query precomputes a lookup table `⟨q_j, c_{j,k}⟩` per
+    *     (query, sub, code) — m×ksub entries per query, broadcast —
+    *     and each candidate's approximate dot is the SUM of m table
+    *     hits on its codes; approximate cosine divides by the exact
+    *     query norm and the reconstruction norm `√Σ_j‖c_{j,code_j}‖²`.
+    *     ⟨q,x⟩ = Σ_j ⟨q_j, x_j⟩ exactly, so ADC's only error is
+    *     quantizing x_j → c_{j,code_j} — never the decomposition.
+    *  4. RECALL: ADC top-5 vs the exact top-5 on the same candidates,
+    *     per-row hit flags and per-query recall@5 under one hash
+    *     (bound pinned in `PqRecallSpec`).
+    *
+    * Cross-engine exactness: the LUT is computed ENTIRELY in integer
+    * arithmetic — each component (query-side float, codeword double)
+    * is quantized to micro-units (`floor(x·10⁶ + 0.5)`, the s16
+    * element-level pattern both engines replay bit-identically) and
+    * the per-subspace dot is the exact BIGINT sum of integer products
+    * (scale 10⁻¹²). Flooring a COMPUTED double dot instead proved
+    * boundary-fragile: at m=8 several LUT entries landed within an
+    * ulp of a floor boundary and the engines disagreed by one
+    * micro-unit. Integer products cannot — the only doubles left are
+    * the final cosine division, identical-ordered on both sides.
+    *
+    * Scale shape: codes are 12 bits/vector — the index for 10⁹
+    * vectors is ~1.5 GB where raw floats are 256 GB; the LUT is
+    * queries × m × ksub rows (bounded, broadcast); the probe is ONE
+    * scan of the codes frame + one map-side-combined shuffle to
+    * (query, vec) partial sums + the bounded-heap top-k. No join ever
+    * shuffles the data side by anything but the aggregation key, and
+    * the IVF cell restriction (s4) composes in front to cut the
+    * scanned fraction — this row certifies the PQ/ADC math; the
+    * composition is the standard IVF-PQ deployment.
+    */
+  def s18PqAdc(s: SparkSession, d: String): DataFrame = {
+    val e = withNorm(s, d).filter(col("vec_id") < s3Cap)
+    val raw = e.select(col("vec_id"), col("embedding"))
+    val subs = pqSubvectors(raw)
+    val seed = subs.filter(col("vec_id") < pqKsub)
+      .select(col("sub"), col("vec_id").as("code"),
+        transform(col("sv"), x => x.cast("double")).as("cw"))
+    val cb = pqRefit(subs, pqAssign(subs, seed))
+    val codes = pqAssign(subs, cb)
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        col("nrm").as("qnrm"))
+    val qsubs = pqSubvectors(
+      q.select(col("query_id").as("vec_id"), col("qe").as("embedding")))
+      .select(col("vec_id").as("query_id"), col("sub"), col("sv").as("qsv"))
+    // integer micro-unit quantizer: bit-identical across engines at the
+    // element level (the s16 pattern); products/sums stay exact BIGINTs
+    def uq(x: String) =
+      s"CAST(floor(CAST($x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)"
+    val lut = qsubs.join(cb, "sub")
+      .select(col("query_id"), col("sub"), col("code"),
+        expr(s"aggregate(zip_with(qsv, cw, (x, y) -> ${uq("x")} * ${uq("y")})," +
+          " CAST(0 AS BIGINT), (acc, v) -> acc + v)").as("ip_u"),
+        expr(s"aggregate(transform(cw, y -> ${uq("y")} * ${uq("y")})," +
+          " CAST(0 AS BIGINT), (acc, v) -> acc + v)").as("cw_sq_u"))
+    val adc = codes.join(broadcast(lut), Seq("sub", "code"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(col("ip_u")).as("adot_u"), sum(col("cw_sq_u")).as("asq_u"))
+    val pqTop = adc
+      .join(broadcast(q.select(col("query_id"), col("qnrm"))), "query_id")
+      .withColumn("acos", (col("adot_u") / lit(1.0e12)) /
+        (col("qnrm") * sqrt(col("asq_u") / lit(1.0e12))))
+      .groupBy(col("query_id"))
+      .agg(expr("graft_topk(acos, vec_id, 5)").as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("query_id"), col("t.id").as("neighbor_id"),
+        (col("pos") + 1).cast("int").as("rank"),
+        r6(col("t.score")).as("adc_cos"))
+    val exact = e.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .withColumn("cos",
+        expr("graft_dot(qe, embedding)") / (col("qnrm") * col("nrm")))
+      .groupBy(col("query_id"))
+      .agg(expr("graft_topk(cos, vec_id, 5)").as("top"))
+      .select(col("query_id"),
+        explode(expr("transform(top, x -> x.id)")).as("neighbor_id"),
+        lit(1).as("hit"))
+    pqTop.join(exact, Seq("query_id", "neighbor_id"), "left")
+      .withColumn("hit", coalesce(col("hit"), lit(0)))
+      .withColumn("recall_at_5",
+        r6(sum(col("hit")).over(Window.partitionBy(col("query_id")))
+          .cast("double") / lit(5.0)))
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        col("adc_cos"), col("hit"), col("recall_at_5"))
+      .orderBy("query_id", "rank")
+  }
+
+  val s18Sql: String = {
+    def dot(a: String, b: String) =
+      s"list_reduce(list_prepend(0.0, list_transform(range(1, len($a)+1)," +
+        s" i -> $a[i]::DOUBLE * $b[i]::DOUBLE)), (acc, x) -> acc + x)"
+    val cos = cosineSql("q.qe", "e.embedding")
+    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < $s3Cap),
+      |subs AS (
+      |  SELECT vec_id, j AS sub,
+      |    embedding[(j*$pqSubDim+1):(j*$pqSubDim+$pqSubDim)] AS sv
+      |  FROM e, LATERAL (SELECT unnest(range(0, $pqM)) AS j)),
+      |seed AS (SELECT sub, vec_id AS code,
+      |    list_transform(sv, x -> x::DOUBLE) AS cw
+      |  FROM subs WHERE vec_id < $pqKsub),
+      |a0 AS (
+      |  SELECT vec_id, sub, code FROM (
+      |    SELECT s.vec_id, s.sub, c.code,
+      |      row_number() OVER (PARTITION BY s.vec_id, s.sub
+      |        ORDER BY (${dot("c.cw", "c.cw")} - 2.0 * ${dot("s.sv", "c.cw")}) ASC,
+      |          c.code) AS rn
+      |    FROM subs s JOIN seed c ON s.sub = c.sub) t
+      |  WHERE rn = 1),
+      |dims AS (
+      |  SELECT a0.sub, a0.code, i - 1 AS pos,
+      |    CAST(s.sv[i] AS DECIMAL(18,6)) AS v
+      |  FROM a0 JOIN subs s ON a0.vec_id = s.vec_id AND a0.sub = s.sub,
+      |    LATERAL (SELECT unnest(range(1, len(s.sv) + 1)) AS i)),
+      |cb AS (
+      |  SELECT sub, code, list(m ORDER BY pos) AS cw FROM (
+      |    SELECT sub, code, pos, CAST(sum(v) AS DOUBLE) / count(*) AS m
+      |    FROM dims GROUP BY sub, code, pos)
+      |  GROUP BY sub, code),
+      |codes AS (
+      |  SELECT vec_id, sub, code FROM (
+      |    SELECT s.vec_id, s.sub, c.code,
+      |      row_number() OVER (PARTITION BY s.vec_id, s.sub
+      |        ORDER BY (${dot("c.cw", "c.cw")} - 2.0 * ${dot("s.sv", "c.cw")}) ASC,
+      |          c.code) AS rn
+      |    FROM subs s JOIN cb c ON s.sub = c.sub) t
+      |  WHERE rn = 1),
+      |q AS (SELECT vec_id AS query_id, embedding AS qe,
+      |    sqrt(${dot("embedding", "embedding")}) AS qnrm
+      |  FROM e WHERE vec_id < 10),
+      |qsubs AS (SELECT query_id, j AS sub,
+      |    qe[(j*$pqSubDim+1):(j*$pqSubDim+$pqSubDim)] AS qsv
+      |  FROM q, LATERAL (SELECT unnest(range(0, $pqM)) AS j)),
+      |lut AS (
+      |  SELECT query_id, sub, code,
+      |    CAST(list_reduce(list_prepend(0, list_transform(range(1, len(qsv)+1),
+      |      i -> CAST(floor(qsv[i]::DOUBLE * 1000000.0 + 0.5) AS BIGINT)
+      |         * CAST(floor(cw[i]::DOUBLE * 1000000.0 + 0.5) AS BIGINT))),
+      |      (acc, v) -> acc + v) AS BIGINT) AS ip_u,
+      |    CAST(list_reduce(list_prepend(0, list_transform(range(1, len(cw)+1),
+      |      i -> CAST(floor(cw[i]::DOUBLE * 1000000.0 + 0.5) AS BIGINT)
+      |         * CAST(floor(cw[i]::DOUBLE * 1000000.0 + 0.5) AS BIGINT))),
+      |      (acc, v) -> acc + v) AS BIGINT) AS cw_sq_u
+      |  FROM qsubs JOIN cb USING (sub)),
+      |adc AS (
+      |  SELECT query_id, vec_id,
+      |    CAST(sum(ip_u) AS BIGINT) AS adot_u,
+      |    CAST(sum(cw_sq_u) AS BIGINT) AS asq_u
+      |  FROM codes JOIN lut USING (sub, code)
+      |  WHERE vec_id <> query_id
+      |  GROUP BY query_id, vec_id),
+      |pq_top AS (
+      |  SELECT query_id, vec_id AS neighbor_id, rn AS rank, acos FROM (
+      |    SELECT a.query_id, a.vec_id,
+      |      (a.adot_u / 1000000000000.0) /
+      |        (q.qnrm * sqrt(a.asq_u / 1000000000000.0)) AS acos,
+      |      row_number() OVER (PARTITION BY a.query_id
+      |        ORDER BY (a.adot_u / 1000000000000.0) /
+      |          (q.qnrm * sqrt(a.asq_u / 1000000000000.0)) DESC, a.vec_id) AS rn
+      |    FROM adc a JOIN q ON a.query_id = q.query_id) t
+      |  WHERE rn <= 5),
+      |exact AS (
+      |  SELECT query_id, neighbor_id FROM (
+      |    SELECT q.query_id, e.vec_id AS neighbor_id,
+      |      row_number() OVER (PARTITION BY q.query_id
+      |        ORDER BY $cos DESC, e.vec_id) AS rn
+      |    FROM e JOIN q ON e.vec_id <> q.query_id) t
+      |  WHERE rn <= 5)
+      |SELECT p.query_id, p.rank, p.neighbor_id,
+      |  floor(p.acos * 1000000.0 + 0.5) / 1000000.0 AS adc_cos,
+      |  CASE WHEN x.neighbor_id IS NULL THEN 0 ELSE 1 END AS hit,
+      |  floor((CAST(sum(CASE WHEN x.neighbor_id IS NULL THEN 0 ELSE 1 END)
+      |      OVER (PARTITION BY p.query_id) AS DOUBLE) / 5.0)
+      |    * 1000000.0 + 0.5) / 1000000.0 AS recall_at_5
+      |FROM pq_top p LEFT JOIN exact x
+      |  ON p.query_id = x.query_id AND p.neighbor_id = x.neighbor_id
+      |ORDER BY p.query_id, p.rank""".stripMargin
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s18_pq_adc" -> s18PqAdc,
     "s7_ann_recall" -> s7AnnRecall,
     "s10_ivf_multiprobe" -> s10IvfMultiprobe,
     "s14_kmeans_refine" -> s14KmeansRefine,
@@ -1166,6 +1407,7 @@ object Similarity {
   )
 
   val oracle: Map[String, String] = Map(
+    "s18_pq_adc" -> s18Sql,
     "s7_ann_recall" -> s7Sql,
     "s10_ivf_multiprobe" -> s10Sql,
     "s14_kmeans_refine" -> s14Sql,
