@@ -1389,8 +1389,222 @@ object Similarity {
       |ORDER BY p.query_id, p.rank""".stripMargin
   }
 
+  /** S19 — the composed IVF-PQ probe, the shape a 100 TB ANN deployment
+    * actually runs (s4 certified the cell restriction, s18 the PQ/ADC
+    * math; this row certifies the COMPOSITION end-to-end):
+    *  1. coarse quantizer: s4's deterministic first-8 centroids, every
+    *     indexed vector assigned to its one cell ([[ivfAssignTo]]);
+    *  2. PQ codes over the SAME corpus (s18's build: per-subspace Lloyd
+    *     codebooks + min-L2 encode);
+    *  3. probe: each query picks its `nprobe`=2 nearest cells
+    *     (bounded-heap, broadcast centroids), candidates are the
+    *     cell-restricted vectors ONLY, and each candidate is scored by
+    *     ADC — the integer micro-unit LUT, never the raw floats;
+    *  4. honest end-to-end recall: ADC top-5 on the restricted
+    *     candidates vs the EXACT top-5 over the full corpus, so the
+    *     reported recall charges BOTH loss sources (cell restriction +
+    *     quantization); `n_cand` is the scanned-candidate count, the
+    *     same latency proxy s10 pins for the nprobe curve.
+    *
+    * Scale shape: the index side never materializes floats at probe
+    * time — candidates join codes (12 bits/vector), the LUT is
+    * queries × m × ksub broadcast rows, and the only data-sized
+    * shuffles are the cell equi-join and the (query, vec) partial-sum
+    * aggregation. Memory at 10⁹ vectors: codes ~1.5 GB + cell ids,
+    * vs 256 GB raw — the float table is touched only at BUILD time.
+    */
+  def s19IvfPq(s: SparkSession, d: String): DataFrame = {
+    val e = withNorm(s, d).filter(col("vec_id") < s3Cap)
+    val cent = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("ce"),
+        col("nrm").as("cnrm"))
+    val assigned = ivfAssignTo(e, cent).select("vec_id", "cent_id")
+    val subs = pqSubvectors(e.select(col("vec_id"), col("embedding")))
+    val seed = subs.filter(col("vec_id") < pqKsub)
+      .select(col("sub"), col("vec_id").as("code"),
+        transform(col("sv"), x => x.cast("double")).as("cw"))
+    val cb = pqRefit(subs, pqAssign(subs, seed))
+    val codes = pqAssign(subs, cb)
+    val q = e.filter(col("vec_id") >= 8 && col("vec_id") < 13)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        col("nrm").as("qnrm"))
+    val qprobe = q.crossJoin(broadcast(cent))
+      .withColumn("ccos",
+        expr("graft_dot(qe, ce)") / (col("qnrm") * col("cnrm")))
+      .groupBy(col("query_id"))
+      .agg(first(col("qnrm")).as("qnrm"),
+        expr("graft_topk(ccos, cent_id, 2)").as("top"))
+      .select(col("query_id"), col("qnrm"),
+        explode(expr("transform(top, x -> x.id)")).as("qcell"))
+    val cand = assigned.join(broadcast(qprobe),
+        col("cent_id") === col("qcell") && col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), col("qnrm"))
+    val qsubs = pqSubvectors(
+      q.select(col("query_id").as("vec_id"), col("qe").as("embedding")))
+      .select(col("vec_id").as("query_id"), col("sub"), col("sv").as("qsv"))
+    def uq(x: String) =
+      s"CAST(floor(CAST($x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)"
+    val lut = qsubs.join(cb, "sub")
+      .select(col("query_id"), col("sub"), col("code"),
+        expr(s"aggregate(zip_with(qsv, cw, (x, y) -> ${uq("x")} * ${uq("y")})," +
+          " CAST(0 AS BIGINT), (acc, v) -> acc + v)").as("ip_u"),
+        expr(s"aggregate(transform(cw, y -> ${uq("y")} * ${uq("y")})," +
+          " CAST(0 AS BIGINT), (acc, v) -> acc + v)").as("cw_sq_u"))
+    val scored = cand.join(codes, "vec_id")
+      .join(broadcast(lut), Seq("query_id", "sub", "code"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(first(col("qnrm")).as("qnrm"),
+        sum(col("ip_u")).as("adot_u"), sum(col("cw_sq_u")).as("asq_u"))
+      .withColumn("acos", (col("adot_u") / lit(1.0e12)) /
+        (col("qnrm") * sqrt(col("asq_u") / lit(1.0e12))))
+    val pqTop = scored.groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_cand"),
+        expr("graft_topk(acos, vec_id, 5)").as("top"))
+      .select(col("query_id"), col("n_cand"),
+        posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("query_id"), col("n_cand"),
+        col("t.id").as("neighbor_id"),
+        (col("pos") + 1).cast("int").as("rank"),
+        r6(col("t.score")).as("adc_cos"))
+    val exact = e.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .withColumn("cos",
+        expr("graft_dot(qe, embedding)") / (col("qnrm") * col("nrm")))
+      .groupBy(col("query_id"))
+      .agg(expr("graft_topk(cos, vec_id, 5)").as("top"))
+      .select(col("query_id"),
+        explode(expr("transform(top, x -> x.id)")).as("neighbor_id"),
+        lit(1).as("hit"))
+    pqTop.join(exact, Seq("query_id", "neighbor_id"), "left")
+      .withColumn("hit", coalesce(col("hit"), lit(0)))
+      .withColumn("recall_at_5",
+        r6(sum(col("hit")).over(Window.partitionBy(col("query_id")))
+          .cast("double") / lit(5.0)))
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        col("adc_cos"), col("hit"), col("recall_at_5"), col("n_cand"))
+      .orderBy("query_id", "rank")
+  }
+
+  val s19Sql: String = {
+    def dot(a: String, b: String) =
+      s"list_reduce(list_prepend(0.0, list_transform(range(1, len($a)+1)," +
+        s" i -> $a[i]::DOUBLE * $b[i]::DOUBLE)), (acc, x) -> acc + x)"
+    val cos = cosineSql("q.qe", "e.embedding")
+    def uq(x: String) =
+      s"CAST(floor($x::DOUBLE * 1000000.0 + 0.5) AS BIGINT)"
+    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < $s3Cap),
+      |cent AS (SELECT vec_id AS cent_id, embedding AS ce
+      |  FROM e WHERE vec_id < 8),
+      |assigned AS (
+      |  SELECT vec_id, cent_id FROM (
+      |    SELECT v.vec_id, c.cent_id,
+      |      row_number() OVER (PARTITION BY v.vec_id
+      |        ORDER BY (${dot("v.embedding", "c.ce")}) /
+      |          (sqrt(${dot("v.embedding", "v.embedding")}) *
+      |           sqrt(${dot("c.ce", "c.ce")})) DESC, c.cent_id) AS rn
+      |    FROM e v CROSS JOIN cent c) t
+      |  WHERE rn = 1),
+      |subs AS (
+      |  SELECT vec_id, j AS sub,
+      |    embedding[(j*$pqSubDim+1):(j*$pqSubDim+$pqSubDim)] AS sv
+      |  FROM e, LATERAL (SELECT unnest(range(0, $pqM)) AS j)),
+      |seed AS (SELECT sub, vec_id AS code,
+      |    list_transform(sv, x -> x::DOUBLE) AS cw
+      |  FROM subs WHERE vec_id < $pqKsub),
+      |a0 AS (
+      |  SELECT vec_id, sub, code FROM (
+      |    SELECT s.vec_id, s.sub, c.code,
+      |      row_number() OVER (PARTITION BY s.vec_id, s.sub
+      |        ORDER BY (${dot("c.cw", "c.cw")} - 2.0 * ${dot("s.sv", "c.cw")}) ASC,
+      |          c.code) AS rn
+      |    FROM subs s JOIN seed c ON s.sub = c.sub) t
+      |  WHERE rn = 1),
+      |dims AS (
+      |  SELECT a0.sub, a0.code, i - 1 AS pos,
+      |    CAST(s.sv[i] AS DECIMAL(18,6)) AS v
+      |  FROM a0 JOIN subs s ON a0.vec_id = s.vec_id AND a0.sub = s.sub,
+      |    LATERAL (SELECT unnest(range(1, len(s.sv) + 1)) AS i)),
+      |cb AS (
+      |  SELECT sub, code, list(m ORDER BY pos) AS cw FROM (
+      |    SELECT sub, code, pos, CAST(sum(v) AS DOUBLE) / count(*) AS m
+      |    FROM dims GROUP BY sub, code, pos)
+      |  GROUP BY sub, code),
+      |codes AS (
+      |  SELECT vec_id, sub, code FROM (
+      |    SELECT s.vec_id, s.sub, c.code,
+      |      row_number() OVER (PARTITION BY s.vec_id, s.sub
+      |        ORDER BY (${dot("c.cw", "c.cw")} - 2.0 * ${dot("s.sv", "c.cw")}) ASC,
+      |          c.code) AS rn
+      |    FROM subs s JOIN cb c ON s.sub = c.sub) t
+      |  WHERE rn = 1),
+      |q AS (SELECT vec_id AS query_id, embedding AS qe,
+      |    sqrt(${dot("embedding", "embedding")}) AS qnrm
+      |  FROM e WHERE vec_id >= 8 AND vec_id < 13),
+      |qprobe AS (
+      |  SELECT query_id, cent_id AS qcell FROM (
+      |    SELECT q.query_id, c.cent_id,
+      |      row_number() OVER (PARTITION BY q.query_id
+      |        ORDER BY (${dot("q.qe", "c.ce")}) /
+      |          (q.qnrm * sqrt(${dot("c.ce", "c.ce")})) DESC, c.cent_id) AS rn
+      |    FROM q CROSS JOIN cent c) t
+      |  WHERE rn <= 2),
+      |cand AS (
+      |  SELECT p.query_id, a.vec_id
+      |  FROM qprobe p JOIN assigned a
+      |    ON a.cent_id = p.qcell AND a.vec_id <> p.query_id),
+      |qsubs AS (SELECT query_id, j AS sub,
+      |    qe[(j*$pqSubDim+1):(j*$pqSubDim+$pqSubDim)] AS qsv
+      |  FROM q, LATERAL (SELECT unnest(range(0, $pqM)) AS j)),
+      |lut AS (
+      |  SELECT query_id, sub, code,
+      |    CAST(list_reduce(list_prepend(0, list_transform(range(1, len(qsv)+1),
+      |      i -> ${uq("qsv[i]")} * ${uq("cw[i]")})),
+      |      (acc, v) -> acc + v) AS BIGINT) AS ip_u,
+      |    CAST(list_reduce(list_prepend(0, list_transform(range(1, len(cw)+1),
+      |      i -> ${uq("cw[i]")} * ${uq("cw[i]")})),
+      |      (acc, v) -> acc + v) AS BIGINT) AS cw_sq_u
+      |  FROM qsubs JOIN cb USING (sub)),
+      |adc AS (
+      |  SELECT c.query_id, c.vec_id,
+      |    CAST(sum(l.ip_u) AS BIGINT) AS adot_u,
+      |    CAST(sum(l.cw_sq_u) AS BIGINT) AS asq_u
+      |  FROM cand c JOIN codes k ON c.vec_id = k.vec_id
+      |    JOIN lut l ON l.query_id = c.query_id
+      |      AND l.sub = k.sub AND l.code = k.code
+      |  GROUP BY c.query_id, c.vec_id),
+      |pq_top AS (
+      |  SELECT query_id, vec_id AS neighbor_id, rn AS rank, acos, n_cand
+      |  FROM (
+      |    SELECT a.query_id, a.vec_id,
+      |      (a.adot_u / 1000000000000.0) /
+      |        (q.qnrm * sqrt(a.asq_u / 1000000000000.0)) AS acos,
+      |      count(*) OVER (PARTITION BY a.query_id) AS n_cand,
+      |      row_number() OVER (PARTITION BY a.query_id
+      |        ORDER BY (a.adot_u / 1000000000000.0) /
+      |          (q.qnrm * sqrt(a.asq_u / 1000000000000.0)) DESC, a.vec_id) AS rn
+      |    FROM adc a JOIN q ON a.query_id = q.query_id) t
+      |  WHERE rn <= 5),
+      |exact AS (
+      |  SELECT query_id, neighbor_id FROM (
+      |    SELECT q.query_id, e.vec_id AS neighbor_id,
+      |      row_number() OVER (PARTITION BY q.query_id
+      |        ORDER BY $cos DESC, e.vec_id) AS rn
+      |    FROM e JOIN q ON e.vec_id <> q.query_id) t
+      |  WHERE rn <= 5)
+      |SELECT p.query_id, p.rank, p.neighbor_id,
+      |  floor(p.acos * 1000000.0 + 0.5) / 1000000.0 AS adc_cos,
+      |  CASE WHEN x.neighbor_id IS NULL THEN 0 ELSE 1 END AS hit,
+      |  floor((CAST(sum(CASE WHEN x.neighbor_id IS NULL THEN 0 ELSE 1 END)
+      |      OVER (PARTITION BY p.query_id) AS DOUBLE) / 5.0)
+      |    * 1000000.0 + 0.5) / 1000000.0 AS recall_at_5,
+      |  p.n_cand
+      |FROM pq_top p LEFT JOIN exact x
+      |  ON p.query_id = x.query_id AND p.neighbor_id = x.neighbor_id
+      |ORDER BY p.query_id, p.rank""".stripMargin
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s18_pq_adc" -> s18PqAdc,
+    "s19_ivfpq" -> s19IvfPq,
     "s7_ann_recall" -> s7AnnRecall,
     "s10_ivf_multiprobe" -> s10IvfMultiprobe,
     "s14_kmeans_refine" -> s14KmeansRefine,
@@ -1408,6 +1622,7 @@ object Similarity {
 
   val oracle: Map[String, String] = Map(
     "s18_pq_adc" -> s18Sql,
+    "s19_ivfpq" -> s19Sql,
     "s7_ann_recall" -> s7Sql,
     "s10_ivf_multiprobe" -> s10Sql,
     "s14_kmeans_refine" -> s14Sql,

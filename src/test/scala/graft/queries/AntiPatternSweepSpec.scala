@@ -48,6 +48,7 @@ class AntiPatternSweepSpec extends SparkSpecBase {
     "s14_kmeans_refine",      // broadcast of k centroid rows per iteration
     "s15_scaled_nlist",       // broadcast of ≤32 centroid rows + 1-row count aggregates
     "s16_spherical_refine",   // broadcast of k centroid rows per refit variant
+    "s19_ivfpq",              // broadcast 8-row centroid dim (query probe side)
     "e2e_dvp_pipeline",       // 30-team dim grid + 1-row validation verdicts, broadcast
     "a9_completeness_grid")   // expected-grid dim × dim (SURVEY A9)
 

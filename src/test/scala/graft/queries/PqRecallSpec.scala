@@ -31,4 +31,30 @@ class PqRecallSpec extends SparkSpecBase {
       assert(shape == 0, "ADC top-5 lost rows or ranks")
     } finally out.unpersist()
   }
+
+  /** Pins the COMPOSED IVF-PQ probe (s19): recall is charged BOTH loss
+    * sources (cell restriction + quantization), so it must sit at or
+    * under s18's full-scan ADC recall while the candidate counts prove
+    * the cell restriction actually engaged (scanning the full corpus
+    * would reproduce s18 and certify nothing).
+    */
+  test("s19 IVF-PQ recall holds its bound and the cell cut engages") {
+    val out = Similarity.s19IvfPq(spark, sf).cache()
+    try {
+      val corpus = graft.Tables.embeddings(spark, sf)
+        .filter(col("vec_id") < Similarity.s3Cap).count()
+      val perQ = out.groupBy("query_id")
+        .agg(first("recall_at_5").as("r"), first("n_cand").as("nc"))
+        .collect()
+      val mean = perQ.map(_.getDouble(1)).sum / perQ.length
+      assert(mean >= 0.2, s"mean IVF-PQ recall@5 degraded to $mean")
+      // nprobe=2 of 8 cells: every query must scan a strict subset
+      perQ.foreach { r =>
+        val nc = r.getLong(2)
+        assert(nc > 0 && nc < corpus,
+          s"query ${r.get(0)}: candidate count $nc not a strict subset" +
+            s" of $corpus — the cell restriction did not engage")
+      }
+    } finally out.unpersist()
+  }
 }
