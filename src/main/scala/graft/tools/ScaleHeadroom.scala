@@ -71,11 +71,19 @@ object ScaleHeadroom {
 
   private def enlargeEmb(base: DataFrame, copies: Int): DataFrame =
     (0 until copies).map { i =>
+      // rotation index wraps at the dimension (64); copies ≥ 64 reuse a
+      // rotation with the SIGN flipped — 128 distinct norm-preserving
+      // transforms, so no two copies share a vector for copies ≤ 128
+      val r = i % 64
+      val sgn = if ((i / 64) % 2 == 0) 1.0 else -1.0
       if (i == 0) base
       else base.select((col("vec_id") + lit(i * 1000000L)).as("vec_id"),
-        concat(slice(col("embedding"), lit(i + 1),
-            size(col("embedding")) - lit(i)),
-          slice(col("embedding"), lit(1), lit(i))).as("embedding"))
+        transform(
+          if (r == 0) col("embedding")
+          else concat(slice(col("embedding"), lit(r + 1),
+              size(col("embedding")) - lit(r)),
+            slice(col("embedding"), lit(1), lit(r))),
+          x => (x * lit(sgn)).cast("float")).as("embedding"))
     }.reduce(_ unionByName _)
 
   def main(args: Array[String]): Unit = {
