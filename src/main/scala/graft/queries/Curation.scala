@@ -419,6 +419,81 @@ object Curation {
       |ORDER BY doc_id""".stripMargin
   }
 
+  /** C6 — deterministic domain mixing: the data-mix step every
+    * pretraining pipeline runs between curation and packing (per-domain
+    * sampling weights — upsample the high-quality sources, downsample
+    * the bulk crawl — e.g. the published LLaMA / Pile mixture tables).
+    *
+    * Weight semantics (epochs): weight `w` means `floor(w)` full copies
+    * of every doc plus one extra copy gated at probability `w−floor(w)`.
+    * Both the gate draw AND the interleave position are salted md5
+    * hashes of (doc_id, copy) — the c2/c5 determinism contract extended
+    * to replicas: stable under re-runs, re-partitioning, and appends,
+    * bit-replayable by the oracle, and `position` is the deterministic
+    * global-shuffle key a training reader range-sorts by (no
+    * `rand()`, no epoch-boundary reshuffle drift). The realized
+    * per-domain row count (`n_mixed`) rides on every row, so the hash
+    * certifies the achieved mixture, not just the per-row draws.
+    *
+    * Scale shape: per-row explode bounded by ⌈max weight⌉ (never
+    * data-sized), the count is a map-side-combined groupBy on the
+    * bounded source key joined back BROADCAST (a window over
+    * `partitionBy(source)` would shuffle the full corpus onto
+    * #sources partitions — the skew trap at 100 TB), and the global
+    * shuffle is a range sort on `position` — the one distributed sort
+    * the semantics genuinely require.
+    */
+  def c6DomainMix(s: SparkSession, d: String): DataFrame = {
+    val srcN = expr("CAST(substring(source, 4) AS INT)")
+    val w = when(pmod(srcN, lit(4)) === 0, lit(2.5))
+      .when(pmod(srcN, lit(4)) === 1, lit(1.0))
+      .when(pmod(srcN, lit(4)) === 2, lit(0.5))
+      .otherwise(lit(0.25))
+    val mixed = documents(s, d)
+      .select(col("doc_id"), col("source"), w.as("w"))
+      .withColumn("copy",
+        explode(expr("sequence(0, CAST(ceil(w) AS INT) - 1)")))
+      .withColumn("draw",
+        pmod(md5Hash32(concat(lit("mix:"), col("doc_id"), lit(":"),
+          col("copy"))), lit(10000)))
+      .filter(col("copy") < floor(col("w")) ||
+        col("draw") < (col("w") - floor(col("w"))) * 10000)
+      .withColumn("position",
+        md5Hash32(concat(lit("pos:"), col("doc_id"), lit(":"),
+          col("copy"))))
+    val counts = mixed.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_mixed"))
+    mixed.join(broadcast(counts), "source")
+      .select(col("doc_id"), col("source"), col("w"), col("copy"),
+        col("draw"), col("position"), col("n_mixed"))
+      .orderBy("position", "doc_id", "copy")
+  }
+
+  val c6Sql: String =
+    """WITH base AS (
+      |  SELECT doc_id, source,
+      |    CAST(CASE CAST(substr(source, 4) AS INT) % 4
+      |      WHEN 0 THEN 2.5 WHEN 1 THEN 1.0 WHEN 2 THEN 0.5
+      |      ELSE 0.25 END AS DOUBLE) AS w
+      |  FROM documents),
+      |mixed AS (
+      |  SELECT doc_id, source, w, c AS copy,
+      |    ('0x' || substr(md5('mix:' || doc_id || ':' || c), 1, 8))::BIGINT
+      |      % 10000 AS draw,
+      |    ('0x' || substr(md5('pos:' || doc_id || ':' || c), 1, 8))::BIGINT
+      |      AS position
+      |  FROM base, LATERAL (SELECT unnest(range(0,
+      |    CAST(ceil(w) AS BIGINT))) AS c)
+      |  WHERE c < floor(w)
+      |    OR ('0x' || substr(md5('mix:' || doc_id || ':' || c), 1, 8))::BIGINT
+      |      % 10000 < (w - floor(w)) * 10000)
+      |SELECT m.doc_id, m.source, m.w, m.copy, m.draw, m.position,
+      |  n.n_mixed
+      |FROM mixed m
+      |JOIN (SELECT source, count(*) AS n_mixed FROM mixed GROUP BY source) n
+      |  ON m.source = n.source
+      |ORDER BY m.position, m.doc_id, m.copy""".stripMargin
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c1_curation_decision" -> c1CurationDecision,
     "c1b_curation_dupinject" -> c1DupInject,
@@ -426,6 +501,7 @@ object Curation {
     "c3_sequence_pack" -> c3SequencePack,
     "c4_decontaminate" -> c4Decontaminate,
     "c5_stratified_sample" -> c5StratifiedSample,
+    "c6_domain_mix" -> c6DomainMix,
   )
 
   val oracle: Map[String, String] = Map(
@@ -435,5 +511,6 @@ object Curation {
     "c3_sequence_pack" -> c3Sql,
     "c4_decontaminate" -> c4Sql,
     "c5_stratified_sample" -> c5Sql,
+    "c6_domain_mix" -> c6Sql,
   )
 }

@@ -118,6 +118,19 @@ class PlanSpec extends SparkSpecBase {
     }
   }
 
+  test("c6 mix joins its realized counts broadcast, never a source-keyed window") {
+    // the per-domain count must come back as a broadcast join on the
+    // bounded source key — a window over partitionBy(source) would
+    // shuffle the whole mixed corpus onto #sources partitions (the
+    // skew trap at scale); the only full-data exchange allowed is the
+    // final range sort on the deterministic position key
+    val p = plan(Curation.c6DomainMix(spark, sf))
+    assert(p.contains("BroadcastHashJoin"),
+      s"c6 counts join is not broadcast:\n$p")
+    assert(!p.contains("Window"),
+      s"c6 gained a window over the mixed corpus:\n$p")
+  }
+
   test("f8/f21 scalar chains stay in one whole-stage codegen pass over orders") {
     // regex scalar derivations must not introduce shuffles before the
     // final sort: one scan, one projection chain
