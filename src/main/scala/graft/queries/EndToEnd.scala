@@ -145,13 +145,22 @@ object EndToEnd {
     */
   val e2eCurPackBudget = 512
 
+  /** The full chain now carries the c6 domain mix between the split
+    * and the pack (r11): TRAIN docs replicate per their source's
+    * sampling weight (⌊w⌋ full copies + one salted-hash-gated
+    * fractional copy — c6's exact contract, same salts), val/test stay
+    * unreplicated (evaluation sets are never upsampled), and the
+    * packer consumes the MIXED stream — copies count toward token
+    * budgets exactly as a real pretraining batch assembly would. Row
+    * identity becomes (doc_id, copy); the pack window orders by it.
+    */
   def e2eCurationPipeline(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val survivors = Curation.c1CurationDecision(s, d)
       .filter(!col("reason").isin("exact_dup", "near_dup"))
       .select(col("doc_id"), col("reason"))
     val toks = documentsSpread(s, d).join(survivors, "doc_id")
-      .select(col("doc_id"), col("reason"),
+      .select(col("doc_id"), col("source"), col("reason"),
         pmod(md5Hash32(concat(lit("split:"), col("doc_id"))), lit(100))
           .as("bucket"),
         // 4 shards, not c3's 32: shard count is sized to the corpus
@@ -163,14 +172,28 @@ object EndToEnd {
       .withColumn("split",
         when(col("bucket") < 98, "train")
           .when(col("bucket") === 98, "val").otherwise("test"))
+    val srcN = expr("CAST(substring(source, 4) AS INT)")
+    val mixed = toks
+      .withColumn("mw",
+        when(col("split") =!= "train", lit(1.0))
+          .when(pmod(srcN, lit(4)) === 0, lit(2.5))
+          .when(pmod(srcN, lit(4)) === 1, lit(1.0))
+          .when(pmod(srcN, lit(4)) === 2, lit(0.5))
+          .otherwise(lit(0.25)))
+      .withColumn("copy",
+        explode(expr("sequence(0, CAST(ceil(mw) AS INT) - 1)")))
+      .filter(col("copy") < floor(col("mw")) ||
+        pmod(md5Hash32(concat(lit("mix:"), col("doc_id"), lit(":"),
+          col("copy"))), lit(10000)) <
+          (col("mw") - floor(col("mw"))) * 10000)
     val w = Window.partitionBy(col("split"), col("shard"))
-      .orderBy(col("doc_id"))
-    toks
+      .orderBy(col("doc_id"), col("copy"))
+    mixed
       .withColumn("cum", sum(col("n_tokens")).over(w))
-      .select(col("doc_id"), col("reason"), col("split"), col("shard"),
-        col("n_tokens"),
+      .select(col("doc_id"), col("copy"), col("reason"), col("split"),
+        col("shard"), col("n_tokens"),
         expr(s"(cum - n_tokens) div $e2eCurPackBudget").as("pack_id"))
-      .orderBy("doc_id")
+      .orderBy("doc_id", "copy")
   }
 
   val e2eCurSql: String =
@@ -178,21 +201,36 @@ object EndToEnd {
       |kept AS (SELECT doc_id, reason FROM c1
       |         WHERE reason NOT IN ('exact_dup', 'near_dup')),
       |t AS (
-      |  SELECT d.doc_id, k.reason,
+      |  SELECT d.doc_id, d.source, k.reason,
       |    ('0x' || substr(md5('split:' || d.doc_id), 1, 8))::BIGINT % 100
       |      AS bucket,
       |    d.doc_id % 4 AS shard,
       |    len(string_split_regex(trim(d.text), '\\s+')) AS n_tokens
       |  FROM documents d JOIN kept k USING (doc_id)),
       |t2 AS (
-      |  SELECT doc_id, reason,
+      |  SELECT doc_id, source, reason,
       |    CASE WHEN bucket < 98 THEN 'train'
       |         WHEN bucket = 98 THEN 'val' ELSE 'test' END AS split,
-      |    shard, n_tokens FROM t)
-      |SELECT doc_id, reason, split, shard, n_tokens,
-      |  CAST((sum(n_tokens) OVER (PARTITION BY split, shard ORDER BY doc_id)
+      |    shard, n_tokens FROM t),
+      |t3 AS (
+      |  SELECT *,
+      |    CAST(CASE WHEN split <> 'train' THEN 1.0
+      |      ELSE CASE CAST(substr(source, 4) AS INT) % 4
+      |        WHEN 0 THEN 2.5 WHEN 1 THEN 1.0 WHEN 2 THEN 0.5
+      |        ELSE 0.25 END END AS DOUBLE) AS mw
+      |  FROM t2),
+      |mixed AS (
+      |  SELECT doc_id, reason, split, shard, n_tokens, c AS copy
+      |  FROM t3, LATERAL (SELECT unnest(range(0,
+      |    CAST(ceil(mw) AS BIGINT))) AS c)
+      |  WHERE c < floor(mw)
+      |    OR ('0x' || substr(md5('mix:' || doc_id || ':' || c), 1, 8))::BIGINT
+      |      % 10000 < (mw - floor(mw)) * 10000)
+      |SELECT doc_id, copy, reason, split, shard, n_tokens,
+      |  CAST((sum(n_tokens) OVER (PARTITION BY split, shard
+      |          ORDER BY doc_id, copy)
       |        - n_tokens) // $e2eCurPackBudget AS BIGINT) AS pack_id
-      |FROM t2 ORDER BY doc_id""".stripMargin
+      |FROM mixed ORDER BY doc_id, copy""".stripMargin
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e2e_dvp_pipeline" -> e2eDvpPipeline,

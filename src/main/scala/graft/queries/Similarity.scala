@@ -1389,6 +1389,24 @@ object Similarity {
       |ORDER BY p.query_id, p.rank""".stripMargin
   }
 
+  /** The full PQ ENCODE path over any (vec_id, embedding) frame —
+    * codebook build (first-ksub seed + one Lloyd step) and min-L2 code
+    * assignment for every vector. This is the data-sized stage of the
+    * s18/s19 pipeline (the probe side is bounded by queries × m ×
+    * ksub), so it is what [[graft.tools.ScaleHeadroom]] measures: one
+    * broadcast-codebook scan + the bounded-heap argmin per (vec, sub),
+    * linear in corpus size by construction.
+    */
+  private[graft] def pqEncodeOf(e: DataFrame): DataFrame = {
+    val raw = e.select(col("vec_id"), col("embedding"))
+    val subs = pqSubvectors(raw)
+    val seed = subs.filter(col("vec_id") < pqKsub)
+      .select(col("sub"), col("vec_id").as("code"),
+        transform(col("sv"), x => x.cast("double")).as("cw"))
+    val cb = pqRefit(subs, pqAssign(subs, seed))
+    pqAssign(subs, cb)
+  }
+
   /** S19 — the composed IVF-PQ probe, the shape a 100 TB ANN deployment
     * actually runs (s4 certified the cell restriction, s18 the PQ/ADC
     * math; this row certifies the COMPOSITION end-to-end):

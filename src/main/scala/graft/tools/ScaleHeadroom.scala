@@ -146,7 +146,10 @@ object ScaleHeadroom {
           full.select("doc_id", "text")))
       },
       // IVF build (broadcast-assign) + cell-keyed probe, nprobe=1
-      "s4_ivf_probe" -> (n => Similarity.ivfTopKOf(embAt(n))))
+      "s4_ivf_probe" -> (n => Similarity.ivfTopKOf(embAt(n))),
+      // PQ codebook build + full-corpus encode — the data-sized stage
+      // of the s18/s19 pipeline (the ADC probe side is query-bounded)
+      "s18_pq_encode" -> (n => Similarity.pqEncodeOf(embAt(n))))
 
     val opsFilter: Option[Set[String]] =
       args.lift(3).map(_.split(",").map(_.trim).toSet)
