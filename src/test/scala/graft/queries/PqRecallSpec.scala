@@ -57,4 +57,29 @@ class PqRecallSpec extends SparkSpecBase {
       }
     } finally out.unpersist()
   }
+
+  /** Pins the two-stage contract (s20): exact re-rank of the ADC
+    * shortlist must recover recall the compressed ranking loses — mean
+    * recall@5 at least the pure-ADC row's (it is strictly higher on
+    * this corpus), and at least one survivor must come from BELOW the
+    * ADC top-5 (otherwise the re-rank stage certifies nothing the ADC
+    * cut didn't already give).
+    */
+  test("s20 exact re-rank recovers recall over the pure ADC ranking") {
+    def meanRecall(df: org.apache.spark.sql.DataFrame): Double = {
+      val per = df.groupBy("query_id").agg(first("recall_at_5").as("r"))
+        .collect().map(_.getDouble(1))
+      per.sum / per.length
+    }
+    val rer = Similarity.s20Rerank(spark, sf).cache()
+    try {
+      val adc = meanRecall(Similarity.s18PqAdc(spark, sf))
+      val two = meanRecall(rer)
+      assert(two >= adc,
+        s"re-rank recall $two fell below pure-ADC recall $adc")
+      val deep = rer.filter(col("adc_rank") > 5).count()
+      assert(deep > 0,
+        "no survivor came from below the ADC top-5 — shortlist vacuous")
+    } finally rer.unpersist()
+  }
 }
