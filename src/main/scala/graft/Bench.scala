@@ -21,6 +21,9 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // UTC like Verify/SparkSpecBase: the events TIMESTAMP_NTZ→TIMESTAMP
+      // normalization (Tables.normalizeTs) is value-identity only in UTC
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.types.{DecimalType, LongType, StructType, TimestampNTZType, TimestampType}
 
 /** Readers for the driver-generated parquet tables (TESTDATA.md) plus
   * shared column helpers used across query definitions.
@@ -23,24 +23,70 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 refuses to
-    * read as a timestamp. Read it as a raw nanos long (legacy conf) and
-    * convert to a microsecond timestamp — the generated data is µs-exact,
-    * and the DuckDB oracle reads the same file as a µs TIMESTAMP, so
-    * values match bit-for-bit.
+  /** Raw `events` scan exactly as encoded on disk. The testdata
+    * generator has shipped `ts` as BOTH parquet TIMESTAMP(NANOS) (rounds
+    * ≤10) and plain TIMESTAMP µs (round 11+), so nothing may assume one
+    * encoding (the round-11 regeneration silently broke every consumer
+    * that did). The legacy nanosAsLong conf makes a NANOS file read back
+    * as a raw long — Spark 4 refuses it as a timestamp — and is a no-op
+    * for µs files, which arrive as TIMESTAMP_NTZ. The conf is
+    * session-global by necessity (read at scan planning, not a per-read
+    * option). Consumers must stay encoding-agnostic via [[normalizeTs]]
+    * / [[tsMicros]] / [[tsRawValue]] — never hand-roll `ts div 1000`.
     */
-  def events(s: SparkSession, d: String): DataFrame = {
+  def eventsRaw(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    // `ts div 1000`, NOT `ts / 1000`: epoch nanos (~1.7e18) exceed
-    // double's 2^53 integer precision, so float division rounds the
-    // microsecond value off by one. Integer div truncates exactly like
-    // DuckDB's nanos→micros read.
-    // The nanosAsLong conf is session-global by necessity (it is read at
-    // scan planning, not a per-read option); any later TIMESTAMP(NANOS)
-    // parquet read in this session also comes back as long.
     table(s, d, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
+
+  /** Normalize a raw events frame (batch OR streaming — only the schema
+    * is consulted) so `ts` is a µs-precision TimestampType:
+    *  - nanos-as-long → `timestamp_micros(ts div 1000)`. Integer `div`,
+    *    NOT `/`: epoch nanos (~1.7e18) exceed double's 2^53 integer
+    *    precision, so float division rounds the microsecond off by one;
+    *    `div` truncates exactly like DuckDB's nanos→micros read.
+    *  - TIMESTAMP_NTZ / TIMESTAMP (µs) → cast to TimestampType. Session
+    *    TZ is UTC in every entry point (Verify/Bench/SparkSpecBase), so
+    *    the cast is value-identity and matches DuckDB bit-for-bit.
+    */
+  def normalizeTs(ev: DataFrame): DataFrame = ev.schema("ts").dataType match {
+    case LongType =>
+      ev.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    case TimestampNTZType | TimestampType =>
+      ev.withColumn("ts", col("ts").cast(TimestampType))
+    case other => throw new IllegalArgumentException(
+      s"events.ts: unsupported parquet encoding $other — extend Tables.normalizeTs")
+  }
+
+  /** `ts` of a RAW events frame as an epoch-micros long Column — the
+    * encoding-agnostic twin of [[normalizeTs]] for consumers that work
+    * in µs integers (sessionization state, interval binning). */
+  def tsMicros(ev: DataFrame): Column = ev.schema("ts").dataType match {
+    case LongType => expr("ts div 1000")
+    case TimestampNTZType | TimestampType =>
+      unix_micros(col("ts").cast(TimestampType))
+    case other => throw new IllegalArgumentException(
+      s"events.ts: unsupported parquet encoding $other — extend Tables.tsMicros")
+  }
+
+  /** The value a hand-built `Row` destined for a raw-events-schema frame
+    * must carry in its `ts` slot to represent the given epoch-micros
+    * instant (sentinel injection in the streaming outer joins). */
+  def tsRawValue(rawSchema: StructType, micros: Long): Any =
+    rawSchema("ts").dataType match {
+      case LongType => micros * 1000L // epoch nanos
+      case TimestampNTZType => java.time.LocalDateTime.ofEpochSecond(
+        Math.floorDiv(micros, 1000000L),
+        (Math.floorMod(micros, 1000000L) * 1000L).toInt,
+        java.time.ZoneOffset.UTC)
+      case _ => java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(
+        Math.floorDiv(micros, 1000000L), Math.floorMod(micros, 1000000L) * 1000L))
+    }
+
+  /** `events` with `ts` normalized to TimestampType — the reader every
+    * batch query goes through. */
+  def events(s: SparkSession, d: String): DataFrame =
+    normalizeTs(eventsRaw(s, d))
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 

@@ -19,12 +19,19 @@ object Verify {
     // driver never sets it, so its full-surface dump is unaffected
     val only = sys.env.get("GRAFT_VERIFY_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // A failing query must be LOUD in the artifact, not just stderr:
+    // round 11's testdata regeneration broke 23 queries and the only
+    // trace was a silently smaller correctness file (r11 verdict #2).
+    // Every failure is recorded in _errors.json; the file is written
+    // even when empty so its absence means "Verify did not finish".
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
+        errors(name) = s"${e.getClass.getName}: ${Option(e.getMessage).getOrElse("")}"
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
@@ -43,6 +50,9 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val errJson = errors
+      .map { case (k, v) => s"${q(k)}: ${q(v.take(500))}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/_errors.json"), errJson)
     spark.stop()
   }
 }

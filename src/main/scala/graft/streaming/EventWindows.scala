@@ -84,8 +84,7 @@ object EventWindows {
   def st5AvailableNow(s: SparkSession, d: String): DataFrame =
     CatchupConf.withBoundedStatePartitions(s) {
     import org.apache.spark.sql.streaming.Trigger
-    events(s, d) // sets the nanosAsLong conf before any events scan
-    val rawSchema = s.read.parquet(s"$d/events.parquet").schema
+    val rawSchema = eventsRaw(s, d).schema
     val dir = java.nio.file.Files.createTempDirectory("graft_st5_")
     val sink = "st5_out_" +
       java.util.UUID.randomUUID().toString.replace("-", "").take(12)
@@ -93,10 +92,9 @@ object EventWindows {
       java.nio.file.Files.copy(
         java.nio.file.Paths.get(s"$d/events.parquet"),
         dir.resolve("events.parquet"))
-      val streamEv = s.readStream
-        .schema(rawSchema)
-        .parquet(dir.toString)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val streamEv = normalizeTs(s.readStream
+          .schema(rawSchema)
+          .parquet(dir.toString))
         .withWatermark("ts", "10 minutes")
       val q = tumbling(streamEv)
         .writeStream
@@ -142,18 +140,16 @@ object EventWindows {
   def st8CheckpointResume(s: SparkSession, d: String): DataFrame =
     CatchupConf.withBoundedStatePartitions(s) {
     import org.apache.spark.sql.streaming.Trigger
-    events(s, d) // sets the nanosAsLong conf
-    val rawSchema = s.read.parquet(s"$d/events.parquet").schema
+    val rawSchema = eventsRaw(s, d).schema
     val root = java.nio.file.Files.createTempDirectory("graft_st8_")
     val data = root.resolve("data"); java.nio.file.Files.createDirectory(data)
     val cp = root.resolve("cp").toString
     val runId = java.util.UUID.randomUUID().toString.replace("-", "").take(12)
 
     def runOnce(sink: String): Unit = {
-      val streamEv = s.readStream
-        .schema(rawSchema)
-        .parquet(data.toString)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val streamEv = normalizeTs(s.readStream
+          .schema(rawSchema)
+          .parquet(data.toString))
         .withWatermark("ts", "10 minutes")
       val q = tumbling(streamEv)
         .writeStream
@@ -208,19 +204,17 @@ object EventWindows {
   def st9CommitProtocol(s: SparkSession, d: String): DataFrame =
     CatchupConf.withBoundedStatePartitions(s) {
     import org.apache.spark.sql.streaming.Trigger
-    events(s, d) // sets the nanosAsLong conf
-    val rawSchema = s.read.parquet(s"$d/events.parquet").schema
+    val rawSchema = eventsRaw(s, d).schema
     val root = java.nio.file.Files.createTempDirectory("graft_st9_")
     val data = root.resolve("data"); java.nio.file.Files.createDirectory(data)
     val cp = root.resolve("cp").toString
     val runId = java.util.UUID.randomUUID().toString.replace("-", "").take(12)
 
     def runOnce(sink: String): Unit = {
-      val streamEv = s.readStream
-        .schema(rawSchema)
-        .option("pathGlobFilter", "*.parquet")
-        .parquet(data.toString)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val streamEv = normalizeTs(s.readStream
+          .schema(rawSchema)
+          .option("pathGlobFilter", "*.parquet")
+          .parquet(data.toString))
         .withWatermark("ts", "10 minutes")
       val q = tumbling(streamEv)
         .writeStream
@@ -289,8 +283,7 @@ object EventWindows {
   def st10StreamStaticEnrich(s: SparkSession, d: String): DataFrame =
     CatchupConf.withBoundedStatePartitions(s) {
     import org.apache.spark.sql.streaming.Trigger
-    events(s, d) // sets the nanosAsLong conf
-    val rawSchema = s.read.parquet(s"$d/events.parquet").schema
+    val rawSchema = eventsRaw(s, d).schema
     val dim = customer(s, d)
       .select(col("c_custkey").as("user_id"),
         col("c_mktsegment").as("segment"))
@@ -301,10 +294,9 @@ object EventWindows {
       java.nio.file.Files.copy(
         java.nio.file.Paths.get(s"$d/events.parquet"),
         dir.resolve("events.parquet"))
-      val enriched = s.readStream
-        .schema(rawSchema)
-        .parquet(dir.toString)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val enriched = normalizeTs(s.readStream
+          .schema(rawSchema)
+          .parquet(dir.toString))
         .withWatermark("ts", "10 minutes")
         .join(broadcast(dim), "user_id")
       val q = enriched

@@ -112,8 +112,7 @@ object IntervalJoin {
     // [[CatchupConf]])
     CatchupConf.withBoundedStatePartitions(s) {
     import org.apache.spark.sql.streaming.Trigger
-    graft.Tables.events(s, d) // sets the nanosAsLong conf
-    val rawSchema = s.read.parquet(s"$d/events.parquet").schema
+    val rawSchema = eventsRaw(s, d).schema
     val dir = java.nio.file.Files.createTempDirectory("graft_st4s_")
     val sink = "st4s_out_" +
       java.util.UUID.randomUUID().toString.replace("-", "").take(12)
@@ -124,10 +123,9 @@ object IntervalJoin {
       // two independent sources over the same staged directory — at
       // scale these are two topics/directories; the join state is what
       // matters, not the scan
-      def stagedEvents(): DataFrame = s.readStream
+      def stagedEvents(): DataFrame = normalizeTs(s.readStream
         .schema(rawSchema)
-        .parquet(dir.toString)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .parquet(dir.toString))
       val clicks = clicksOf(stagedEvents())
         .withWatermark("click_ts", s"$intervalHours hours")
       val buys = buysOf(stagedEvents())
@@ -168,8 +166,8 @@ object IntervalJoin {
   def st11sStreamOuterJoin(s: SparkSession, d: String): DataFrame =
     CatchupConf.withBoundedStatePartitions(s) {
     import org.apache.spark.sql.streaming.Trigger
-    graft.Tables.events(s, d) // sets the nanosAsLong conf
-    val rawSchema = s.read.parquet(s"$d/events.parquet").schema
+    val raw = eventsRaw(s, d)
+    val rawSchema = raw.schema
     val dir = java.nio.file.Files.createTempDirectory("graft_st11_")
     val sink = "st11_out_" +
       java.util.UUID.randomUUID().toString.replace("-", "").take(12)
@@ -178,14 +176,13 @@ object IntervalJoin {
       java.nio.file.Files.copy(
         java.nio.file.Paths.get(s"$d/events.parquet"), eventsFile)
       // sentinel pair 100 days past the corpus: joins only itself
-      val maxUs = s.read.parquet(s"$d/events.parquet")
-        .agg(max(expr("ts div 1000"))).head().getLong(0)
-      val sentinelNs = (maxUs + 100L * 24 * 3600 * 1000000L) * 1000L
+      val maxUs = raw.agg(max(tsMicros(raw))).head().getLong(0)
+      val sentinelTs = tsRawValue(rawSchema, maxUs + 100L * 24 * 3600 * 1000000L)
       val scratch = dir.resolve("scratch")
       s.createDataFrame(
           java.util.Arrays.asList(
-            org.apache.spark.sql.Row(-101L, sentinelNs, -1L, "click", 0.0, ""),
-            org.apache.spark.sql.Row(-102L, sentinelNs, -1L, "purchase", 0.0, "")),
+            org.apache.spark.sql.Row(-101L, sentinelTs, -1L, "click", 0.0, ""),
+            org.apache.spark.sql.Row(-102L, sentinelTs, -1L, "purchase", 0.0, "")),
           rawSchema)
         .coalesce(1).write.parquet(scratch.toString)
       import scala.jdk.CollectionConverters._
@@ -200,11 +197,10 @@ object IntervalJoin {
         java.nio.file.attribute.FileTime.fromMillis(
           java.nio.file.Files.getLastModifiedTime(eventsFile).toMillis + 60000))
 
-      def staged(): DataFrame = s.readStream
+      def staged(): DataFrame = normalizeTs(s.readStream
         .schema(rawSchema)
         .option("maxFilesPerTrigger", "1")
-        .parquet(dir.toString)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .parquet(dir.toString))
       val clicks = clicksOf(staged())
         .withWatermark("click_ts", s"$intervalHours hours")
       val buys = buysOf(staged())
@@ -242,8 +238,8 @@ object IntervalJoin {
   def st12sStreamFullOuterJoin(s: SparkSession, d: String): DataFrame =
     CatchupConf.withBoundedStatePartitions(s) {
     import org.apache.spark.sql.streaming.Trigger
-    graft.Tables.events(s, d) // sets the nanosAsLong conf
-    val rawSchema = s.read.parquet(s"$d/events.parquet").schema
+    val raw = eventsRaw(s, d)
+    val rawSchema = raw.schema
     val dir = java.nio.file.Files.createTempDirectory("graft_st12_")
     val sink = "st12_out_" +
       java.util.UUID.randomUUID().toString.replace("-", "").take(12)
@@ -251,14 +247,13 @@ object IntervalJoin {
       val eventsFile = dir.resolve("a_events.parquet")
       java.nio.file.Files.copy(
         java.nio.file.Paths.get(s"$d/events.parquet"), eventsFile)
-      val maxUs = s.read.parquet(s"$d/events.parquet")
-        .agg(max(expr("ts div 1000"))).head().getLong(0)
-      val sentinelNs = (maxUs + 100L * 24 * 3600 * 1000000L) * 1000L
+      val maxUs = raw.agg(max(tsMicros(raw))).head().getLong(0)
+      val sentinelTs = tsRawValue(rawSchema, maxUs + 100L * 24 * 3600 * 1000000L)
       val scratch = dir.resolve("scratch")
       s.createDataFrame(
           java.util.Arrays.asList(
-            org.apache.spark.sql.Row(-101L, sentinelNs, -1L, "click", 0.0, ""),
-            org.apache.spark.sql.Row(-102L, sentinelNs, -1L, "purchase", 0.0, "")),
+            org.apache.spark.sql.Row(-101L, sentinelTs, -1L, "click", 0.0, ""),
+            org.apache.spark.sql.Row(-102L, sentinelTs, -1L, "purchase", 0.0, "")),
           rawSchema)
         .coalesce(1).write.parquet(scratch.toString)
       import scala.jdk.CollectionConverters._
@@ -271,11 +266,10 @@ object IntervalJoin {
         java.nio.file.attribute.FileTime.fromMillis(
           java.nio.file.Files.getLastModifiedTime(eventsFile).toMillis + 60000))
 
-      def staged(): DataFrame = s.readStream
+      def staged(): DataFrame = normalizeTs(s.readStream
         .schema(rawSchema)
         .option("maxFilesPerTrigger", "1")
-        .parquet(dir.toString)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .parquet(dir.toString))
       val clicks = clicksOf(staged())
         .withWatermark("click_ts", s"$intervalHours hours")
       val buys = buysOf(staged())

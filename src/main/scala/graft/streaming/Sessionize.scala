@@ -229,8 +229,7 @@ object Sessionize {
     CatchupConf.withBoundedStatePartitions(s) {
     import org.apache.spark.sql.streaming.Trigger
     import s.implicits._
-    graft.Tables.events(s, d) // sets the nanosAsLong conf
-    val rawSchema = s.read.parquet(s"$d/events.parquet").schema
+    val rawSchema = eventsRaw(s, d).schema
     val dir = java.nio.file.Files.createTempDirectory("graft_st7_")
     val sink = "st7_out_" +
       java.util.UUID.randomUUID().toString.replace("-", "").take(12)
@@ -238,11 +237,12 @@ object Sessionize {
       java.nio.file.Files.copy(
         java.nio.file.Paths.get(s"$d/events.parquet"),
         dir.resolve("events.parquet"))
-      val streamEvs = s.readStream
+      val rawStream = s.readStream
         .schema(rawSchema)
         .parquet(dir.toString)
+      val streamEvs = rawStream
         .select(col("event_id"), col("user_id"),
-          expr("ts div 1000").as("tsMicros"), col("value"))
+          tsMicros(rawStream).as("tsMicros"), col("value"))
         .as[Ev]
       val q = sessionizeStream(streamEvs, idleTimeout = None)
         .writeStream.format("memory").queryName(sink)

@@ -84,12 +84,13 @@ class SessionizeSpec extends SparkSpecBase {
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(s"$sf/events.parquet"),
       dir.resolve("events.parquet"))
-    val rawSchema = spark.read.parquet(s"$sf/events.parquet").schema
-    val streamEvs = spark.readStream
+    val rawSchema = Tables.eventsRaw(spark, sf).schema
+    val rawStream = spark.readStream
       .schema(rawSchema)
       .parquet(dir.toString)
+    val streamEvs = rawStream
       .select(col("event_id"), col("user_id"),
-        expr("ts div 1000").as("tsMicros"), col("value"))
+        Tables.tsMicros(rawStream).as("tsMicros"), col("value"))
       .as[Sessionize.Ev]
 
     // finite AvailableNow run: no idle timeout (see sessionizeStream doc)

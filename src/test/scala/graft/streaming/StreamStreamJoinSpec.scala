@@ -53,16 +53,14 @@ class StreamStreamJoinSpec extends SparkSpecBase {
   test("st4: streaming interval join over AvailableNow == batch twin") {
     import org.apache.spark.sql.streaming.Trigger
     import graft.Tables
-    // batch side sets the nanosAsLong conf the raw scan below needs
-    Tables.events(spark, sf)
-    val rawSchema = spark.read.parquet(s"$sf/events.parquet").schema
+    val rawSchema = Tables.eventsRaw(spark, sf).schema
     val dir = java.nio.file.Files.createTempDirectory("graft-st4")
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(s"$sf/events.parquet"),
       dir.resolve("events.parquet"))
     def side(eventType: String, idAs: String, userAs: String, tsAs: String) =
-      spark.readStream.schema(rawSchema).parquet(dir.toString)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      Tables.normalizeTs(
+          spark.readStream.schema(rawSchema).parquet(dir.toString))
         .filter(col("event_type") === eventType)
         .select(col("event_id").as(idAs), col("user_id").as(userAs),
           col("ts").as(tsAs))

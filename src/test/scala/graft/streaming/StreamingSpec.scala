@@ -12,17 +12,16 @@ import org.apache.spark.sql.streaming.Trigger
 class StreamingSpec extends SparkSpecBase {
 
   test("tumbling windows: streaming AvailableNow == batch") {
-    val batchEv = Tables.events(spark, sf) // sets nanosAsLong conf
-    val rawSchema = spark.read.parquet(s"$sf/events.parquet").schema
+    val batchEv = Tables.events(spark, sf)
+    val rawSchema = Tables.eventsRaw(spark, sf).schema
     // file stream sources watch a directory; stage the fixture into one
     val dir = java.nio.file.Files.createTempDirectory("graft-stream")
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(s"$sf/events.parquet"),
       dir.resolve("events.parquet"))
-    val streamEv = spark.readStream
-      .schema(rawSchema)
-      .parquet(dir.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val streamEv = Tables.normalizeTs(spark.readStream
+        .schema(rawSchema)
+        .parquet(dir.toString))
       .withWatermark("ts", "10 minutes")
 
     val q = EventWindows.tumbling(streamEv)
