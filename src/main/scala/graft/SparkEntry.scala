@@ -35,6 +35,7 @@ object SparkEntry {
       _root_.graft.queries.TextAnalysis.defs ++
       _root_.graft.queries.Enrich.defs ++
       _root_.graft.queries.Multimodal.defs ++
+      _root_.graft.queries.Sketches.defs ++
       _root_.graft.queries.EndToEnd.defs ++
       _root_.graft.streaming.EventWindows.defs ++
       _root_.graft.streaming.Sessionize.defs ++
@@ -57,6 +58,7 @@ object SparkEntry {
       _root_.graft.queries.TextAnalysis.oracle ++
       _root_.graft.queries.Enrich.oracle ++
       _root_.graft.queries.Multimodal.oracle ++
+      _root_.graft.queries.Sketches.oracle ++
       _root_.graft.queries.EndToEnd.oracle ++
       _root_.graft.streaming.EventWindows.oracle ++
       _root_.graft.streaming.Sessionize.oracle ++

@@ -192,15 +192,116 @@ object Multimodal {
       |    AS nd_bucket_size
       |FROM m ORDER BY media_id""".stripMargin
 
+  /** M4 — payload-LEVEL media near-dup (r11 verdict stretch #7): m3's
+    * header-feature blocking buckets by (format, dims, rate), which at
+    * 100 TB degenerates to one bucket per common resolution; a real
+    * candidate generator must key on CONTENT. Here the d9 discipline is
+    * applied to the payload itself: the REAL header decoder
+    * ([[graft.multimodal.Media.decodeHeader]] — magic dispatch, RIFF
+    * walk) locates each payload's body offset, 8-byte body blocks at
+    * stride 4 (half-overlapping — the "pixel blocks" of this synthetic
+    * codec) are hashed to 60 bits and folded into a SimHash fingerprint
+    * ([[Dedup.simhash60Fold]]), and candidates come from a 4×15-bit
+    * pigeonhole band join ([[Dedup.bandedHammingPairs]], hamming ≤ 3,
+    * format-keyed) — never all-pairs, exactly d9's production shape.
+    *
+    * The oracle replays the whole chain from the source text (the body
+    * bytes ARE the text — m2's roundtrip certifies that), so a hash
+    * match proves the real decoder found the right body offset AND the
+    * fingerprint/banding arithmetic. Clone injection (every 7th media,
+    * as in m3) makes hamming-0 pairs data-reachable; near-dup texts
+    * surface at 1–3.
+    *
+    * Scale shape: decode is map-side (typed map, no shuffle of payload
+    * bytes beyond the injected-clone union); the SimHash fold is one
+    * map-combinable shuffle of (media_id, format, h) rows; the band
+    * join is equi-keyed over 4·2^15×formats buckets. At 100 TB payload
+    * bytes never cross a shuffle — only 60-bit fingerprints do.
+    */
+  def m4PayloadNearDup(s: SparkSession, d: String): DataFrame = {
+    import graft.multimodal.Media
+    import s.implicits._
+    val origin = Media.fromDocuments(documentsSpread(s, d))
+    val ds = origin.union(origin.filter(_.media_id % 7 == 0)
+      .map(r => r.copy(media_id = r.media_id + 1000000L)))
+    val body = ds.map { r =>
+      val hdr = Media.decodeHeader(r.payload)
+      (r.media_id, hdr.format,
+        new String(r.payload, hdr.bodyOffset,
+          r.payload.length - hdr.bodyOffset,
+          java.nio.charset.StandardCharsets.UTF_8))
+    }.toDF("doc_id", "format", "body")
+    val blocks = body.select(col("doc_id"), col("format"),
+        explode(array_distinct(expr(
+          """CASE WHEN length(body) >= 1 THEN
+            |  transform(sequence(0, CAST((length(body) - 1) div 4 AS INT)),
+            |    i -> substring(body, i * 4 + 1, 8))
+            |ELSE array() END""".stripMargin))).as("blk"))
+      .withColumn("h",
+        conv(substring(md5(col("blk")), 1, 15), 16, 10).cast("long"))
+    val fp = Dedup.simhash60Fold(blocks, Seq("doc_id", "format"))
+    Dedup.bandedHammingPairs(fp, nBands = 4, bandBits = 15,
+        maxHamming = 3, sameKeys = Seq("format"))
+      .select(col("doc_a").as("media_a"), col("doc_b").as("media_b"),
+        col("format"), col("hamming"))
+      .orderBy("media_a", "media_b")
+  }
+
+  val m4Sql: String =
+    """WITH b AS (
+      |  SELECT doc_id AS media_id,
+      |    CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'wav'
+      |      ELSE 'bmp' END AS format,
+      |    text
+      |  FROM documents),
+      |m AS (
+      |  SELECT * FROM b
+      |  UNION ALL
+      |  SELECT media_id + 1000000 AS media_id, format, text
+      |  FROM b WHERE media_id % 7 = 0),
+      |blks AS (
+      |  SELECT media_id, format, unnest(list_distinct(
+      |    list_transform(range(1, len(text) + 1, 4),
+      |      i -> substr(text, i, 8)))) AS blk
+      |  FROM m),
+      |toks AS (
+      |  SELECT media_id, format,
+      |    ('0x' || substr(md5(blk), 1, 15))::BIGINT AS h
+      |  FROM blks),
+      |bits AS (
+      |  SELECT media_id, format, b,
+      |    sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS bit_sum
+      |  FROM toks, (SELECT unnest(range(0, 60)) AS b)
+      |  GROUP BY 1, 2, 3),
+      |fp AS (
+      |  SELECT media_id, format,
+      |    CAST(sum(CASE WHEN bit_sum > 0 THEN (2::BIGINT ^ b)::BIGINT
+      |             ELSE 0 END) AS BIGINT) AS simhash64
+      |  FROM bits GROUP BY 1, 2),
+      |bands AS (
+      |  SELECT media_id, format, simhash64, b AS band,
+      |    (simhash64 >> (b * 15)) & 32767 AS key
+      |  FROM fp, (SELECT unnest(range(0, 4)) AS b))
+      |SELECT DISTINCT a.media_id AS media_a, b.media_id AS media_b,
+      |  a.format AS format,
+      |  bit_count(xor(a.simhash64, b.simhash64)) AS hamming
+      |FROM bands a JOIN bands b
+      |  ON a.band = b.band AND a.key = b.key AND a.format = b.format
+      |    AND a.media_id < b.media_id
+      |WHERE bit_count(xor(a.simhash64, b.simhash64)) <= 3
+      |ORDER BY media_a, media_b""".stripMargin
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m1_binary_meta" -> m1BinaryMeta,
     "m2_media_features" -> m2MediaFeatures,
     "m3_media_dedup" -> m3MediaDedup,
+    "m4_payload_neardup" -> m4PayloadNearDup,
   )
 
   val oracle: Map[String, String] = Map(
     "m1_binary_meta" -> m1Sql,
     "m2_media_features" -> m2Sql,
     "m3_media_dedup" -> m3Sql,
+    "m4_payload_neardup" -> m4Sql,
   )
 }
