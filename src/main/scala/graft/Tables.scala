@@ -132,6 +132,34 @@ object Tables {
   /** DuckDB rendering of [[r6]] — identical arithmetic. */
   def r6Sql(x: String): String = s"floor(($x) * 1000000.0 + 0.5) / 1000000.0"
 
+  /** Micro-unit quantization of a FLOAT element: `floor(x·10⁶ + 0.5)`
+    * on the WIDENED double, as BIGINT — pure double arithmetic, so both
+    * engines compute it bit-identically. This is the only safe way to
+    * take a float to 6 decimals cross-engine: `CAST(float AS
+    * DECIMAL(18,6))` rounds the widened binary value in Spark but the
+    * float's shortest decimal string in DuckDB, and the two disagree
+    * for floats that print as 7 decimals ending in 5 (e.g. -0.1975755,
+    * whose double expansion -0.19757549464… sits just below the half —
+    * found the hard way as a one-digit s18 hash flip at sf0.001).
+    * Exact means over float elements must go `sum(uq6)` → double →
+    * ÷10⁶ ([[uq6MeanSql]]), never through DECIMAL.
+    */
+  def uq6(c: Column): Column =
+    floor(c.cast("double") * lit(1000000.0) + lit(0.5)).cast("long")
+
+  /** DuckDB rendering of [[uq6]] — identical arithmetic. */
+  def uq6Sql(x: String): String =
+    s"CAST(floor(($x)::DOUBLE * 1000000.0 + 0.5) AS BIGINT)"
+
+  /** Cross-engine-exact mean of micro-unit sums: exact BIGINT sum,
+    * one double division by the count, one by 10⁶ — mirror with
+    * [[uq6MeanSql]] exactly (same association, same literal). */
+  def uq6Mean(sumU: Column, n: Column): Column =
+    sumU.cast("double") / n / lit(1000000.0)
+
+  def uq6MeanSql(sumU: String, n: String): String =
+    s"CAST($sumU AS DOUBLE) / $n / 1000000.0"
+
   /** Spark-SQL rendering of sliding word n-grams over an array column
     * `w`: one joined string per window, EMPTY array when the input is
     * shorter than n (total — without the guard, `sequence(0, size-n)`

@@ -504,14 +504,14 @@ object Similarity {
     embeddings(s, d)
       .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
       .groupBy(col("label"), col("dim"))
-      .agg(count(lit(1)).as("n"), r6(davg(col("v"))).as("centroid_v"))
+      .agg(count(lit(1)).as("n"),
+        r6(uq6Mean(sum(uq6(col("v"))), count(col("v")))).as("centroid_v"))
       .filter(col("dim") < 4) // bounded output; every dim computes identically
       .orderBy("label", "dim")
 
   val s5Sql: String =
-    """SELECT label, dim, count(*) AS n,
-      |  floor((CAST(SUM(CAST(v AS DECIMAL(18,6))) AS DOUBLE) / COUNT(v))
-      |        * 1000000.0 + 0.5) / 1000000.0 AS centroid_v
+    s"""SELECT label, dim, count(*) AS n,
+      |  ${r6Sql(uq6MeanSql(s"SUM(${uq6Sql("v")})", "COUNT(v)"))} AS centroid_v
       |FROM (
       |  SELECT label,
       |    unnest(generate_series(0, len(embedding) - 1)) AS dim,
@@ -781,11 +781,14 @@ object Similarity {
     * equivalent when norms are uniform, near-identical on this corpus's
     * tightly-clustered norms, and cheaper by one normalization pass at
     * scale) — made
-    * cross-engine-exact the dsum way: per-dim sums go through
-    * DECIMAL(18,6) (both engines round the cast identically) and the
-    * exact decimal sum casts to double before the division, so the
-    * derived centroids are bit-identical in Spark and DuckDB and the
-    * second assignment's cosine ranking cannot diverge. Cells that
+    * cross-engine-exact the micro-unit way ([[graft.Tables.uq6]]):
+    * each float element quantizes via floor(x·10⁶+0.5) on the widened
+    * double (NOT a DECIMAL cast — Spark rounds the binary value where
+    * DuckDB rounds the float's shortest decimal string, and they
+    * disagree on half-boundary floats), the per-dim sum is an exact
+    * BIGINT, and the division back is the same two double ops in both
+    * engines, so the derived centroids are bit-identical in Spark and
+    * DuckDB and the second assignment's cosine ranking cannot diverge. Cells that
     * lose all members simply vanish (standard drop-empty-cell
     * behavior). Output: each vector's cell after iterations 1 and 2 —
     * the oracle hash certifies both assignment rounds AND the derived
@@ -817,16 +820,16 @@ object Similarity {
       .select(col("vec_id"),
         try_element_at(col("top"), lit(1)).getField("id").as("cell"))
 
-  /** One Lloyd update pass: per-cell per-dimension DECIMAL-exact means
-    * (cross-engine bit-identical, see [[s14KmeansRefine]]); cells that
-    * lose all members vanish.
+  /** One Lloyd update pass: per-cell per-dimension micro-unit-exact
+    * means (cross-engine bit-identical — [[graft.Tables.uq6]]; the
+    * former float→DECIMAL cast rounded differently in DuckDB for
+    * half-boundary floats); cells that lose all members vanish.
     */
   private[queries] def lloydRefit(e: DataFrame, assigned: DataFrame): DataFrame =
     assigned.join(e, "vec_id")
       .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "v")))
       .groupBy(col("cell"), col("pos"))
-      .agg((sum(col("v").cast("decimal(18,6)")).cast("double") /
-        count(lit(1))).as("m"))
+      .agg(uq6Mean(sum(uq6(col("v"))), count(lit(1))).as("m"))
       .groupBy(col("cell"))
       .agg(sort_array(collect_list(struct(col("pos"), col("m")))).as("pm"))
       .select(col("cell").as("cent_id"),
@@ -863,11 +866,11 @@ object Similarity {
       |  WHERE rn = 1),
       |dims AS (
       |  SELECT a1.cell, i - 1 AS pos,
-      |    CAST(e.embedding[i] AS DECIMAL(18,6)) AS v
+      |    CAST(floor(e.embedding[i]::DOUBLE * 1000000.0 + 0.5) AS BIGINT) AS v
       |  FROM a1 JOIN e USING (vec_id),
       |    LATERAL (SELECT unnest(range(1, len(e.embedding) + 1)) AS i)),
       |means AS (
-      |  SELECT cell, pos, CAST(sum(v) AS DOUBLE) / count(*) AS m
+      |  SELECT cell, pos, CAST(sum(v) AS DOUBLE) / count(*) / 1000000.0 AS m
       |  FROM dims GROUP BY cell, pos),
       |cent1 AS (
       |  SELECT cell AS cent_id, list(m ORDER BY pos) AS ce
@@ -956,12 +959,12 @@ object Similarity {
       |  WHERE rn = 1),
       |dims_raw AS (
       |  SELECT a1.cell, i - 1 AS pos,
-      |    CAST(e.embedding[i] AS DECIMAL(18,6)) AS v
+      |    CAST(floor(e.embedding[i]::DOUBLE * 1000000.0 + 0.5) AS BIGINT) AS v
       |  FROM a1 JOIN e USING (vec_id),
       |    LATERAL (SELECT unnest(range(1, len(e.embedding) + 1)) AS i)),
       |cent_raw AS (
       |  SELECT cell AS cent_id, list(m ORDER BY pos) AS ce FROM (
-      |    SELECT cell, pos, CAST(sum(v) AS DOUBLE) / count(*) AS m
+      |    SELECT cell, pos, CAST(sum(v) AS DOUBLE) / count(*) / 1000000.0 AS m
       |    FROM dims_raw GROUP BY cell, pos)
       |  GROUP BY cell),
       |dims_sph AS (
@@ -1083,12 +1086,12 @@ object Similarity {
       |  WHERE rn = 1),
       |dims AS (
       |  SELECT a1.nlist, a1.cell, i - 1 AS pos,
-      |    CAST(e.embedding[i] AS DECIMAL(18,6)) AS v
+      |    CAST(floor(e.embedding[i]::DOUBLE * 1000000.0 + 0.5) AS BIGINT) AS v
       |  FROM a1 JOIN e USING (vec_id),
       |    LATERAL (SELECT unnest(range(1, len(e.embedding) + 1)) AS i)),
       |cent1 AS (
       |  SELECT nlist, cell AS cent_id, list(m ORDER BY pos) AS ce FROM (
-      |    SELECT nlist, cell, pos, CAST(sum(v) AS DOUBLE) / count(*) AS m
+      |    SELECT nlist, cell, pos, CAST(sum(v) AS DOUBLE) / count(*) / 1000000.0 AS m
       |    FROM dims GROUP BY nlist, cell, pos)
       |  GROUP BY nlist, cell),
       |a2 AS (
@@ -1162,7 +1165,7 @@ object Similarity {
   /** Explode a (vec_id, embedding) frame into one row per subspace:
     * `(vec_id, sub, sv[pqSubDim])` — a pure projection, no shuffle.
     */
-  private def pqSubvectors(e: DataFrame): DataFrame =
+  private[graft] def pqSubvectors(e: DataFrame): DataFrame =
     e.select(col("vec_id"), posexplode(
       expr(s"transform(sequence(0, ${pqM - 1})," +
         s" j -> slice(embedding, j * $pqSubDim + 1, $pqSubDim))"))
@@ -1177,7 +1180,7 @@ object Similarity {
     * single scan over the subvector frame with one bounded-heap
     * argmin per (vec_id, sub), never a shuffle of the data side.
     */
-  private def pqAssign(subs: DataFrame, cb: DataFrame): DataFrame =
+  private[graft] def pqAssign(subs: DataFrame, cb: DataFrame): DataFrame =
     subs.join(broadcast(cb), "sub")
       .withColumn("score",
         -(dotHof(col("cw"), col("cw")) -
@@ -1187,16 +1190,16 @@ object Similarity {
       .select(col("vec_id"), col("sub"),
         try_element_at(col("top"), lit(1)).getField("id").as("code"))
 
-  /** One per-subspace Lloyd update: per-(sub, code, pos) DECIMAL-exact
-    * means ([[lloydRefit]]'s cross-engine trick, keyed by subspace).
+  /** One per-subspace Lloyd update: per-(sub, code, pos) micro-unit-
+    * exact means ([[lloydRefit]]'s cross-engine trick, keyed by
+    * subspace).
     */
-  private def pqRefit(subs: DataFrame, assigned: DataFrame): DataFrame =
+  private[graft] def pqRefit(subs: DataFrame, assigned: DataFrame): DataFrame =
     assigned.join(subs, Seq("vec_id", "sub"))
       .select(col("sub"), col("code"),
         posexplode(col("sv")).as(Seq("pos", "v")))
       .groupBy(col("sub"), col("code"), col("pos"))
-      .agg((sum(col("v").cast("decimal(18,6)")).cast("double") /
-        count(lit(1))).as("m"))
+      .agg(uq6Mean(sum(uq6(col("v"))), count(lit(1))).as("m"))
       .groupBy(col("sub"), col("code"))
       .agg(sort_array(collect_list(struct(col("pos"), col("m")))).as("pm"))
       .select(col("sub"), col("code"),
@@ -1321,12 +1324,12 @@ object Similarity {
       |  WHERE rn = 1),
       |dims AS (
       |  SELECT a0.sub, a0.code, i - 1 AS pos,
-      |    CAST(s.sv[i] AS DECIMAL(18,6)) AS v
+      |    CAST(floor(s.sv[i]::DOUBLE * 1000000.0 + 0.5) AS BIGINT) AS v
       |  FROM a0 JOIN subs s ON a0.vec_id = s.vec_id AND a0.sub = s.sub,
       |    LATERAL (SELECT unnest(range(1, len(s.sv) + 1)) AS i)),
       |cb AS (
       |  SELECT sub, code, list(m ORDER BY pos) AS cw FROM (
-      |    SELECT sub, code, pos, CAST(sum(v) AS DOUBLE) / count(*) AS m
+      |    SELECT sub, code, pos, CAST(sum(v) AS DOUBLE) / count(*) / 1000000.0 AS m
       |    FROM dims GROUP BY sub, code, pos)
       |  GROUP BY sub, code),
       |codes AS (
@@ -1431,9 +1434,21 @@ object Similarity {
     * aggregation. Memory at 10⁹ vectors: codes ~1.5 GB + cell ids,
     * vs 256 GB raw — the float table is touched only at BUILD time.
     */
-  def s19IvfPq(s: SparkSession, d: String): DataFrame = {
-    val e = withNorm(s, d).filter(col("vec_id") < s3Cap)
-    val cent = e.filter(col("vec_id") < 8)
+  def s19IvfPq(s: SparkSession, d: String): DataFrame =
+    ivfPqProbeOf(withNorm(s, d).filter(col("vec_id") < s3Cap),
+      nlist = 8, nprobe = 2)
+
+  /** The composed IVF-PQ probe over ANY normed (vec_id, embedding, nrm)
+    * frame, at a given (nlist, nprobe): centroids = first-nlist seed,
+    * queries = the 5 ids at [nlist, nlist+5). Factored out of [[s19IvfPq]]
+    * so the recall spec can re-run the SAME composition at a larger
+    * corpus with the √n-scaled nlist / budget-matched nprobe the s15
+    * tuning rule prescribes — the r11 stretch: recall stays a measured
+    * quantity as data grows, not a small-corpus artifact.
+    */
+  private[graft] def ivfPqProbeOf(e: DataFrame, nlist: Int,
+      nprobe: Int): DataFrame = {
+    val cent = e.filter(col("vec_id") < nlist)
       .select(col("vec_id").as("cent_id"), col("embedding").as("ce"),
         col("nrm").as("cnrm"))
     val assigned = ivfAssignTo(e, cent).select("vec_id", "cent_id")
@@ -1443,7 +1458,7 @@ object Similarity {
         transform(col("sv"), x => x.cast("double")).as("cw"))
     val cb = pqRefit(subs, pqAssign(subs, seed))
     val codes = pqAssign(subs, cb)
-    val q = e.filter(col("vec_id") >= 8 && col("vec_id") < 13)
+    val q = e.filter(col("vec_id") >= nlist && col("vec_id") < nlist + 5)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
         col("nrm").as("qnrm"))
     val qprobe = q.crossJoin(broadcast(cent))
@@ -1451,7 +1466,7 @@ object Similarity {
         expr("graft_dot(qe, ce)") / (col("qnrm") * col("cnrm")))
       .groupBy(col("query_id"))
       .agg(first(col("qnrm")).as("qnrm"),
-        expr("graft_topk(ccos, cent_id, 2)").as("top"))
+        expr(s"graft_topk(ccos, cent_id, $nprobe)").as("top"))
       .select(col("query_id"), col("qnrm"),
         explode(expr("transform(top, x -> x.id)")).as("qcell"))
     val cand = assigned.join(broadcast(qprobe),
@@ -1538,12 +1553,12 @@ object Similarity {
       |  WHERE rn = 1),
       |dims AS (
       |  SELECT a0.sub, a0.code, i - 1 AS pos,
-      |    CAST(s.sv[i] AS DECIMAL(18,6)) AS v
+      |    CAST(floor(s.sv[i]::DOUBLE * 1000000.0 + 0.5) AS BIGINT) AS v
       |  FROM a0 JOIN subs s ON a0.vec_id = s.vec_id AND a0.sub = s.sub,
       |    LATERAL (SELECT unnest(range(1, len(s.sv) + 1)) AS i)),
       |cb AS (
       |  SELECT sub, code, list(m ORDER BY pos) AS cw FROM (
-      |    SELECT sub, code, pos, CAST(sum(v) AS DOUBLE) / count(*) AS m
+      |    SELECT sub, code, pos, CAST(sum(v) AS DOUBLE) / count(*) / 1000000.0 AS m
       |    FROM dims GROUP BY sub, code, pos)
       |  GROUP BY sub, code),
       |codes AS (
@@ -1737,12 +1752,12 @@ object Similarity {
       |  WHERE rn = 1),
       |dims AS (
       |  SELECT a0.sub, a0.code, i - 1 AS pos,
-      |    CAST(s.sv[i] AS DECIMAL(18,6)) AS v
+      |    CAST(floor(s.sv[i]::DOUBLE * 1000000.0 + 0.5) AS BIGINT) AS v
       |  FROM a0 JOIN subs s ON a0.vec_id = s.vec_id AND a0.sub = s.sub,
       |    LATERAL (SELECT unnest(range(1, len(s.sv) + 1)) AS i)),
       |cb AS (
       |  SELECT sub, code, list(m ORDER BY pos) AS cw FROM (
-      |    SELECT sub, code, pos, CAST(sum(v) AS DOUBLE) / count(*) AS m
+      |    SELECT sub, code, pos, CAST(sum(v) AS DOUBLE) / count(*) / 1000000.0 AS m
       |    FROM dims GROUP BY sub, code, pos)
       |  GROUP BY sub, code),
       |codes AS (
