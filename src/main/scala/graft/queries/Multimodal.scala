@@ -231,6 +231,18 @@ object Multimodal {
           r.payload.length - hdr.bodyOffset,
           java.nio.charset.StandardCharsets.UTF_8))
     }.toDF("doc_id", "format", "body")
+    m4PairsOf(body)
+      .select(col("doc_a").as("media_a"), col("doc_b").as("media_b"),
+        col("format"), col("hamming"))
+      .orderBy("media_a", "media_b")
+  }
+
+  /** The data-sized stage of m4 over any (doc_id, format, body) frame:
+    * stride-4 8-byte block shingles → 60-bit SimHash fold → 4×15-bit
+    * format-keyed band pairs. Factored so `graft.tools.ScaleHeadroom`
+    * can measure its growth on an enlarged corpus.
+    */
+  def m4PairsOf(body: DataFrame): DataFrame = {
     val blocks = body.select(col("doc_id"), col("format"),
         explode(array_distinct(expr(
           """CASE WHEN length(body) >= 1 THEN
@@ -241,10 +253,7 @@ object Multimodal {
         conv(substring(md5(col("blk")), 1, 15), 16, 10).cast("long"))
     val fp = Dedup.simhash60Fold(blocks, Seq("doc_id", "format"))
     Dedup.bandedHammingPairs(fp, nBands = 4, bandBits = 15,
-        maxHamming = 3, sameKeys = Seq("format"))
-      .select(col("doc_a").as("media_a"), col("doc_b").as("media_b"),
-        col("format"), col("hamming"))
-      .orderBy("media_a", "media_b")
+      maxHamming = 3, sameKeys = Seq("format"))
   }
 
   val m4Sql: String =

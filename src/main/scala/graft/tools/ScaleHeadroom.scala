@@ -149,7 +149,17 @@ object ScaleHeadroom {
       "s4_ivf_probe" -> (n => Similarity.ivfTopKOf(embAt(n))),
       // PQ codebook build + full-corpus encode — the data-sized stage
       // of the s18/s19 pipeline (the ADC probe side is query-bounded)
-      "s18_pq_encode" -> (n => Similarity.pqEncodeOf(embAt(n))))
+      "s18_pq_encode" -> (n => Similarity.pqEncodeOf(embAt(n))),
+      // m4 payload near-dup's data-sized stage: block shingles →
+      // SimHash fold → format-keyed band pairs (the decode step is a
+      // map-side pass, linear by construction; this measures the part
+      // with a shuffle). Format synthesized from doc_id like the query.
+      "m4_payload_pairs" -> { n =>
+        graft.queries.Multimodal.m4PairsOf(docsAt(n).select(
+          col("doc_id"),
+          pmod(col("doc_id"), lit(3)).cast("string").as("format"),
+          col("text").as("body")))
+      })
 
     val opsFilter: Option[Set[String]] =
       args.lift(3).map(_.split(",").map(_.trim).toSet)
