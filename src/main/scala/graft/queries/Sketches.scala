@@ -282,6 +282,88 @@ object Sketches {
       |ORDER BY doc_id""".stripMargin
   }
 
+  // ---- K4: equi-width histogram quantile sketch -----------------------
+
+  private val histBins = 128
+
+  /** K4 — mergeable equi-width histogram quantile sketch over
+    * `lineitem.l_extendedprice`, the fixed-state distributed-percentile
+    * path next to a11's exact percentiles (exact percentiles need a
+    * corpus-sized sort/shuffle; the histogram needs ≤ [[histBins]] rows
+    * of state). Two associative passes: exact (min, max, n) — a 1-row
+    * broadcast envelope, the s6 range pattern — then per-bin counts
+    * (`⌊(v−min)/width⌋`, top bin clamped), where BIN-WISE ADDITION is
+    * the fleet merge and Spark's map-side partial aggregation performs
+    * it. Each target rank `⌈q·n⌉` (q ∈ {0.5, 0.9, 0.99}) resolves to
+    * the first bin whose cumulative count reaches it, and the estimate
+    * interpolates linearly inside that bin — error bounded by one bin
+    * width BY CONSTRUCTION (spec-pinned against the exact percentile).
+    * All arithmetic is double ops mirrored operation-for-operation in
+    * the oracle (the source column is double, so inputs are
+    * bit-identical), counts and ranks are exact integers; the hash
+    * certifies the whole construction.
+    *
+    * Scale shape: one data-sized scan per pass (range, then binning —
+    * both map-side combined into ≤ [[histBins]] rows before the only
+    * shuffles); the cumulative sum is a self-join of the ≤ 128-row
+    * histogram (never a global-order window over data), and the target
+    * resolution joins 3 rows × ≤ 128 bins. At 100 TB the state is
+    * still 128 longs per merge site.
+    */
+  def k4HistQuantiles(s: SparkSession, d: String): DataFrame = {
+    val v = lineitem(s, d).select(col("l_extendedprice").as("v"))
+    val range = v.agg(min(col("v")).as("vmin"), max(col("v")).as("vmax"),
+      count(lit(1)).as("n"))
+    def width = (col("vmax") - col("vmin")) / lit(histBins.toDouble)
+    val hist = v.crossJoin(broadcast(range))
+      .select(least(lit(histBins - 1),
+        floor((col("v") - col("vmin")) / width).cast("int")).as("bin"))
+      .groupBy(col("bin")).agg(count(lit(1)).as("cnt"))
+    val cum = hist.as("a").join(hist.as("b"), col("b.bin") <= col("a.bin"))
+      .select(col("a.bin").as("bin"), col("a.cnt").as("cnt"),
+        col("b.cnt").as("bcnt"))
+      .groupBy(col("bin"), col("cnt")).agg(sum(col("bcnt")).as("cum"))
+    val targets = range
+      .select(explode(expr("array(0.5D, 0.9D, 0.99D)")).as("q"),
+        col("vmin"), col("vmax"), col("n"))
+      .withColumn("target", ceil(col("q") * col("n")))
+    targets.join(broadcast(cum),
+        col("cum") >= col("target") && (col("cum") - col("cnt")) < col("target"))
+      .withColumn("frac",
+        (col("target").cast("double") - (col("cum") - col("cnt")).cast("double"))
+          / col("cnt").cast("double"))
+      .withColumn("est",
+        r6(col("vmin") + (col("bin").cast("double") + col("frac")) * width))
+      .select(col("q"), col("target"), col("bin"), col("cnt"), col("cum"),
+        col("n"), col("est"))
+      .orderBy("q")
+  }
+
+  val k4Sql: String =
+    s"""WITH v AS (SELECT l_extendedprice AS v FROM lineitem),
+      |r AS (SELECT min(v) AS vmin, max(v) AS vmax, count(*) AS n FROM v),
+      |hist AS (
+      |  SELECT LEAST(${histBins - 1}, CAST(floor((v - vmin) /
+      |      ((vmax - vmin) / ${histBins}.0)) AS INT)) AS bin,
+      |    count(*) AS cnt
+      |  FROM v CROSS JOIN r GROUP BY 1),
+      |cum AS (
+      |  SELECT a.bin, a.cnt, CAST(sum(b.cnt) AS BIGINT) AS cum
+      |  FROM hist a JOIN hist b ON b.bin <= a.bin
+      |  GROUP BY a.bin, a.cnt),
+      |targets AS (
+      |  SELECT q, vmin, vmax, n, CAST(ceil(q * n) AS BIGINT) AS target
+      |  FROM (SELECT unnest([0.5::DOUBLE, 0.9::DOUBLE, 0.99::DOUBLE]) AS q)
+      |  CROSS JOIN r)
+      |SELECT q, target, bin, cnt, cum, n,
+      |  floor((vmin + (CAST(bin AS DOUBLE) +
+      |      (CAST(target AS DOUBLE) - CAST(cum - cnt AS DOUBLE))
+      |        / CAST(cnt AS DOUBLE))
+      |      * ((vmax - vmin) / ${histBins}.0)) * 1000000.0 + 0.5)
+      |    / 1000000.0 AS est
+      |FROM targets JOIN cum ON cum >= target AND (cum - cnt) < target
+      |ORDER BY q""".stripMargin
+
   // ---- shared ---------------------------------------------------------
 
   /** Corpus token occurrences — t7's tokenization, shared by k1. */
@@ -294,11 +376,13 @@ object Sketches {
     "k1_cms_heavy_hitters" -> k1CmsHeavyHitters,
     "k2_hll_distinct" -> k2HllDistinct,
     "k3_bloom_membership" -> k3BloomMembership,
+    "k4_hist_quantiles" -> k4HistQuantiles,
   )
 
   val oracle: Map[String, String] = Map(
     "k1_cms_heavy_hitters" -> k1Sql,
     "k2_hll_distinct" -> k2Sql,
     "k3_bloom_membership" -> k3Sql,
+    "k4_hist_quantiles" -> k4Sql,
   )
 }

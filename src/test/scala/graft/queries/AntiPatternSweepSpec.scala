@@ -43,6 +43,7 @@ class AntiPatternSweepSpec extends SparkSpecBase {
     "s12_csv_to_json",        // 1-row _meta envelope, broadcast
     "s9_partitioned_roundtrip", // 1-row meta count, broadcast
     "s7_ann_recall",          // 1-row recall denominator, broadcast
+    "k4_hist_quantiles",      // 1-row min/max/count range envelope, broadcast
     "s4_ivf_topk",            // bounded centroid/dim relation
     "s10_ivf_multiprobe",     // bounded centroids + 1-row count aggregates
     "s14_kmeans_refine",      // broadcast of k centroid rows per iteration

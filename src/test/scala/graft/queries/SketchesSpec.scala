@@ -55,6 +55,43 @@ class SketchesSpec extends SparkSpecBase {
     assert(merged.exceptAll(whole).isEmpty && whole.exceptAll(merged).isEmpty)
   }
 
+  /** The histogram sketch's two contracts: the estimate sits within one
+    * bin width of the exact rank statistic (the construction's error
+    * bound), and bin-wise ADDITION of shard histograms equals the
+    * whole-corpus histogram (why partial aggregation is the fleet
+    * merge) — both over the same global range envelope the two-pass
+    * build fixes.
+    */
+  test("k4 histogram quantiles: within one bin width of exact; shards merge by addition") {
+    val out = Sketches.k4HistQuantiles(spark, sf).collect()
+    assert(out.length == 3)
+    val vs = Tables.lineitem(spark, sf)
+      .select(col("l_extendedprice")).collect().map(_.getDouble(0)).sorted
+    val width = (vs.last - vs.head) / 128.0
+    out.foreach { r =>
+      val (target, est, n) =
+        (r.getAs[Long]("target"), r.getAs[Double]("est"), r.getAs[Long]("n"))
+      assert(n == vs.length)
+      val exact = vs(target.toInt - 1) // target-th smallest
+      assert(math.abs(est - exact) <= width,
+        s"q=${r.getAs[Double]("q")}: |est $est - exact $exact| > bin width $width")
+    }
+
+    // mergeability: per-shard histograms (same global range) added
+    // bin-wise must equal the whole-corpus histogram
+    val li = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_extendedprice").as("v"))
+    def histOf(df: org.apache.spark.sql.DataFrame) = df
+      .select(least(lit(127),
+        floor((col("v") - lit(vs.head)) / lit(width)).cast("int")).as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as("cnt"))
+    val whole = histOf(li)
+    val merged = histOf(li.filter(pmod(col("l_orderkey"), lit(2)) === 0))
+      .union(histOf(li.filter(pmod(col("l_orderkey"), lit(2)) === 1)))
+      .groupBy("bin").agg(sum("cnt").as("cnt"))
+    assert(whole.exceptAll(merged).isEmpty && merged.exceptAll(whole).isEmpty)
+  }
+
   test("k3 Bloom: no false negatives; fp flag consistent") {
     val rows = Sketches.k3BloomMembership(spark, sf).collect()
     assert(rows.nonEmpty)
