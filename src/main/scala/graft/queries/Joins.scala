@@ -125,13 +125,79 @@ object Joins {
       |FROM win w LEFT JOIN cnt c USING (o_orderkey)
       |ORDER BY o_orderkey""".stripMargin
 
+  /** Write `df` as a BUCKETED, per-bucket-sorted external parquet table
+    * and return its catalog-backed frame. Bucketing is the layout half
+    * of the co-located-join contract: both sides bucketed by the join
+    * key into the SAME bucket count scan back as hash-partitioned
+    * relations, so the join needs NO exchange (pinned in
+    * `BucketedJoinSpec`) — the technique that turns a repeated
+    * fact×fact join at 100 TB from two corpus-sized shuffles per run
+    * into zero.
+    */
+  def writeBucketed(s: SparkSession, df: DataFrame, keyCol: String,
+      buckets: Int, table: String, path: String): DataFrame = {
+    df.write.mode("overwrite")
+      .bucketBy(buckets, keyCol).sortBy(keyCol)
+      .option("path", path).format("parquet").saveAsTable(table)
+    s.table(table)
+  }
+
+  /** J4 — bucketed co-located join, run for REAL (the s9 discipline:
+    * genuine filesystem + catalog behavior inside a hash-compared
+    * query): lineitem and orders are written as bucketed tables
+    * (8 buckets on the order key), read back through the catalog, and
+    * joined bucket-to-bucket; the revenue-by-priority aggregate is the
+    * oracle-checked answer, certifying the round trip was lossless.
+    * The scale claim — the bucketed join plans with no shuffle
+    * exchange on either side — is pinned by `BucketedJoinSpec` with
+    * broadcast disabled (at oracle SF the optimizer may broadcast the
+    * small side; the LAYOUT property is what this operator adds).
+    */
+  def j4BucketedJoin(s: SparkSession, d: String): DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_j4_")
+    val runId = java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+    val tLi = s"j4_li_$runId"
+    val tOrd = s"j4_ord_$runId"
+    try {
+      val li = writeBucketed(s,
+        lineitem(s, d).select(col("l_orderkey"), col("l_extendedprice"),
+          col("l_discount")),
+        "l_orderkey", 8, tLi, dir.resolve("li").toString)
+      val ord = writeBucketed(s,
+        orders(s, d).select(col("o_orderkey"), col("o_orderpriority")),
+        "o_orderkey", 8, tOrd, dir.resolve("ord").toString)
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_items"),
+          r6(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+            .as("revenue"))
+        .orderBy("o_orderpriority")
+        .localCheckpoint() // materialize before tables drop + scratch deletes
+    } finally {
+      s.sql(s"DROP TABLE IF EXISTS $tLi")
+      s.sql(s"DROP TABLE IF EXISTS $tOrd")
+      org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+    }
+  }
+
+  val j4Sql: String =
+    """SELECT o_orderpriority, count(*) AS n_items,
+      |  floor(CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+      |      AS DECIMAL(18,6))) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0
+      |    AS revenue
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "j1_asof_join" -> j1AsofJoin,
     "j2_range_join" -> j2RangeJoin,
+    "j4_bucketed_join" -> j4BucketedJoin,
   )
 
   val oracle: Map[String, String] = Map(
     "j1_asof_join" -> j1Sql,
     "j2_range_join" -> j2Sql,
+    "j4_bucketed_join" -> j4Sql,
   )
 }

@@ -72,6 +72,9 @@ class AntiPatternSweepSpec extends SparkSpecBase {
     "d6_neardup_clusters" ->
       "iterative star-contraction; per-round shape in ChainGraphSpec",
     "d8_incremental_dedup" -> "Dedup.d8Decide audited below",
+    "j4_bucketed_join" ->
+      ("real bucketed-table round trip (catalog + filesystem); the " +
+        "no-shuffle co-located join shape is pinned in BucketedJoinSpec"),
     "s8_ivf_persisted" ->
       "probe plan identical to s4_ivf_topk (swept); build ≡ s4 assignment",
     "s17_ivf_incremental" ->
