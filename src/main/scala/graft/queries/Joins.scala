@@ -189,15 +189,79 @@ object Joins {
       |GROUP BY o_orderpriority
       |ORDER BY o_orderpriority""".stripMargin
 
+  val saltCount = 16
+
+  /** The salted sides of j5, factored so the spec can measure the
+    * partition-balance property directly: the fact key is SALTED with a
+    * deterministic per-row suffix (md5 of the event id — no RNG, the
+    * repo determinism contract) and the dimension side is REPLICATED
+    * once per salt, so the hot key's rows spread across
+    * [[saltCount]] shuffle partitions instead of flooding one.
+    */
+  def saltedFactOf(fact: DataFrame): DataFrame =
+    fact.withColumn("salt",
+      pmod(md5Hash32(col("event_id").cast("string")),
+        lit(saltCount.toLong)).cast("int"))
+
+  def saltedDimOf(dim: DataFrame): DataFrame =
+    dim.withColumn("salt",
+      explode(sequence(lit(0), lit(saltCount - 1))))
+
+  /** J5 — salted skew join: the manual skew-mitigation technique next
+    * to t8's AQE-skew fallback (AQE splits oversized partitions at
+    * runtime; salting PREVENTS them by construction — the tool to
+    * reach for when a hot key is known in advance, e.g. the null/
+    * default key of a reference join, or when AQE is unavailable
+    * mid-pipeline). A deterministic hot key is manufactured — 70% of
+    * events collapse onto customer 1 — so the plain shuffle join
+    * would put 70% of the fact side in ONE task; the salted join
+    * shuffles on (key, salt) and the dim side replicates
+    * [[saltCount]]×, bounding every task at ~1/saltCount of the hot
+    * key. The oracle replays the UNSALTED join relationally: the hash
+    * certifies that salting changes the distribution and nothing
+    * else. `SaltedJoinSpec` pins the balance property itself
+    * (max-partition share with and without salt) and salted ≡ plain.
+    *
+    * Scale shape: dim replication is saltCount× a BOUNDED dimension
+    * (still broadcastable or a small shuffle); the fact side pays the
+    * same one shuffle it always did, just on a wider key. This is the
+    * standard production answer when one key holds >p% of a 100 TB
+    * fact table.
+    */
+  def j5SaltedSkewJoin(s: SparkSession, d: String): DataFrame = {
+    val fact = events(s, d).select(
+      when(pmod(col("user_id"), lit(10)) < 7, lit(1L))
+        .otherwise(col("user_id")).as("cust_id"),
+      col("event_id"), col("value"))
+    val dim = customer(s, d).select(col("c_custkey").as("cust_id"),
+      col("c_mktsegment").as("segment"))
+    saltedFactOf(fact).join(saltedDimOf(dim), Seq("cust_id", "salt"))
+      .groupBy(col("segment"))
+      .agg(count(lit(1)).as("n"), r6(dsum(col("value"))).as("total_value"))
+      .orderBy("segment")
+  }
+
+  val j5Sql: String =
+    """SELECT c_mktsegment AS segment, count(*) AS n,
+      |  floor(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+      |      * 1000000.0 + 0.5) / 1000000.0 AS total_value
+      |FROM (SELECT CASE WHEN user_id % 10 < 7 THEN 1 ELSE user_id END
+      |        AS cust_id, value
+      |      FROM events) e
+      |JOIN customer ON cust_id = c_custkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "j1_asof_join" -> j1AsofJoin,
     "j2_range_join" -> j2RangeJoin,
     "j4_bucketed_join" -> j4BucketedJoin,
+    "j5_salted_skew_join" -> j5SaltedSkewJoin,
   )
 
   val oracle: Map[String, String] = Map(
     "j1_asof_join" -> j1Sql,
     "j2_range_join" -> j2Sql,
     "j4_bucketed_join" -> j4Sql,
+    "j5_salted_skew_join" -> j5Sql,
   )
 }

@@ -326,6 +326,65 @@ object EventWindows {
       |FROM events JOIN customer ON user_id = c_custkey
       |GROUP BY 1, 2 ORDER BY window_start, segment""".stripMargin
 
+  /** Fixed monitoring range for [[st13StreamHistogram]]: a streaming
+    * sketch cannot take a global min/max pass before the stream starts,
+    * so production histogram monitoring configures its range up front —
+    * here [0, 512) over 128 bins (events.value spans ~0–490), with
+    * out-of-range values clamped into the edge bins.
+    */
+  val histRangeMax = 512.0
+  val histBins = 128
+
+  /** ST13 — streaming sketch maintenance: k4's histogram kept up to
+    * date by a REAL stream (the production shape of distribution
+    * monitoring over a 100 TB/day feed: the sketch, not the data, is
+    * the queryable state). The staged events file flows through
+    * `readStream`; per-bin counts aggregate in complete mode —
+    * bounded state of ≤ [[histBins]] rows no matter the stream length,
+    * the same associative bin-addition that merges batch shards — and
+    * the AvailableNow terminal table must equal the batch histogram
+    * the oracle replays relationally. No watermark: the histogram is
+    * cumulative over all time by design (a windowed variant would
+    * compose this groupBy with st1's event-time window).
+    */
+  def st13StreamHistogram(s: SparkSession, d: String): DataFrame =
+    CatchupConf.withBoundedStatePartitions(s) {
+    import org.apache.spark.sql.streaming.Trigger
+    val rawSchema = eventsRaw(s, d).schema
+    val dir = java.nio.file.Files.createTempDirectory("graft_st13_")
+    val sink = "st13_out_" +
+      java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+    try {
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$d/events.parquet"),
+        dir.resolve("events.parquet"))
+      val binned = s.readStream
+        .schema(rawSchema)
+        .parquet(dir.toString)
+        .select(greatest(lit(0), least(lit(histBins - 1),
+          floor(col("value") / lit(histRangeMax / histBins)).cast("int")))
+          .as("bin"))
+      val q = binned.groupBy(col("bin")).agg(count(lit(1)).as("cnt"))
+        .writeStream
+        .format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      require(q.awaitTermination(180000), "st13 stream did not finish in time")
+      s.table(sink).localCheckpoint().orderBy("bin")
+    } finally {
+      s.catalog.dropTempView(sink)
+      org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+    }
+  }
+
+  val st13Sql: String =
+    s"""SELECT GREATEST(0, LEAST(${histBins - 1},
+      |    CAST(floor(value / ${histRangeMax / histBins}) AS INT))) AS bin,
+      |  count(*) AS cnt
+      |FROM events GROUP BY 1 ORDER BY bin""".stripMargin
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st1_tumbling_window" -> st1Tumbling,
     "st2_sliding_window" -> st2Sliding,
@@ -333,6 +392,7 @@ object EventWindows {
     "st8_checkpoint_resume" -> st8CheckpointResume,
     "st9_commit_protocol" -> st9CommitProtocol,
     "st10_stream_static_enrich" -> st10StreamStaticEnrich,
+    "st13_stream_histogram" -> st13StreamHistogram,
   )
 
   val oracle: Map[String, String] = Map(
@@ -342,5 +402,6 @@ object EventWindows {
     "st8_checkpoint_resume" -> st8Sql,
     "st9_commit_protocol" -> st9Sql,
     "st10_stream_static_enrich" -> st10Sql,
+    "st13_stream_histogram" -> st13Sql,
   )
 }

@@ -64,6 +64,9 @@ class AntiPatternSweepSpec extends SparkSpecBase {
     "st10_stream_static_enrich" ->
       ("broadcast-dim join + tumbling agg; batch twin audited below, " +
         "join shape in StreamStaticJoinSpec"),
+    "st13_stream_histogram" ->
+      ("complete-mode ≤128-bin groupBy (bounded sketch state); the " +
+        "binning shape is k4's, swept there"),
     "st6_stream_dedup" ->
       ("streaming-only dropDuplicatesWithinWatermark; state bounded by " +
         "watermark horizon (StreamingDedupSpec)"),
