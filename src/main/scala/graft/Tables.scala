@@ -114,6 +114,12 @@ object Tables {
     * whereas scale 4 would put ~1% of products on a .00005 boundary where
     * Spark (HALF_UP on the shortest decimal string) and DuckDB (scaled
     * nearbyint) round differently.
+    *
+    * DOUBLE inputs only. A FLOAT column must NOT go through this (or any
+    * DECIMAL cast): Spark rounds the widened binary value while DuckDB
+    * rounds the float's shortest decimal string, and they disagree for
+    * floats printing as 7 decimals ending in 5 — use [[uq6]] /
+    * [[uq6Mean]] instead (the s18 lesson, see `Uq6Spec`).
     */
   def dsum(c: Column): Column = sum(c.cast(DecimalType(18, 6))).cast("double")
 
