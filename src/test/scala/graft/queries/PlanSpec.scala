@@ -140,4 +140,37 @@ class PlanSpec extends SparkSpecBase {
     assert(!p.contains("Exchange hashpartitioning"),
       s"unexpected shuffle in a per-row scalar query:\n$p")
   }
+
+  test("k1 CMS probes the bounded counter table broadcast, top-K via heap") {
+    // the sketch side is ≤ depth×width rows — it must be the broadcast
+    // build side; the exact top-20 cut must push through the sort
+    val p = plan(Sketches.k1CmsHeavyHitters(spark, sf))
+    assert(p.contains("BroadcastHashJoin"),
+      s"CMS counter probe not broadcast:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-K words lost the heap pushthrough:\n$p")
+  }
+
+  test("k4 resolves quantile targets against the broadcast histogram") {
+    // both the 1-row range envelope and the ≤128-row cumulative
+    // histogram are bounded relations: neither may shuffle the data side
+    // beyond the two map-side-combined aggregations
+    val p = plan(Sketches.k4HistQuantiles(spark, sf))
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"),
+      s"k4 target resolution not against a broadcast:\n$p")
+  }
+
+  test("m4 candidates come from a band equi-join, never a cartesian") {
+    val p = plan(Multimodal.m4PayloadNearDup(spark, sf))
+    assert(!p.contains("CartesianProduct"),
+      s"m4 pair generation degenerated to all-pairs:\n$p")
+  }
+
+  test("j5 salted join keys include the salt (the distribution fix is in the plan)") {
+    val p = plan(Joins.j5SaltedSkewJoin(spark, sf))
+    assert(p.contains("salt"),
+      s"salt column missing from the join plan:\n$p")
+    assert(!p.contains("CartesianProduct"), s"j5 lost its equi-join:\n$p")
+  }
 }
