@@ -1447,7 +1447,7 @@ object Similarity {
     * quantity as data grows, not a small-corpus artifact.
     */
   private[graft] def ivfPqProbeOf(e: DataFrame, nlist: Int,
-      nprobe: Int): DataFrame = {
+      nprobe: Int, shortK: Int = 5): DataFrame = {
     val cent = e.filter(col("vec_id") < nlist)
       .select(col("vec_id").as("cent_id"), col("embedding").as("ce"),
         col("nrm").as("cnrm"))
@@ -1492,7 +1492,7 @@ object Similarity {
         (col("qnrm") * sqrt(col("asq_u") / lit(1.0e12))))
     val pqTop = scored.groupBy(col("query_id"))
       .agg(count(lit(1)).as("n_cand"),
-        expr("graft_topk(acos, vec_id, 5)").as("top"))
+        expr(s"graft_topk(acos, vec_id, $shortK)").as("top"))
       .select(col("query_id"), col("n_cand"),
         posexplode(col("top")).as(Seq("pos", "t")))
       .select(col("query_id"), col("n_cand"),

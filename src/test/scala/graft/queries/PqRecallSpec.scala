@@ -95,6 +95,54 @@ class PqRecallSpec extends SparkSpecBase {
     }
   }
 
+  /** The loss DECOMPOSITION at the larger corpus: exact re-rank of a
+    * 50-deep ADC shortlist (s20's remedy applied to the scaled probe)
+    * lifts mean recall@5 from 0.16 to 0.44 (measured, deterministic
+    * build) — proving quantization, not the cell restriction, is the
+    * dominant loss at 2000 vectors, and that the two-stage shape
+    * recovers it without touching the scan cost (re-rank reads 50
+    * float rows per query, not the corpus).
+    */
+  test("exact re-rank of the scaled shortlist recovers the quantization loss (sf0.1)") {
+    val big = "/root/testdata/sf0.1"
+    assume(new java.io.File(s"$big/embeddings.parquet").exists,
+      "sf0.1 testdata absent")
+    val e = Similarity.withNorm(spark, big)
+    val short = Similarity.ivfPqProbeOf(e, nlist = 32, nprobe = 8, shortK = 50)
+      .select(col("query_id"), col("neighbor_id"))
+    val q = e.select(col("vec_id").as("query_id"),
+      col("embedding").as("qe"), col("nrm").as("qn"))
+    val n = e.select(col("vec_id").as("neighbor_id"),
+      col("embedding").as("ne"), col("nrm").as("nn"))
+    val rer = short.join(n, "neighbor_id").join(broadcast(q), "query_id")
+      .withColumn("cos", expr("graft_dot(qe, ne)") / (col("qn") * col("nn")))
+      .groupBy("query_id")
+      .agg(expr("graft_topk(cos, neighbor_id, 5)").as("top"))
+      .select(col("query_id"),
+        explode(expr("transform(top, x -> x.id)")).as("neighbor_id"))
+    val exact = e.join(broadcast(
+        e.filter(col("vec_id") >= 32 && col("vec_id") < 37)
+          .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+            col("nrm").as("qn"))),
+        col("vec_id") =!= col("query_id"))
+      .withColumn("cos",
+        expr("graft_dot(qe, embedding)") / (col("qn") * col("nrm")))
+      .groupBy("query_id")
+      .agg(expr("graft_topk(cos, vec_id, 5)").as("top"))
+      .select(col("query_id"),
+        explode(expr("transform(top, x -> x.id)")).as("neighbor_id"),
+        lit(1).as("hit"))
+    val rec = rer.join(exact, Seq("query_id", "neighbor_id"), "left")
+      .groupBy("query_id")
+      .agg((sum(coalesce(col("hit"), lit(0))) / lit(5.0)).as("r"))
+      .collect().map(_.getDouble(1))
+    val mean = rec.sum / rec.length
+    assert(mean >= 0.3,
+      s"re-ranked scaled recall degraded to $mean (measured 0.44 at capture)")
+    assert(mean > 0.16,
+      s"re-rank did not improve on the pure-ADC mean (got $mean)")
+  }
+
   /** Pins the two-stage contract (s20): exact re-rank of the ADC
     * shortlist must recover recall the compressed ranking loses — mean
     * recall@5 at least the pure-ADC row's (it is strictly higher on
