@@ -230,7 +230,7 @@ object Joins {
     */
   def j5SaltedSkewJoin(s: SparkSession, d: String): DataFrame = {
     val fact = events(s, d).select(
-      when(pmod(col("user_id"), lit(10)) < 7, lit(1L))
+      when(expr("user_id % 10") < 7, lit(1L))
         .otherwise(col("user_id")).as("cust_id"),
       col("event_id"), col("value"))
     val dim = customer(s, d).select(col("c_custkey").as("cust_id"),

@@ -291,7 +291,8 @@ object Sketches {
     * path next to a11's exact percentiles (exact percentiles need a
     * corpus-sized sort/shuffle; the histogram needs ≤ [[histBins]] rows
     * of state). Two associative passes: exact (min, max, n) — a 1-row
-    * broadcast envelope, the s6 range pattern — then per-bin counts
+    * envelope collected to the driver and injected as literals, so the
+    * binning pass reuses it without a second scan — then per-bin counts
     * (`⌊(v−min)/width⌋`, top bin clamped), where BIN-WISE ADDITION is
     * the fleet merge and Spark's map-side partial aggregation performs
     * it. Each target rank `⌈q·n⌉` (q ∈ {0.5, 0.9, 0.99}) resolves to
@@ -312,30 +313,35 @@ object Sketches {
     */
   def k4HistQuantiles(s: SparkSession, d: String): DataFrame = {
     val v = lineitem(s, d).select(col("l_extendedprice").as("v"))
-    val range = v.agg(min(col("v")).as("vmin"), max(col("v")).as("vmax"),
-      count(lit(1)).as("n"))
-    def width = (col("vmax") - col("vmin")) / lit(histBins.toDouble)
-    val hist = v.crossJoin(broadcast(range))
+    // Pass 1: the exact (min, max, n) envelope, collected to the driver
+    // (1 row) and injected as literals — so pass 2's binning scan is the
+    // only other data-sized read and the operator is genuinely two-scan.
+    val env = v.agg(min(col("v")), max(col("v")), count(lit(1))).head()
+    val (vmin, vmax, n) = (env.getDouble(0), env.getDouble(1), env.getLong(2))
+    // A constant column (vmax == vmin) would give width 0 and NaN bins;
+    // clamp the range to a tiny positive width so every value lands in
+    // bin 0 and all quantiles resolve to vmin. Mirrored in k4Sql.
+    val width = math.max(vmax - vmin, 1e-9) / histBins
+    val hist = v
       .select(least(lit(histBins - 1),
-        floor((col("v") - col("vmin")) / width).cast("int")).as("bin"))
+        floor((col("v") - lit(vmin)) / lit(width)).cast("int")).as("bin"))
       .groupBy(col("bin")).agg(count(lit(1)).as("cnt"))
     val cum = hist.as("a").join(hist.as("b"), col("b.bin") <= col("a.bin"))
       .select(col("a.bin").as("bin"), col("a.cnt").as("cnt"),
         col("b.cnt").as("bcnt"))
       .groupBy(col("bin"), col("cnt")).agg(sum(col("bcnt")).as("cum"))
-    val targets = range
-      .select(explode(expr("array(0.5D, 0.9D, 0.99D)")).as("q"),
-        col("vmin"), col("vmax"), col("n"))
-      .withColumn("target", ceil(col("q") * col("n")))
+    val targets = s.range(1).toDF()
+      .select(explode(expr("array(0.5D, 0.9D, 0.99D)")).as("q"))
+      .withColumn("target", ceil(col("q") * lit(n)))
     targets.join(broadcast(cum),
         col("cum") >= col("target") && (col("cum") - col("cnt")) < col("target"))
       .withColumn("frac",
         (col("target").cast("double") - (col("cum") - col("cnt")).cast("double"))
           / col("cnt").cast("double"))
       .withColumn("est",
-        r6(col("vmin") + (col("bin").cast("double") + col("frac")) * width))
+        r6(lit(vmin) + (col("bin").cast("double") + col("frac")) * lit(width)))
       .select(col("q"), col("target"), col("bin"), col("cnt"), col("cum"),
-        col("n"), col("est"))
+        lit(n).as("n"), col("est"))
       .orderBy("q")
   }
 
@@ -344,7 +350,7 @@ object Sketches {
       |r AS (SELECT min(v) AS vmin, max(v) AS vmax, count(*) AS n FROM v),
       |hist AS (
       |  SELECT LEAST(${histBins - 1}, CAST(floor((v - vmin) /
-      |      ((vmax - vmin) / ${histBins}.0)) AS INT)) AS bin,
+      |      (GREATEST(vmax - vmin, 1e-9) / ${histBins}.0)) AS INT)) AS bin,
       |    count(*) AS cnt
       |  FROM v CROSS JOIN r GROUP BY 1),
       |cum AS (
@@ -359,7 +365,7 @@ object Sketches {
       |  floor((vmin + (CAST(bin AS DOUBLE) +
       |      (CAST(target AS DOUBLE) - CAST(cum - cnt AS DOUBLE))
       |        / CAST(cnt AS DOUBLE))
-      |      * ((vmax - vmin) / ${histBins}.0)) * 1000000.0 + 0.5)
+      |      * (GREATEST(vmax - vmin, 1e-9) / ${histBins}.0)) * 1000000.0 + 0.5)
       |    / 1000000.0 AS est
       |FROM targets JOIN cum ON cum >= target AND (cum - cnt) < target
       |ORDER BY q""".stripMargin
