@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables._
-import graft.sink.Sinks
+import graft.sink.{Compact, Sinks}
 
 /** S13 incremental skip-if-exists as an oracle-comparable decision table
   * (`get_basketball_stats_all_teams_Version6.py:219-222`): which
@@ -217,15 +217,84 @@ object Incremental {
       |  count(*) OVER (PARTITION BY source) AS n_in_dir
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** A13 — small-file compaction over a partitioned layout (r12 verdict
+    * #1: the production concern of the S9/A1 fan-out family). The
+    * harness manufactures the pathology the operator exists for: the
+    * corpus is written through [[Sinks.writePartitioned]] with
+    * compaction OFF after a deliberate 8-way repartition, so every
+    * `source=` directory holds up to 8 tiny files (N tasks × P values —
+    * the classic crawl-scale small-file explosion). [[Compact
+    * .compactPartitioned]] then bin-packs each directory to
+    * `ceil(bytes/target)` files via read→coalesce→hidden-staging→rename
+    * (the st9 commit discipline; see [[graft.sink.Compact]]), and the
+    * compacted layout is read back through the same explicit-path scan
+    * as a1. The oracle certifies the row set LOSSLESS — every doc_id
+    * with its data column and its physical directory — while
+    * `CompactSpec` pins the file-count bound, idempotence, and
+    * crash-safety naming. In-query `require`s fail Verify loudly if
+    * the harness wasn't fragmented or a directory missed its bound.
+    *
+    * Scale shape: one read + one write per directory, no shuffle
+    * anywhere (coalesce merges scan partitions in place); the directory
+    * list is the only driver-side state (partition-space bounded, the
+    * s13 bound). At 100 TB this is the maintenance pass that keeps the
+    * fan-out sink's read amplification constant as crawls accrete.
+    */
+  def a13Compact(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val targetBytes = 64L << 20
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_a13_" +
+      s.sparkContext.applicationId + "_" + Integer.toHexString(d.hashCode) +
+      "_" + java.util.UUID.randomUUID().toString.take(8)
+    val basePath = new org.apache.hadoop.fs.Path(base)
+    val fs = basePath.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(basePath, true)
+    try {
+      val docs = documents(s, d).select(col("doc_id"), col("source"), col("lang"))
+      Sinks.writePartitioned(docs.repartition(8, col("doc_id")), base,
+        Seq("source"), compact = false)
+      val results = Compact.compactPartitioned(s, base, targetBytes)
+      // Harness sanity: fragmentation must have actually happened, and
+      // every directory must end at the bin-pack bound — violations fail
+      // the a13 row loudly instead of producing a silently-weak proof.
+      require(results.exists(_.compacted),
+        "a13: no directory was fragmented — harness lost its pathology")
+      results.foreach { r =>
+        val bound = Compact.targetFileCount(r.bytesBefore, targetBytes)
+        require(r.filesAfter <= bound,
+          s"a13: ${r.dir} has ${r.filesAfter} files > bound $bound")
+      }
+      val keys = docs.select("source").distinct()
+        .orderBy("source").collect().map(_.getString(0))
+      val esc = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+        .escapePathName _
+      val paths = keys.toSeq.map(src => s"$base/source=${esc(src)}")
+      s.read.option("basePath", base).parquet(paths: _*)
+        .select(col("doc_id"), col("lang"),
+          col("source").cast("string").as("source_dir"))
+        .withColumn("n_in_dir",
+          count(lit(1)).over(Window.partitionBy(col("source_dir"))))
+        .localCheckpoint()
+        .orderBy("doc_id")
+    } finally fs.delete(basePath, true)
+  }
+
+  val a13Sql: String =
+    """SELECT doc_id, lang, source AS source_dir,
+      |  count(*) OVER (PARTITION BY source) AS n_in_dir
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s13_skip_existing" -> s13SkipExisting,
     "s9_partitioned_roundtrip" -> s9PartitionedRoundtrip,
     "a1_fanout_layout" -> a1FanoutLayout,
+    "a13_compact" -> a13Compact,
   )
 
   val oracle: Map[String, String] = Map(
     "s13_skip_existing" -> s13Sql,
     "s9_partitioned_roundtrip" -> s9Sql,
     "a1_fanout_layout" -> a1Sql,
+    "a13_compact" -> a13Sql,
   )
 }
