@@ -83,8 +83,38 @@ object Enrich {
     import s.implicits._
     val pairs = Seq(("customer", "order"), ("supplier", "part"),
       ("join", "window"), ("stream", "batch")).toDF("kw1", "kw2")
+    e4ContainsJoinGuarded(s, d, pairs, ContainsJoinCeilingRows)
+  }
+
+  /** Build-side ceiling for the e4 BNLJ, in rows. The binding constraint
+    * is NOT broadcast bytes (a keyword dimension is tiny) — it is that a
+    * nested-loop join evaluates every build row against every fact row,
+    * so cost is |fact| × |dim| `contains` calls: at 10⁴ pairs that is
+    * already ~10⁴ substring scans per document, the practical CPU edge.
+    */
+  private[queries] val ContainsJoinCeilingRows: Long = 10L * 1000
+
+  /** The e4 core with the small-side bound ENFORCED at plan-build time
+    * (r12 verdict "what's wrong" #2 — the t8 materialize-then-measure
+    * discipline applied to the BNLJ build side). Unlike t8's vocab
+    * join, a `contains` theta-join has NO shuffle fallback — there is
+    * no key to hash on — so over the ceiling the only honest behaviors
+    * are failing loudly or a different ALGORITHM (an inverted-index
+    * pre-filter, which changes the operator). This guard fails loudly,
+    * naming the rewrite. Both shapes are pinned in `ContainsGuardSpec`.
+    */
+  private[queries] def e4ContainsJoinGuarded(s: SparkSession, d: String,
+      pairs: DataFrame, ceiling: Long): DataFrame = {
+    val dim = pairs.localCheckpoint()
+    val n = dim.count()
+    if (n > ceiling)
+      throw new IllegalStateException(
+        s"e4_contains_join: keyword dimension has $n rows, over the " +
+          s"nested-loop build ceiling $ceiling; a contains theta-join has " +
+          "no shuffle fallback - shrink the dimension or pre-filter " +
+          "candidates with an inverted token index before the join")
     documents(s, d)
-      .join(broadcast(pairs),
+      .join(broadcast(dim),
         col("text").contains(col("kw1")) && col("text").contains(col("kw2")))
       .groupBy(col("kw1"), col("kw2"))
       .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"))
