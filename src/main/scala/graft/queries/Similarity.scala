@@ -999,6 +999,152 @@ object Similarity {
       |ORDER BY a1.vec_id""".stripMargin
   }
 
+  /** Deterministic farthest-point (maximin) seed ids over a capped
+    * (vec_id, embedding) frame (r12 verdict "next round" #3 — the
+    * measured weak number in the ANN stack was recall rooted in
+    * first-n seeding): start from the LOWEST vec_id, then repeatedly
+    * add the vector whose maximum cosine to the chosen set is SMALLEST
+    * (= farthest in angle from every existing seed), ties broken by
+    * lowest vec_id. Already-chosen vectors self-exclude (their max
+    * cosine is 1). Fully deterministic — no RNG — so the selection is
+    * replayable in the DuckDB oracle CTE-for-CTE.
+    *
+    * Scale shape: nlist-1 rounds, each one broadcast-centroid corpus
+    * scan + a 1-row argmin collect — driver state is the id list,
+    * bounded by nlist. At 100 TB you run the same loop over a bounded
+    * uniform SAMPLE of the corpus (seeding quality needs spread, not
+    * the full population; k-means‖ is the literature's oversampled
+    * variant) — the loop shape is unchanged, only `e` shrinks.
+    */
+  private[graft] def maximinSeedIds(e: DataFrame, nlist: Int): Seq[Long] = {
+    val first = e.agg(min(col("vec_id"))).head().getAs[Number](0).longValue
+    var chosen = Vector(first)
+    while (chosen.size < nlist) {
+      val cents = e.filter(col("vec_id").isin(chosen: _*))
+        .select(col("embedding").as("ce"))
+      val next = e.crossJoin(broadcast(cents))
+        .withColumn("cos", cosineHof(col("embedding"), col("ce")))
+        .groupBy(col("vec_id")).agg(max(col("cos")).as("maxcos"))
+        .orderBy(col("maxcos").asc, col("vec_id").asc)
+        .select(col("vec_id"))
+        .head().getAs[Number](0).longValue
+      chosen = chosen :+ next
+    }
+    chosen
+  }
+
+  /** S21 — the s14 BUILD path with maximin seeding and a SECOND Lloyd
+    * round, entirely under the oracle: seeds via [[maximinSeedIds]],
+    * then assign → refit → assign → refit → assign with the existing
+    * cross-engine-exact [[lloydAssign]]/[[lloydRefit]] machinery. The
+    * output certifies the seed SELECTION (cell_seed — any divergence in
+    * the 7 argmin rounds flips assignments), the first update
+    * (cell_iter1) and the second (cell_iter2). Why it matters: first-n
+    * seeding can land all n seeds in one true cluster, and one Lloyd
+    * round cannot recover — maximin spreads the seeds by construction,
+    * which is what lifts the composed probe's recall (pinned at sf0.1
+    * in `PqRecallSpec`: the same IVF-PQ + re-rank composition, same
+    * probe budget, strictly higher recall@5 with these centroids).
+    *
+    * Scale shape: seeding as documented on [[maximinSeedIds]]; each
+    * Lloyd round is s14's two jobs (broadcast assignment + one
+    * explode-by-dimension map-side-combined shuffle), independent of
+    * corpus size in round count.
+    */
+  def s21MaximinRefine(s: SparkSession, d: String): DataFrame = {
+    val e = withNorm(s, d).filter(col("vec_id") < s3Cap)
+      .select(col("vec_id"), col("embedding"))
+    val ids = maximinSeedIds(e, 8)
+    val cent0 = e.filter(col("vec_id").isin(ids: _*))
+      .select(col("vec_id").as("cent_id"),
+        transform(col("embedding"), x => x.cast("double")).as("ce"))
+    val a1 = lloydAssign(e, cent0)
+    val a2 = lloydAssign(e, lloydRefit(e, a1))
+    val a3 = lloydAssign(e, lloydRefit(e, a2))
+    a1.select(col("vec_id"), col("cell").as("cell_seed"))
+      .join(a2.select(col("vec_id"), col("cell").as("cell_iter1")), Seq("vec_id"))
+      .join(a3.select(col("vec_id"), col("cell").as("cell_iter2")), Seq("vec_id"))
+      .orderBy("vec_id")
+  }
+
+  val s21Sql: String = {
+    def cos(a: String, b: String) = cosineSql(a, b)
+    val nlist = 8
+    // the maximin chain: s0 = lowest id; s_i = argmin over the corpus of
+    // max-cosine against the seeds chosen so far, ties by vec_id
+    val seedCtes = (1 until nlist).map { i =>
+      val prev = (0 until i).map(j => s"SELECT vec_id FROM s$j")
+        .mkString(" UNION ALL ")
+      s"""s$i AS (
+        |  SELECT vec_id FROM (
+        |    SELECT t.vec_id,
+        |      row_number() OVER (ORDER BY t.mc ASC, t.vec_id ASC) AS rn
+        |    FROM (
+        |      SELECT e.vec_id, max(${cos("e.embedding", "c.embedding")}) AS mc
+        |      FROM e CROSS JOIN e c
+        |      WHERE c.vec_id IN ($prev)
+        |      GROUP BY e.vec_id) t)
+        |  WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    val allSeeds = (0 until nlist).map(j => s"SELECT vec_id FROM s$j")
+      .mkString(" UNION ALL ")
+    def assignCte(cent: String, out: String) =
+      s"""$out AS (
+        |  SELECT vec_id, cent_id AS cell FROM (
+        |    SELECT e.vec_id, c.cent_id,
+        |      row_number() OVER (PARTITION BY e.vec_id
+        |        ORDER BY ${cos("e.embedding", "c.ce")} DESC, c.cent_id) AS rn
+        |    FROM e CROSS JOIN $cent c) t
+        |  WHERE rn = 1)""".stripMargin
+    def refitCte(assigned: String, out: String) =
+      s"""dims_$out AS (
+        |  SELECT $assigned.cell, i - 1 AS pos,
+        |    CAST(floor(e.embedding[i]::DOUBLE * 1000000.0 + 0.5) AS BIGINT) AS v
+        |  FROM $assigned JOIN e USING (vec_id),
+        |    LATERAL (SELECT unnest(range(1, len(e.embedding) + 1)) AS i)),
+        |$out AS (
+        |  SELECT cell AS cent_id, list(m ORDER BY pos) AS ce FROM (
+        |    SELECT cell, pos, CAST(sum(v) AS DOUBLE) / count(*) / 1000000.0 AS m
+        |    FROM dims_$out GROUP BY cell, pos)
+        |  GROUP BY cell)""".stripMargin
+    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < $s3Cap),
+      |s0 AS (SELECT min(vec_id) AS vec_id FROM e),
+      |$seedCtes,
+      |cent0 AS (SELECT vec_id AS cent_id,
+      |    list_transform(embedding, x -> x::DOUBLE) AS ce
+      |  FROM e WHERE vec_id IN ($allSeeds)),
+      |${assignCte("cent0", "a1")},
+      |${refitCte("a1", "cent1")},
+      |${assignCte("cent1", "a2")},
+      |${refitCte("a2", "cent2")},
+      |${assignCte("cent2", "a3")}
+      |SELECT a1.vec_id, a1.cell AS cell_seed, a2.cell AS cell_iter1,
+      |  a3.cell AS cell_iter2
+      |FROM a1 JOIN a2 USING (vec_id) JOIN a3 USING (vec_id)
+      |ORDER BY vec_id""".stripMargin
+  }
+
+  /** Maximin-seeded, `rounds`-times-Lloyd-refined centroids over a
+    * normed frame, shaped for [[ivfPqProbeOf]]'s coarse quantizer
+    * (cent_id, ce float, cnrm). The float cast matches the first-n
+    * centroid representation (and `graft_dot`'s input contract); the
+    * spec path has no oracle twin, so the cast costs nothing.
+    */
+  private[graft] def refinedCentroids(e: DataFrame, nlist: Int,
+      rounds: Int): DataFrame = {
+    val base = e.select(col("vec_id"), col("embedding"))
+    val ids = maximinSeedIds(base, nlist)
+    var cent = base.filter(col("vec_id").isin(ids: _*))
+      .select(col("vec_id").as("cent_id"),
+        transform(col("embedding"), x => x.cast("double")).as("ce"))
+    for (_ <- 1 to rounds)
+      cent = lloydRefit(base, lloydAssign(base, cent))
+    cent.select(col("cent_id"),
+        transform(col("ce"), x => x.cast("float")).as("ce"))
+      .withColumn("cnrm", sqrt(expr("graft_dot(ce, ce)")))
+      .localCheckpoint()
+  }
+
   /** The (nlist, nprobe) configurations s15 compares: equal candidate
     * budget — nlist=32 cells are ~4× smaller than nlist=8 cells, so
     * probing 4× the cells scans about the same number of candidates.
@@ -1447,10 +1593,14 @@ object Similarity {
     * quantity as data grows, not a small-corpus artifact.
     */
   private[graft] def ivfPqProbeOf(e: DataFrame, nlist: Int,
-      nprobe: Int, shortK: Int = 5): DataFrame = {
-    val cent = e.filter(col("vec_id") < nlist)
+      nprobe: Int, shortK: Int = 5,
+      centroids: Option[DataFrame] = None): DataFrame = {
+    // default coarse quantizer: first-nlist seed; `centroids` lets the
+    // s21 recall pin swap in the maximin+Lloyd set on the SAME probe
+    // budget ((cent_id, ce float, cnrm) shape, see refinedCentroids)
+    val cent = centroids.getOrElse(e.filter(col("vec_id") < nlist)
       .select(col("vec_id").as("cent_id"), col("embedding").as("ce"),
-        col("nrm").as("cnrm"))
+        col("nrm").as("cnrm")))
     val assigned = ivfAssignTo(e, cent).select("vec_id", "cent_id")
     val subs = pqSubvectors(e.select(col("vec_id"), col("embedding")))
     val seed = subs.filter(col("vec_id") < pqKsub)
@@ -1834,6 +1984,7 @@ object Similarity {
     "s7_ann_recall" -> s7AnnRecall,
     "s10_ivf_multiprobe" -> s10IvfMultiprobe,
     "s14_kmeans_refine" -> s14KmeansRefine,
+    "s21_maximin_refine" -> s21MaximinRefine,
     "s15_scaled_nlist" -> s15ScaledNlist,
     "s16_spherical_refine" -> s16SphericalRefine,
     "s6_quantize_int8" -> s6QuantizeInt8,
@@ -1853,6 +2004,7 @@ object Similarity {
     "s7_ann_recall" -> s7Sql,
     "s10_ivf_multiprobe" -> s10Sql,
     "s14_kmeans_refine" -> s14Sql,
+    "s21_maximin_refine" -> s21Sql,
     "s15_scaled_nlist" -> s15Sql,
     "s16_spherical_refine" -> s16Sql,
     "s6_quantize_int8" -> s6Sql,

@@ -47,6 +47,7 @@ class AntiPatternSweepSpec extends SparkSpecBase {
     "s4_ivf_topk",            // bounded centroid/dim relation
     "s10_ivf_multiprobe",     // bounded centroids + 1-row count aggregates
     "s14_kmeans_refine",      // broadcast of k centroid rows per iteration
+    "s21_maximin_refine",     // broadcast of ≤k seed/centroid rows per round
     "s15_scaled_nlist",       // broadcast of ≤32 centroid rows + 1-row count aggregates
     "s16_spherical_refine",   // broadcast of k centroid rows per refit variant
     "s19_ivfpq",              // broadcast 8-row centroid dim (query probe side)
