@@ -62,6 +62,10 @@ class AntiPatternSweepSpec extends SparkSpecBase {
     "st5_availablenow_catchup" -> "EventWindows.tumbling audited below",
     "st8_checkpoint_resume" -> "EventWindows.tumbling audited below",
     "st9_commit_protocol" -> "EventWindows.tumbling audited below",
+    "st14_exactly_once" ->
+      ("idempotent foreachBatch sink; the replay discipline is exercised " +
+        "by the harness's own injected-crash requires, result is a " +
+        "post-hoc per-type scan aggregate"),
     "st10_stream_static_enrich" ->
       ("broadcast-dim join + tumbling agg; batch twin audited below, " +
         "join shape in StreamStaticJoinSpec"),
