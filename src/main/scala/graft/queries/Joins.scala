@@ -235,11 +235,17 @@ object Joins {
       col("event_id"), col("value"))
     val dim = customer(s, d).select(col("c_custkey").as("cust_id"),
       col("c_mktsegment").as("segment"))
+    j5Of(fact, dim)
+  }
+
+  /** The j5 core over any (cust_id, value) fact and (cust_id, segment)
+    * dim — factored for [[graft.tools.ScaleHeadroom]].
+    */
+  private[graft] def j5Of(fact: DataFrame, dim: DataFrame): DataFrame =
     saltedFactOf(fact).join(saltedDimOf(dim), Seq("cust_id", "salt"))
       .groupBy(col("segment"))
       .agg(count(lit(1)).as("n"), r6(dsum(col("value"))).as("total_value"))
       .orderBy("segment")
-  }
 
   val j5Sql: String =
     """SELECT c_mktsegment AS segment, count(*) AS n,

@@ -42,8 +42,14 @@ object Sketches {
     * against the BROADCAST counter table. At 100 TB the sketch stays
     * 256 rows; only width/depth — not data volume — size the state.
     */
-  def k1CmsHeavyHitters(s: SparkSession, d: String): DataFrame = {
-    val words = tokens(s, d)
+  def k1CmsHeavyHitters(s: SparkSession, d: String): DataFrame =
+    k1Of(tokens(s, d))
+
+  /** The k1 core over any single-column `word` frame — factored so
+    * [[graft.tools.ScaleHeadroom]] can time the data-sized stage
+    * (counter build + exact top-20) on an enlarged corpus.
+    */
+  private[graft] def k1Of(words: DataFrame): DataFrame = {
     val cells = words
       .select(posexplode(cmsCells(col("word"))).as(Seq("r", "c")))
     val counters = cells.groupBy(col("r"), col("c"))
@@ -120,11 +126,16 @@ object Sketches {
     * URLs/tokens per domain is a groups×256-int state — kilobytes per
     * group — while the exact pass shuffles every distinct token.
     */
-  def k2HllDistinct(s: SparkSession, d: String): DataFrame = {
-    val words = documentsSpread(s, d)
+  def k2HllDistinct(s: SparkSession, d: String): DataFrame =
+    k2Of(documentsSpread(s, d)
       .select(col("source"),
         explode(split(trim(col("text")), "\\s+")).as("word"))
-      .filter(length(col("word")) > 0)
+      .filter(length(col("word")) > 0))
+
+  /** The k2 core over any (source, word) frame — factored for
+    * [[graft.tools.ScaleHeadroom]].
+    */
+  private[graft] def k2Of(words: DataFrame): DataFrame = {
     val hashed = words.select(col("source"), col("word"),
       md5Hash32(concat(lit("hll:"), col("word"))).as("h"))
     val regs = hashed
@@ -225,9 +236,14 @@ object Sketches {
     * bits/key for 1% fp) but stays bytes-per-million-keys — always the
     * broadcastable side, while the probe side streams map-side.
     */
-  def k3BloomMembership(s: SparkSession, d: String): DataFrame = {
-    val docs = documentsSpread(s, d)
-      .select(col("doc_id"), md5(col("text")).as("key"))
+  def k3BloomMembership(s: SparkSession, d: String): DataFrame =
+    k3Of(documentsSpread(s, d)
+      .select(col("doc_id"), md5(col("text")).as("key")))
+
+  /** The k3 core over any (doc_id, key) frame — factored for
+    * [[graft.tools.ScaleHeadroom]].
+    */
+  private[graft] def k3Of(docs: DataFrame): DataFrame = {
     val history = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0)
     val bits = history
       .select(explode(bloomPositions(col("key"))).as("bit"))
@@ -311,8 +327,14 @@ object Sketches {
     * resolution joins 3 rows × ≤ 128 bins. At 100 TB the state is
     * still 128 longs per merge site.
     */
-  def k4HistQuantiles(s: SparkSession, d: String): DataFrame = {
-    val v = lineitem(s, d).select(col("l_extendedprice").as("v"))
+  def k4HistQuantiles(s: SparkSession, d: String): DataFrame =
+    k4Of(lineitem(s, d).select(col("l_extendedprice").as("v")))
+
+  /** The k4 core over any single-column `v` frame — factored for
+    * [[graft.tools.ScaleHeadroom]].
+    */
+  private[graft] def k4Of(v: DataFrame): DataFrame = {
+    val s = v.sparkSession
     // Pass 1: the exact (min, max, n) envelope, collected to the driver
     // (1 row) and injected as literals — so pass 2's binning scan is the
     // only other data-sized read and the operator is genuinely two-scan.

@@ -125,8 +125,57 @@ object ScaleHeadroom {
       enlargeDocsFull(base, scale).repartition(par, col("doc_id"))
     }
 
+    // r12-family inputs (k1–k4 sketches, j5 salted join): words/keys
+    // derive from the tagged doc copies (genuinely new tokens per
+    // copy); lineitem prices shift by the copy index (new values, same
+    // distribution); the events fact keeps its user_id space so the
+    // hot-key DENSITY — the thing j5 exists for — is preserved while
+    // volume grows, and the dim side stays fixed (production shape).
+    def wordsAt(scale: Int): DataFrame = docsAt(scale)
+      .select(explode(split(trim(col("text")), "\\s+")).as("word"))
+      .filter(length(col("word")) > 0)
+    def wordsSrcAt(scale: Int): DataFrame = docsAt(scale)
+      .select(pmod(col("doc_id"), lit(5)).cast("string").as("source"),
+        explode(split(trim(col("text")), "\\s+")).as("word"))
+      .filter(length(col("word")) > 0)
+    def keysAt(scale: Int): DataFrame = docsAt(scale)
+      .select(col("doc_id"), md5(col("text")).as("key"))
+    def priceAt(scale: Int): DataFrame = {
+      val base = Tables.lineitem(spark, sfDir)
+        .select(col("l_extendedprice").as("v"))
+      (0 until scale).map { i =>
+        if (i == 0) base else base.select((col("v") + lit(i.toDouble)).as("v"))
+      }.reduce(_ unionByName _).repartition(par)
+    }
+    def eventsFactAt(scale: Int): DataFrame = {
+      val base = Tables.events(spark, sfDir).select(
+        when(expr("user_id % 10") < 7, lit(1L))
+          .otherwise(col("user_id")).as("cust_id"),
+        col("event_id"), col("value"))
+      (0 until scale).map { i =>
+        if (i == 0) base
+        else base.select(col("cust_id"),
+          (col("event_id") + lit(i * 1000000000L)).as("event_id"),
+          col("value"))
+      }.reduce(_ unionByName _).repartition(par)
+    }
+    val custDim = Tables.customer(spark, sfDir)
+      .select(col("c_custkey").as("cust_id"),
+        col("c_mktsegment").as("segment"))
+
     val isBench = col("doc_id") % 100 === 0 && col("doc_id") < 1000000L
     val ops: Seq[(String, Int => DataFrame)] = Seq(
+      // ---- r12 family (r12 verdict ask #7) ----
+      // sketches: fixed-state aggregations — the whole point is that
+      // state stays depth×width / groups×256 / 4096 bits / 128 bins as
+      // data grows, so time should track the scan, ~linearly
+      "k1_cms" -> (n => graft.queries.Sketches.k1Of(wordsAt(n))),
+      "k2_hll" -> (n => graft.queries.Sketches.k2Of(wordsSrcAt(n))),
+      "k3_bloom" -> (n => graft.queries.Sketches.k3Of(keysAt(n))),
+      "k4_hist" -> (n => graft.queries.Sketches.k4Of(priceAt(n))),
+      // salted skew join: fact volume grows, key space fixed (hot key
+      // density preserved), dim fixed — the production skew shape
+      "j5_salted_join" -> (n => graft.queries.Joins.j5Of(eventsFactAt(n), custDim)),
       "d2_ngram_jaccard" -> (n => Dedup.d2PairsOf(setsOf(docsAt(n)))),
       "d3_minhash_lsh" -> (n => Dedup.minhashLsh(setsOf(docsAt(n)))),
       "d5_simhash_pairs" -> (n => Dedup.d5PairsOf(docsAt(n))),
