@@ -257,11 +257,125 @@ object Joins {
       |JOIN customer ON cust_id = c_custkey
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Conf scope with set-or-unset restore (the CatchupConf discipline,
+    * local to the j6 harness).
+    */
+  private def withConfs[A](s: SparkSession, kv: Seq[(String, String)])(
+      body: => A): A = {
+    val prior = kv.map { case (k, _) => k -> s.conf.getOption(k) }
+    kv.foreach { case (k, v) => s.conf.set(k, v) }
+    try body
+    finally prior.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None) => s.conf.unset(k)
+    }
+  }
+
+  /** The j6 join core: the PLAIN (unsalted) shuffle join over the same
+    * manufactured hot key as j5 — event_id carried through so the fact's
+    * shuffle rows have realistic width.
+    */
+  private[queries] def j6Core(factM: DataFrame, dim: DataFrame): DataFrame =
+    factM.join(dim, Seq("cust_id"))
+      .groupBy(col("segment"))
+      .agg(count(lit(1)).as("n"), r6(dsum(col("value"))).as("total_value"),
+        min(col("event_id")).as("first_event"),
+        max(col("event_id")).as("last_event"))
+
+  /** Execute [[j6Core]] under an AQE scope sized so runtime skew
+    * handling can engage at oracle scale (thresholds are MBs-scale
+    * knobs in production; here the hot partition is tens of KB). The
+    * join is forced to sort-merge (broadcast off — the skewed shape
+    * under test), executed to completion inside the scope, and when
+    * `skewEnabled` the final adaptive plan MUST carry the
+    * `skew=true` marker or the query refuses: silently falling back to
+    * one straggler task is exactly the failure mode this operator
+    * exists to rule out. Factored so `AqeSkewJoinSpec` can run the
+    * identical plan with skew handling off as a control.
+    */
+  private[queries] def runAqeSkewJoinWithPlan(s: SparkSession,
+      factM: DataFrame, dim: DataFrame,
+      skewEnabled: Boolean): (DataFrame, String) =
+    withConfs(s, Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> skewEnabled.toString,
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2.0",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "2KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "1KB")) {
+      val out = j6Core(factM, dim)
+      val materialized = out.localCheckpoint() // executes under this scope
+      val fin = out.queryExecution.executedPlan.toString
+      if (skewEnabled) require(fin.contains("skew=true"),
+        "j6: AQE did not split the skewed join partition - the hot key " +
+          "would run as one straggler task")
+      (materialized.orderBy("segment"), fin)
+    }
+
+  private[queries] def runAqeSkewJoin(s: SparkSession, factM: DataFrame,
+      dim: DataFrame, skewEnabled: Boolean): DataFrame =
+    runAqeSkewJoinWithPlan(s, factM, dim, skewEnabled)._1
+
+  /** J6 — AQE runtime skew-join handling: the OTHER half of the skew
+    * story next to j5. Salting (j5) PREVENTS skew by construction when
+    * the hot key is known in advance; AQE skew handling DETECTS it at
+    * runtime from shuffle-stage map statistics and splits the oversized
+    * partition into mapper-range slices, replicating the matching dim
+    * partition — no query rewrite, no prior knowledge of which key is
+    * hot. Same manufactured 70%-hot-key fact as j5; the fact is staged
+    * as a MULTI-FILE parquet table first because AQE's split granularity
+    * is the mapper: a single-mapper shuffle (one input split) is
+    * UNSPLITTABLE however skewed — measured here, and the production
+    * reading is that skew handling depends on upstream parallelism, not
+    * only on sizes. The oracle replays the plain relational join: the
+    * hash certifies runtime splitting changes the schedule, never the
+    * result. `AqeSkewJoinSpec` pins the control (same plan, skew
+    * handling off → no skew=true marker, same rows).
+    *
+    * Scale shape: this is the zero-effort first answer to skew at
+    * 100 TB (AQE is on by default); j5's salting remains the tool when
+    * a single KEY exceeds what one dim replica can absorb or when the
+    * skewed stage feeds a further keyed operation AQE cannot re-split.
+    */
+  def j6AqeSkewJoin(s: SparkSession, d: String): DataFrame = {
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_j6_" +
+      s.sparkContext.applicationId + "_" + Integer.toHexString(d.hashCode) +
+      "_" + java.util.UUID.randomUUID().toString.take(8)
+    val basePath = new org.apache.hadoop.fs.Path(base)
+    val fs = basePath.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(basePath, true)
+    try {
+      events(s, d).select(
+          when(expr("user_id % 10") < 7, lit(1L))
+            .otherwise(col("user_id")).as("cust_id"),
+          col("event_id"), col("value"))
+        .repartition(8)
+        .write.parquet(s"$base/fact")
+      val factM = s.read.parquet(s"$base/fact")
+      val dim = customer(s, d).select(col("c_custkey").as("cust_id"),
+        col("c_mktsegment").as("segment"))
+      runAqeSkewJoin(s, factM, dim, skewEnabled = true)
+        .localCheckpoint() // scratch dir is deleted in finally
+    } finally fs.delete(basePath, true)
+  }
+
+  val j6Sql: String =
+    """SELECT c_mktsegment AS segment, count(*) AS n,
+      |  floor(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+      |      * 1000000.0 + 0.5) / 1000000.0 AS total_value,
+      |  min(event_id) AS first_event, max(event_id) AS last_event
+      |FROM (SELECT CASE WHEN user_id % 10 < 7 THEN 1 ELSE user_id END
+      |        AS cust_id, event_id, value
+      |      FROM events) e
+      |JOIN customer ON cust_id = c_custkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "j1_asof_join" -> j1AsofJoin,
     "j2_range_join" -> j2RangeJoin,
     "j4_bucketed_join" -> j4BucketedJoin,
     "j5_salted_skew_join" -> j5SaltedSkewJoin,
+    "j6_aqe_skew_join" -> j6AqeSkewJoin,
   )
 
   val oracle: Map[String, String] = Map(
@@ -269,5 +383,6 @@ object Joins {
     "j2_range_join" -> j2Sql,
     "j4_bucketed_join" -> j4Sql,
     "j5_salted_skew_join" -> j5Sql,
+    "j6_aqe_skew_join" -> j6Sql,
   )
 }

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables._
 
@@ -12,6 +12,16 @@ import graft.Tables._
   * owns — partition/file/row-group pruning is how a full-corpus scan
   * becomes a 1% scan — and it is a property of HOW THE DATA WAS WRITTEN,
   * not of the query plan, which is why it earns an operator of its own.
+  *
+  * Three pruning mechanisms, one per operator:
+  *   - a14: STATIC file/row-group skipping — a literal range predicate
+  *     against footer min/max stats on a range-clustered layout.
+  *   - a15: DYNAMIC partition pruning — the qualifying partition set is
+  *     not known at plan time (it comes from a filtered dimension); the
+  *     fact scan is pruned at RUNTIME by the broadcast join result.
+  *   - a16: MULTI-DIMENSIONAL clustering (z-order) — bit-interleaved
+  *     clustering so range predicates on EITHER of two columns skip
+  *     files, where a linear sort serves only its leading column.
   */
 object Layout {
 
@@ -104,11 +114,266 @@ object Layout {
       |WHERE ts >= TIMESTAMP '$PruneLo' AND ts < TIMESTAMP '$PruneHi'
       |GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // ---- A15: dynamic partition pruning ---------------------------------
+
+  /** The dim filter: every day-of-month ≡ 3 (mod 7) — {3, 10, 17, 24,
+    * 31}, 5 of the corpus's 30 daily partitions. Chosen over a
+    * day-of-WEEK filter because day-of-month arithmetic is identical in
+    * Spark and DuckDB (dayofweek numbering differs between engines).
+    */
+  private[queries] val DppDomResidue = 3
+
+  /** Write the standard production fact layout — `events`
+    * HIVE-PARTITIONED by day (`.../day=2024-01-03/part-*.parquet`), the
+    * layout every large event table ships with — plus a date dimension
+    * as a separate parquet table. Both are read back from disk, so the
+    * dim's qualifying day set is genuinely opaque at plan time.
+    */
+  private[queries] def writeDayPartitionedLayout(s: SparkSession, d: String,
+      base: String): Unit = {
+    val key = "spark.sql.parquet.outputTimestampType"
+    val prior = s.conf.get(key)
+    s.conf.set(key, "TIMESTAMP_MICROS")
+    try {
+      events(s, d)
+        .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+        .write.partitionBy("day").parquet(s"$base/fact")
+      s.range(0, 31)
+        .select(
+          date_format(date_add(to_date(lit("2024-01-01")),
+            col("id").cast("int")), "yyyy-MM-dd").as("day"),
+          (col("id") + 1).cast("int").as("dom"))
+        .write.parquet(s"$base/dim")
+    } finally s.conf.set(key, prior)
+  }
+
+  /** The a15 join+aggregate over an already-written layout, factored so
+    * the spec can run it with dynamic pruning toggled off as a control.
+    */
+  private[queries] def dppQuery(s: SparkSession, base: String): DataFrame = {
+    val fact = s.read.parquet(s"$base/fact")
+    val dim = s.read.parquet(s"$base/dim")
+      .filter(col("dom") % 7 === lit(DppDomResidue))
+    fact.join(dim, Seq("day"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        r6(dsum(col("value"))).as("total_value"),
+        min(col("event_id")).as("first_event"),
+        max(col("event_id")).as("last_event"))
+  }
+
+  /** A15 — DYNAMIC partition pruning: the runtime scan-elimination
+    * mechanism a14's static skipping cannot cover. The query is the
+    * classic warehouse shape — a day-partitioned fact joined to a date
+    * dimension with a selective filter (`dom % 7 = 3`) — where the
+    * qualifying partition set is NOT visible to the planner (the dim is
+    * a parquet table on disk, not literals). A static planner must scan
+    * all 30 partitions; Spark's DPP instead broadcasts the filtered dim
+    * first and injects its day set into the fact scan's partition
+    * filters at RUNTIME (`dynamicpruningexpression(day IN ...)`),
+    * scanning 5/30 partitions. The in-query `require` pins the
+    * mechanism (the plan must carry the dynamicpruning subquery); the
+    * scan-metric proof — pruned scan reads exactly the qualifying
+    * partitions' rows, the DPP-disabled control reads ALL rows — is
+    * pinned in `DynamicPruneSpec`. The oracle replays the day filter
+    * relationally against the original events table: the hash certifies
+    * the partitioned layout round-trip is lossless and runtime pruning
+    * drops nothing.
+    *
+    * At 100 TB this is THE fact-table access path: a 3-year daily
+    * fact joined to `dim_date WHERE is_holiday` reads only holiday
+    * partitions — a ~2-order-of-magnitude scan cut no static optimizer
+    * can make, because the qualifying set lives in data, not in the
+    * query text.
+    */
+  def a15DynamicPrune(s: SparkSession, d: String): DataFrame = {
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_a15_" +
+      s.sparkContext.applicationId + "_" + Integer.toHexString(d.hashCode) +
+      "_" + java.util.UUID.randomUUID().toString.take(8)
+    val basePath = new org.apache.hadoop.fs.Path(base)
+    val fs = basePath.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(basePath, true)
+    try {
+      writeDayPartitionedLayout(s, d, base)
+      val out = dppQuery(s, base)
+      val plan = out.queryExecution.executedPlan.toString
+      require(plan.contains("dynamicpruning"),
+        "a15: no dynamicpruning expression in the fact scan's partition " +
+          "filters - the join would statically scan every partition")
+      out.localCheckpoint().orderBy("event_type")
+    } finally fs.delete(basePath, true)
+  }
+
+  val a15Sql: String =
+    s"""SELECT event_type, count(*) AS n,
+      |  ${r6Sql("CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)")}
+      |    AS total_value,
+      |  min(event_id) AS first_event, max(event_id) AS last_event
+      |FROM events
+      |WHERE (EXTRACT(DAY FROM ts)) % 7 = $DppDomResidue
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // ---- A16: z-order (multi-dimensional) clustering ---------------------
+
+  /** The a16 user slice, as integer fractions of the OBSERVED user
+    * domain [0, max]: [30%, 45%) of (max+1) — chosen to sit strictly
+    * inside ONE user quarter-band of the z-octants at every testdata
+    * scale factor (the user domain grows with SF: 15 users at sf0.001,
+    * 150 at sf0.01), so the slice is non-empty, selective, and
+    * octant-prunable at each. Both engines compute the same integer
+    * arithmetic (Scala driver literals / DuckDB scalar subquery with
+    * `//`).
+    */
+  private[queries] def zUserBounds(maxUser: Long): (Long, Long) =
+    (3L * (maxUser + 1) / 10L, 9L * (maxUser + 1) / 20L)
+
+  /** Spread the low 8 bits of `x` so they occupy even bit positions
+    * (b7 b6 … b0 → b7 0 b6 0 … b0) — the classic two-dimensional Morton
+    * spread via shift/mask stages, all codegen-friendly integer ops.
+    */
+  private[queries] def spread8(x: Column): Column = {
+    val a = x.bitwiseAND(lit(255))
+    val b = a.bitwiseOR(shiftleft(a, 4)).bitwiseAND(lit(0x0F0F))
+    val c = b.bitwiseOR(shiftleft(b, 2)).bitwiseAND(lit(0x3333))
+    c.bitwiseOR(shiftleft(c, 1)).bitwiseAND(lit(0x5555))
+  }
+
+  /** 16-bit z-value interleaving 8 bits of (scaled) user_id with 8 bits
+    * of (scaled) corpus-day index — user bits in odd positions, day bits
+    * in even, so the top-3 octant bits are (user, day, user): octants
+    * split user space into quarters × day space into halves. Both
+    * dimensions are stretched onto the full 8-bit range by their
+    * OBSERVED maxima (one bounded stats pass at write time — the k4
+    * envelope discipline); without the stretch a domain occupying a
+    * fraction of the bit range collapses into few octants and the boxes
+    * stop pruning, which is exactly what a fixed assumed domain did at
+    * the small scale factor. At production scale the bit budget grows
+    * with the domain; the interleave shape is unchanged.
+    */
+  private[queries] def zValue(userId: Column, ts: Column,
+      maxUser: Long, maxDay: Long): Column = {
+    val u8 = (userId * lit(255) / lit(math.max(maxUser, 1L))).cast("int")
+    val dayIdx = datediff(to_date(ts), to_date(lit("2024-01-01")))
+    val d8 = (dayIdx * lit(255) / lit(math.max(maxDay, 1L))).cast("int")
+    shiftleft(spread8(u8), 1).bitwiseOR(spread8(d8))
+  }
+
+  /** Write `events` z-order-clustered on (user_id, ts) into 8 files —
+    * one per z-OCTANT (top 3 interleaved bits), so every file's
+    * (user_id, ts) bounding box is an exact octant: user_id confined to
+    * a quarter of its domain AND ts to half the corpus. Bit-aligned
+    * octant boundaries (not sample-based range splits) are what make the
+    * boxes exact — a quantile cut mid-octant produces files whose
+    * bounding box spans both halves of the secondary dimension, which is
+    * precisely the failure a measured prototype showed for
+    * `repartitionByRange(z)`.
+    *
+    * Found en route and load-bearing, pinned in `ZorderPruneSpec`: with
+    * the raw TIMESTAMP_NTZ ts column, Spark 4.1 lists the ts range
+    * predicate in PushedFilters but performs NO row-group skipping on
+    * it (footer stats present and tight, scan reads 100%); the same
+    * layout with ts as TIMESTAMP (LTZ, micros) skips correctly. The
+    * canonical [[graft.Tables.events]] reader already normalizes to LTZ,
+    * and this writer would fail its spec otherwise — recording it here
+    * because it is invisible at query level (correct answers, silent
+    * full scan), exactly like the INT96 hazard a14 pinned.
+    */
+  /** Observed (max user_id, max day index) — the bounded one-row stats
+    * pass the z-scaling needs at write time.
+    */
+  private[queries] def zDomain(s: SparkSession, d: String): (Long, Long) = {
+    val row = events(s, d).agg(
+      max(col("user_id")),
+      max(datediff(to_date(col("ts")), to_date(lit("2024-01-01"))))).head()
+    (row.getLong(0), row.getInt(1).toLong)
+  }
+
+  private[queries] def writeZorderLayout(s: SparkSession, d: String,
+      path: String, maxUser: Long, maxDay: Long): Unit = {
+    val key = "spark.sql.parquet.outputTimestampType"
+    val prior = s.conf.get(key)
+    s.conf.set(key, "TIMESTAMP_MICROS")
+    try events(s, d)
+      .select(col("event_id"), col("ts"), col("event_type"),
+        col("user_id"), col("value"))
+      .withColumn("z", zValue(col("user_id"), col("ts"), maxUser, maxDay))
+      .withColumn("zoct", shiftright(col("z"), 13).bitwiseAND(lit(7)))
+      .repartition(8, col("zoct"))
+      .sortWithinPartitions("z")
+      .drop("z")
+      .write.partitionBy("zoct").parquet(path)
+    finally s.conf.set(key, prior)
+  }
+
+  /** A16 — z-order clustering: the multi-dimensional answer to a14's
+    * one-dimensional sort. A ts-sorted layout prunes ts slices perfectly
+    * and user slices not at all; interleaving the two dimensions' bits
+    * buys partial pruning on BOTH — each of the 8 octant files confines
+    * user_id to a quarter of its domain and ts to half the corpus, so a
+    * user-range query reads ~2/8 files and a ts-range query ~4/8,
+    * without knowing at write time which dimension queries will filter
+    * on. The oracle-checked query is the user-range slice (the
+    * dimension the a14 layout CANNOT serve), replayed relationally
+    * against the original events table; the `require` pins that the
+    * user_id predicate reaches the scan. `ZorderPruneSpec` pins the
+    * scan metrics for both dimensions against the linear-sort control.
+    *
+    * Scale shape: one hash shuffle on the octant key at write time
+    * (at 100 TB: z-range partitioning into thousands of bit-aligned
+    * tiles, same top-bits math); reads are file-parallel over the
+    * intersecting octants only. This is the curse-of-dimensionality
+    * trade in its standard production form (Delta/Iceberg OPTIMIZE
+    * ZORDER): each of k dimensions prunes to ~(1/2)^(bits-per-dim
+    * granted), rather than one dimension pruning perfectly.
+    */
+  def a16ZorderPrune(s: SparkSession, d: String): DataFrame = {
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_a16_" +
+      s.sparkContext.applicationId + "_" + Integer.toHexString(d.hashCode) +
+      "_" + java.util.UUID.randomUUID().toString.take(8)
+    val basePath = new org.apache.hadoop.fs.Path(base)
+    val fs = basePath.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(basePath, true)
+    try {
+      val (maxUser, maxDay) = zDomain(s, d)
+      val (uLo, uHi) = zUserBounds(maxUser)
+      writeZorderLayout(s, d, s"$base/zorder", maxUser, maxDay)
+      val sliced = s.read.parquet(s"$base/zorder")
+        .filter(col("user_id") >= uLo && col("user_id") < uHi)
+      val pushed = sliced.queryExecution.executedPlan.toString
+      require(pushed.contains("GreaterThanOrEqual(user_id") &&
+        pushed.contains("LessThan(user_id"),
+        "a16: user_id range predicate did not reach the parquet scan - " +
+          "z-order pruning would be a post-scan filter")
+      sliced
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          r6(dsum(col("value"))).as("total_value"),
+          min(col("event_id")).as("first_event"),
+          max(col("event_id")).as("last_event"))
+        .localCheckpoint()
+        .orderBy("event_type")
+    } finally fs.delete(basePath, true)
+  }
+
+  val a16Sql: String =
+    s"""SELECT event_type, count(*) AS n,
+      |  ${r6Sql("CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)")}
+      |    AS total_value,
+      |  min(event_id) AS first_event, max(event_id) AS last_event
+      |FROM events
+      |WHERE user_id >= (SELECT 3 * (max(user_id) + 1) // 10 FROM events)
+      |  AND user_id < (SELECT 9 * (max(user_id) + 1) // 20 FROM events)
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a14_minmax_prune" -> a14MinmaxPrune,
+    "a15_dynamic_prune" -> a15DynamicPrune,
+    "a16_zorder_prune" -> a16ZorderPrune,
   )
 
   val oracle: Map[String, String] = Map(
     "a14_minmax_prune" -> a14Sql,
+    "a15_dynamic_prune" -> a15Sql,
+    "a16_zorder_prune" -> a16Sql,
   )
 }

@@ -3,9 +3,6 @@ package graft.queries
 import graft.{SparkSpecBase, Tables}
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.execution.SparkPlan
-import org.apache.spark.sql.execution.FileSourceScanExec
-import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
 import org.apache.spark.sql.functions._
 
 /** Pins the a14 data-skipping proof (r12 verdict "next round" #2): on a
@@ -19,23 +16,8 @@ import org.apache.spark.sql.functions._
   */
 class MinMaxPruneSpec extends SparkSpecBase {
 
-  /** Rows the leaf file scans actually emitted for `df`'s last run —
-    * row groups skipped via footer stats never reach this count.
-    */
-  private def scanOutputRows(df: DataFrame): Long = {
-    df.collect()
-    def strip(p: SparkPlan): Seq[SparkPlan] = p match {
-      case a: AdaptiveSparkPlanExec => strip(a.executedPlan)
-      case other =>
-        Seq(other) ++ other.children.flatMap(strip) ++
-          other.subqueries.flatMap(strip)
-    }
-    val scans = strip(df.queryExecution.executedPlan).collect {
-      case f: FileSourceScanExec => f
-    }
-    assert(scans.nonEmpty, "no FileSourceScan in executed plan")
-    scans.map(_.metrics("numOutputRows").value).sum
-  }
+  private def scanOutputRows(df: DataFrame): Long =
+    ScanMetrics.scanOutputRows(df)
 
   test("range-clustered layout prunes; round-robin control cannot") {
     val base = s"${System.getProperty("java.io.tmpdir")}/graft_mmprune_" +
