@@ -281,13 +281,103 @@ object Sessionize {
       |GROUP BY user_id, session_seq
       |ORDER BY user_id, session_start_us""".stripMargin
 
+  /** ST15 — the DECLARATIVE sessionization path: Spark's built-in
+    * `session_window` grouping (gap-based merging windows) instead of
+    * st7's hand-rolled `flatMapGroupsWithState`. What it buys at scale:
+    * the state is managed by the native streaming-aggregation operator
+    * (session merge/eviction in the state store, watermark-driven), the
+    * aggregation is whole-stage-codegen'd, and APPEND mode emits each
+    * finalized session EXACTLY ONCE when the watermark passes
+    * `session end + gap` — no latest-wins collapse needed. The cost is
+    * expressiveness: st7's custom state can seal stragglers or carry
+    * arbitrary per-session structure; `session_window` is
+    * count/sum-style aggregates only.
+    *
+    * Bounded-run determinism uses the st11 sentinel discipline: append
+    * mode only emits sessions the WATERMARK has sealed, so a single
+    * staged file would emit nothing (the final watermark lags max event
+    * time by the gap). A far-future sentinel row in a LATER micro-batch
+    * (`maxFilesPerTrigger=1` + mtime gap) drags the watermark past every
+    * real session's seal point; the sentinel's own session stays open
+    * and is dropped by `user_id >= 0`.
+    *
+    * Gap semantics pinned by `SessionWindowSpec` with a boundary pair:
+    * `session_window` merges INCLUSIVELY — two events exactly one gap
+    * apart share a session, one microsecond beyond splits — which is
+    * the same `<= gap` island rule st3/st7 implement, so all three
+    * sessionization forms agree event-for-event and this oracle is
+    * st7's (session end surfaced as last-event time).
+    */
+  def st15SessionWindow(s: SparkSession, d: String): DataFrame =
+    CatchupConf.withBoundedStatePartitions(s) {
+    import org.apache.spark.sql.streaming.Trigger
+    val raw = eventsRaw(s, d)
+    val rawSchema = raw.schema
+    val dir = java.nio.file.Files.createTempDirectory("graft_st15_")
+    val sink = "st15_out_" +
+      java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+    try {
+      val eventsFile = dir.resolve("a_events.parquet")
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$d/events.parquet"), eventsFile)
+      val maxUs = raw.agg(max(tsMicros(raw))).head().getLong(0)
+      val sentinelTs = tsRawValue(rawSchema, maxUs + 100L * 24 * 3600 * 1000000L)
+      val scratch = dir.resolve("scratch")
+      s.createDataFrame(
+          java.util.Arrays.asList(
+            org.apache.spark.sql.Row(-101L, sentinelTs, -1L, "click", 0.0, "")),
+          rawSchema)
+        .coalesce(1).write.parquet(scratch.toString)
+      import scala.jdk.CollectionConverters._
+      val part = java.nio.file.Files.list(scratch).iterator().asScala
+        .find(_.toString.endsWith(".parquet")).get
+      val sentinelFile = dir.resolve("b_sentinel.parquet")
+      java.nio.file.Files.copy(part, sentinelFile)
+      org.apache.commons.io.FileUtils.deleteDirectory(scratch.toFile)
+      java.nio.file.Files.setLastModifiedTime(sentinelFile,
+        java.nio.file.attribute.FileTime.fromMillis(
+          java.nio.file.Files.getLastModifiedTime(eventsFile).toMillis + 60000))
+
+      val streamEv = normalizeTs(s.readStream
+          .schema(rawSchema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(dir.toString))
+        .withWatermark("ts", s"$gapMinutes minutes")
+      val q = streamEv
+        .groupBy(session_window(col("ts"), s"$gapMinutes minutes"),
+          col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      require(q.awaitTermination(180000), "st15 stream did not finish in time")
+      s.table(sink)
+        .filter(col("user_id") >= 0) // drop the sentinel's open session
+        .select(col("user_id"),
+          unix_micros(col("session_window.start")).as("session_start_us"),
+          // session_window.end = last event + gap; surface the last
+          // event time so the oracle compares max(ts) directly
+          (unix_micros(col("session_window.end")) -
+            gapMinutes * 60000000L).as("session_end_us"),
+          col("n_events"))
+        .localCheckpoint()
+        .orderBy("user_id", "session_start_us")
+    } finally {
+      s.catalog.dropTempView(sink)
+      org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+    }
+  }
+
+  val st15Sql: String = st7Sql
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st3_sessionize" -> st3Sessionize,
     "st7_stream_sessionize" -> st7StreamSessionize,
+    "st15_session_window" -> st15SessionWindow,
   )
 
   val oracle: Map[String, String] = Map(
     "st3_sessionize" -> st3Sql,
     "st7_stream_sessionize" -> st7Sql,
+    "st15_session_window" -> st15Sql,
   )
 }
