@@ -1,0 +1,144 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables._
+
+/** Warehouse maintenance operators: the two change-data shapes every
+  * large dimensional pipeline runs — building a type-2 slowly-changing
+  * dimension from a change stream (o9), and applying a CDC batch to a
+  * keyed snapshot with MERGE semantics (o10). Neither exists in the
+  * reference (its dims are scraped fresh each run); both are core to
+  * operating the same data at warehouse scale, where "re-scrape
+  * everything" stops being an option and history/idempotent-apply
+  * become the contract.
+  */
+object Warehouse {
+
+  /** O9 — SCD type-2 history build: each user's purchase stream becomes
+    * versioned validity intervals — (value, valid_from, valid_to,
+    * is_current), `valid_to` = next change's timestamp, open interval
+    * surfaced as −1 (cross-engine null/dtype rules). Pre-aggregating
+    * per (user, ts) makes the version sequence deterministic; the
+    * interval chain is two window functions over ONE (user × ts) sort —
+    * a single shuffle on user_id, linear per partition, the same
+    * scale shape however many billions of change rows flow through.
+    * `WarehouseSpec` pins the structural invariants (gapless
+    * non-overlapping intervals, exactly one open version per user);
+    * the oracle replays the windows relationally.
+    */
+  def o9Scd2History(s: SparkSession, d: String): DataFrame = {
+    val upd = events(s, d)
+      .filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("value")).as("value"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+    upd
+      .withColumn("version", row_number().over(w).cast("long"))
+      .withColumn("next_ts", lead(col("ts"), 1).over(w))
+      .select(col("user_id"), col("version"),
+        unix_micros(col("ts")).as("valid_from_us"),
+        coalesce(unix_micros(col("next_ts")), lit(-1L)).as("valid_to_us"),
+        when(col("next_ts").isNull, lit(1)).otherwise(lit(0)).as("is_current"),
+        col("value"))
+      .orderBy("user_id", "version")
+  }
+
+  val o9Sql: String =
+    """WITH upd AS (
+      |  SELECT user_id, ts, max(value) AS value
+      |  FROM events WHERE event_type = 'purchase'
+      |  GROUP BY user_id, ts)
+      |SELECT user_id,
+      |  CAST(row_number() OVER w AS BIGINT) AS version,
+      |  epoch_us(ts) AS valid_from_us,
+      |  coalesce(epoch_us(lead(ts) OVER w), -1) AS valid_to_us,
+      |  CASE WHEN lead(ts) OVER w IS NULL THEN 1 ELSE 0 END AS is_current,
+      |  value
+      |FROM upd
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+      |ORDER BY user_id, version""".stripMargin
+
+  /** The o10 change-set: each user's LATEST event among
+    * purchase/signup/error (ties impossible — (ts, event_id) is unique)
+    * becomes one CDC row: `error` → delete, otherwise upsert of the
+    * event's value as the new balance.
+    */
+  private[queries] def o10Changes(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    events(s, d)
+      .filter(col("event_type").isin("purchase", "signup", "error"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id").as("cust_id"),
+        when(col("event_type") === "error", lit("D")).otherwise(lit("U"))
+          .as("op"),
+        col("value").as("new_bal"))
+  }
+
+  /** O10 — MERGE / CDC apply: one shuffle full-outer join of the keyed
+    * base snapshot (customer) against the change-set, producing the next
+    * snapshot — updates overwrite the balance, inserts surface keys the
+    * base never had (segment `UNKNOWN`), deletes drop the row (and a
+    * delete for an absent key is a no-op, the idempotent-merge edge
+    * case). This is `MERGE INTO` semantics built from exchange
+    * primitives: deterministic, no driver loops, and at 100 TB exactly
+    * the shape a table-format merge executes under the hood (join
+    * changes to base files, rewrite touched files) — with a format like
+    * Delta/Iceberg the SAME change-set feeds the transactional variant.
+    * `WarehouseSpec` pins the key algebra (result keys = base − deleted
+    * + inserted) and that exactly the changed keys differ from the
+    * base.
+    */
+  def o10MergeUpsert(s: SparkSession, d: String): DataFrame = {
+    val base = customer(s, d).select(col("c_custkey").as("cust_id"),
+      col("c_mktsegment").as("segment"), col("c_acctbal").as("bal"))
+    o10Apply(base, o10Changes(s, d))
+  }
+
+  /** The merge core over any (cust_id, segment, bal) base and
+    * (cust_id, op, new_bal) change-set — factored for the spec.
+    */
+  private[queries] def o10Apply(base: DataFrame, chg: DataFrame): DataFrame =
+    base.join(chg, Seq("cust_id"), "full_outer")
+      .filter(col("op").isNull || col("op") === "U")
+      .select(col("cust_id"),
+        coalesce(col("segment"), lit("UNKNOWN")).as("segment"),
+        when(col("op") === "U", col("new_bal")).otherwise(col("bal"))
+          .as("bal"))
+      .orderBy("cust_id")
+
+  val o10Sql: String =
+    """WITH ranked AS (
+      |  SELECT user_id AS cust_id, event_type, value,
+      |    row_number() OVER (PARTITION BY user_id
+      |      ORDER BY ts DESC, event_id DESC) AS rn
+      |  FROM events WHERE event_type IN ('purchase', 'signup', 'error')),
+      |chg AS (
+      |  SELECT cust_id,
+      |    CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+      |    value AS new_bal
+      |  FROM ranked WHERE rn = 1),
+      |base AS (
+      |  SELECT c_custkey AS cust_id, c_mktsegment AS segment,
+      |    c_acctbal AS bal
+      |  FROM customer)
+      |SELECT coalesce(b.cust_id, c.cust_id) AS cust_id,
+      |  coalesce(b.segment, 'UNKNOWN') AS segment,
+      |  CASE WHEN c.op = 'U' THEN c.new_bal ELSE b.bal END AS bal
+      |FROM base b FULL JOIN chg c ON b.cust_id = c.cust_id
+      |WHERE c.op IS NULL OR c.op = 'U'
+      |ORDER BY cust_id""".stripMargin
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "o9_scd2_history" -> o9Scd2History,
+    "o10_merge_upsert" -> o10MergeUpsert,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "o9_scd2_history" -> o9Sql,
+    "o10_merge_upsert" -> o10Sql,
+  )
+}
