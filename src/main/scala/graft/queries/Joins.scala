@@ -275,7 +275,7 @@ object Joins {
     * manufactured hot key as j5 — event_id carried through so the fact's
     * shuffle rows have realistic width.
     */
-  private[queries] def j6Core(factM: DataFrame, dim: DataFrame): DataFrame =
+  private[graft] def j6Core(factM: DataFrame, dim: DataFrame): DataFrame =
     factM.join(dim, Seq("cust_id"))
       .groupBy(col("segment"))
       .agg(count(lit(1)).as("n"), r6(dsum(col("value"))).as("total_value"),
@@ -293,7 +293,7 @@ object Joins {
     * exists to rule out. Factored so `AqeSkewJoinSpec` can run the
     * identical plan with skew handling off as a control.
     */
-  private[queries] def runAqeSkewJoinWithPlan(s: SparkSession,
+  private[graft] def runAqeSkewJoinWithPlan(s: SparkSession,
       factM: DataFrame, dim: DataFrame,
       skewEnabled: Boolean): (DataFrame, String) =
     withConfs(s, Seq(

@@ -28,8 +28,14 @@ object Warehouse {
     * non-overlapping intervals, exactly one open version per user);
     * the oracle replays the windows relationally.
     */
-  def o9Scd2History(s: SparkSession, d: String): DataFrame = {
-    val upd = events(s, d)
+  def o9Scd2History(s: SparkSession, d: String): DataFrame =
+    o9Of(events(s, d)).orderBy("user_id", "version")
+
+  /** The o9 core over any events-shaped change source — factored for
+    * [[graft.tools.ScaleHeadroom]] (unordered; the query sorts).
+    */
+  private[graft] def o9Of(ev: DataFrame): DataFrame = {
+    val upd = ev
       .filter(col("event_type") === "purchase")
       .groupBy(col("user_id"), col("ts"))
       .agg(max(col("value")).as("value"))
@@ -42,7 +48,6 @@ object Warehouse {
         coalesce(unix_micros(col("next_ts")), lit(-1L)).as("valid_to_us"),
         when(col("next_ts").isNull, lit(1)).otherwise(lit(0)).as("is_current"),
         col("value"))
-      .orderBy("user_id", "version")
   }
 
   val o9Sql: String =
@@ -65,10 +70,13 @@ object Warehouse {
     * becomes one CDC row: `error` → delete, otherwise upsert of the
     * event's value as the new balance.
     */
-  private[queries] def o10Changes(s: SparkSession, d: String): DataFrame = {
+  private[queries] def o10Changes(s: SparkSession, d: String): DataFrame =
+    o10ChangesOf(events(s, d))
+
+  private[graft] def o10ChangesOf(ev: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("ts").desc, col("event_id").desc)
-    events(s, d)
+    ev
       .filter(col("event_type").isin("purchase", "signup", "error"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
@@ -101,7 +109,7 @@ object Warehouse {
   /** The merge core over any (cust_id, segment, bal) base and
     * (cust_id, op, new_bal) change-set — factored for the spec.
     */
-  private[queries] def o10Apply(base: DataFrame, chg: DataFrame): DataFrame =
+  private[graft] def o10Apply(base: DataFrame, chg: DataFrame): DataFrame =
     base.join(chg, Seq("cust_id"), "full_outer")
       .filter(col("op").isNull || col("op") === "U")
       .select(col("cust_id"),

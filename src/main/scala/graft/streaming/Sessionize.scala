@@ -308,6 +308,15 @@ object Sessionize {
     * sessionization forms agree event-for-event and this oracle is
     * st7's (session end surfaced as last-event time).
     */
+  /** st15's aggregation in batch form (session_window works identically
+    * over a static frame) — factored for [[graft.tools.ScaleHeadroom]]:
+    * one shuffle on (merged window, user), linear merge per partition.
+    */
+  private[graft] def sessionWindowBatchOf(ev: DataFrame): DataFrame =
+    ev.groupBy(session_window(col("ts"), s"$gapMinutes minutes"),
+        col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+
   def st15SessionWindow(s: SparkSession, d: String): DataFrame =
     CatchupConf.withBoundedStatePartitions(s) {
     import org.apache.spark.sql.streaming.Trigger

@@ -162,6 +162,26 @@ object ScaleHeadroom {
     val custDim = Tables.customer(spark, sfDir)
       .select(col("c_custkey").as("cust_id"),
         col("c_mktsegment").as("segment"))
+    val custDimBal = Tables.customer(spark, sfDir)
+      .select(col("c_custkey").as("cust_id"),
+        col("c_mktsegment").as("segment"), col("c_acctbal").as("bal"))
+
+    // r13-family input: full events shape with per-copy µs-shifted
+    // timestamps — each copy contributes NEW (user, ts) change rows
+    // (o9 versions and o10 ranking grow with volume) while the user key
+    // space stays fixed (production shape: more history, same entities)
+    def evFullAt(scale: Int): DataFrame = {
+      val base = Tables.events(spark, sfDir).select(
+        col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+      (0 until scale).map { i =>
+        if (i == 0) base
+        else base.select(
+          (col("event_id") + lit(i * 1000000000L)).as("event_id"),
+          timestamp_micros(unix_micros(col("ts")) + lit(i.toLong)).as("ts"),
+          col("user_id"), col("event_type"), col("value"))
+      }.reduce(_ unionByName _).repartition(par)
+    }
 
     val isBench = col("doc_id") % 100 === 0 && col("doc_id") < 1000000L
     val ops: Seq[(String, Int => DataFrame)] = Seq(
@@ -176,6 +196,24 @@ object ScaleHeadroom {
       // salted skew join: fact volume grows, key space fixed (hot key
       // density preserved), dim fixed — the production skew shape
       "j5_salted_join" -> (n => graft.queries.Joins.j5Of(eventsFactAt(n), custDim)),
+      // ---- r13 family ----
+      // SCD2 build: change volume grows, entity space fixed — one
+      // user-keyed shuffle + linear window chain per partition
+      "o9_scd2" -> (n => graft.queries.Warehouse.o9Of(evFullAt(n))),
+      // CDC merge: rank the growing change stream (data-sized window),
+      // then one full-outer join against the FIXED dim snapshot
+      "o10_merge" -> (n => graft.queries.Warehouse.o10Apply(custDimBal,
+        graft.queries.Warehouse.o10ChangesOf(evFullAt(n)))),
+      // built-in session_window (st15's batch twin): one shuffle on
+      // (merged window, user); events per session grow, session count
+      // stays entity-bounded
+      "sw_sessions" -> (n =>
+        graft.streaming.Sessionize.sessionWindowBatchOf(evFullAt(n))),
+      // AQE runtime skew split over the j5 hot-key fact — in-memory
+      // multi-mapper input, so split granularity is available; the
+      // in-core require refuses if the split did not engage
+      "j6_aqe_skew" -> (n => graft.queries.Joins.runAqeSkewJoinWithPlan(
+        spark, eventsFactAt(n), custDim, skewEnabled = true)._1),
       "d2_ngram_jaccard" -> (n => Dedup.d2PairsOf(setsOf(docsAt(n)))),
       "d3_minhash_lsh" -> (n => Dedup.minhashLsh(setsOf(docsAt(n)))),
       "d5_simhash_pairs" -> (n => Dedup.d5PairsOf(docsAt(n))),
