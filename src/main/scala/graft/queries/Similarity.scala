@@ -134,6 +134,65 @@ object Similarity {
       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
   }
 
+  /** The s22 metadata predicate: a synthetic 7-way category on vec_id.
+    * Stands in for real retrieval filters (language, source, license,
+    * date range) — what matters to the operator is that it is evaluated
+    * BEFORE any distance computation.
+    */
+  private[queries] val FilterCategory = 3
+
+  /** S22 — FILTERED vector search: top-k under a metadata predicate, the
+    * shape every production retrieval system actually runs ("nearest
+    * documents WHERE lang = 'en' AND license = 'permissive'"). The
+    * correct and scalable order of operations is PRE-filtering: the
+    * predicate cuts the candidate corpus before any cosine is computed,
+    * so the expensive `graft_dot` runs on 1/7 of the rows and the
+    * bounded top-k heap sees only eligible candidates. The tempting
+    * alternative — post-filtering a global top-k — is WRONG, not just
+    * slow: filtering 5 global neighbors leaves < 5 results whenever any
+    * global neighbor fails the predicate (measured in
+    * `FilteredAnnSpec`: recall loss at the same k). With an IVF/PQ index
+    * the same principle holds — the predicate applies to the probed
+    * cells' candidate stream before ADC scoring — s22 certifies the
+    * exact (brute-force) form so the oracle can replay it row-for-row.
+    *
+    * Scale shape: identical to s1 (broadcast queries, one scan, map-side
+    * bounded heaps) with the scan REDUCED by the filter's selectivity —
+    * a pre-filter is never slower than the unfiltered scan.
+    */
+  def s22FilteredTopK(s: SparkSession, d: String): DataFrame = {
+    val emb = withNorm(s, d)
+    val q = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        col("nrm").as("qnrm"))
+    val cand = emb.filter(pmod(col("vec_id"), lit(7)) === FilterCategory)
+    cand.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .withColumn("cos",
+        expr("graft_dot(qe, embedding)") / (col("qnrm") * col("nrm")))
+      .groupBy(col("query_id"))
+      .agg(expr("graft_topk(cos, vec_id, 5)").as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("query_id"), col("t.id").as("neighbor_id"),
+        (col("pos") + 1).cast("int").as("rank"),
+        r6(col("t.score")).as("cos_sim"))
+      .orderBy("query_id", "rank")
+  }
+
+  val s22Sql: String = {
+    val cos = cosineSql("q.qe", "e.embedding")
+    s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+      |  FROM embeddings WHERE vec_id < 10)
+      |SELECT query_id, neighbor_id, rank,
+      |  floor(cos * 1000000.0 + 0.5) / 1000000.0 AS cos_sim FROM (
+      |  SELECT q.query_id, e.vec_id AS neighbor_id,
+      |    $cos AS cos,
+      |    row_number() OVER (PARTITION BY q.query_id
+      |      ORDER BY $cos DESC, e.vec_id) AS rank
+      |  FROM embeddings e JOIN q ON e.vec_id <> q.query_id
+      |  WHERE e.vec_id % 7 = $FilterCategory) t
+      |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+  }
+
   private val lshBands = 4
   private val lshBits = 8 // sign bits per band; bands cover dims 1..32
 
@@ -1990,6 +2049,7 @@ object Similarity {
     "s6_quantize_int8" -> s6QuantizeInt8,
     "s5_label_centroids" -> s5LabelCentroids,
     "s1_bruteforce_topk" -> s1BruteForceTopK,
+    "s22_filtered_topk" -> s22FilteredTopK,
     "s2_lsh_neardup" -> s2LshNearDup,
     "s3_embedding_neardup" -> s3EmbeddingNearDup,
     "s4_ivf_topk" -> s4IvfTopK,
@@ -2010,6 +2070,7 @@ object Similarity {
     "s6_quantize_int8" -> s6Sql,
     "s5_label_centroids" -> s5Sql,
     "s1_bruteforce_topk" -> s1Sql,
+    "s22_filtered_topk" -> s22Sql,
     "s2_lsh_neardup" -> s2Sql,
     "s3_embedding_neardup" -> s3Sql,
     "s4_ivf_topk" -> s4Sql,

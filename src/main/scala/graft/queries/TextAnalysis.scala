@@ -452,8 +452,62 @@ object TextAnalysis {
       |FROM words JOIN vocab USING (word)
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** T9 — cross-document n-gram NOVELTY: for each document, the
+    * fraction of its distinct 3-gram shingles appearing in NO
+    * earlier-id document — the training-data curator's "how much new
+    * content does this doc add" signal (ingestion order stands in for
+    * crawl time), the per-document complement of corpus-level dedup:
+    * d2/d3 find the near-identical pairs, t9 scores partial content
+    * reuse that never reaches a duplicate threshold.
+    *
+    * Spark-first shape: explode distinct shingles once, min(doc_id) per
+    * shingle (the shingle's first sight — map-side combined), join back
+    * to the exploded stream on shingle, re-aggregate per doc. Two
+    * shuffles, both linear in total shingle volume; the first-sight
+    * relation is the only state and it is bounded by distinct-shingle
+    * count — the same vocabulary-shaped state t8 already carries at
+    * scale (its broadcast-ceiling note applies here too: the join is
+    * shuffle-keyed, never collected).
+    */
+  def t9Novelty(s: SparkSession, d: String): DataFrame = {
+    val sh = documents(s, d)
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("w"))
+      .filter(size(col("w")) >= 3)
+      .select(col("doc_id"),
+        explode(array_distinct(expr(ngramsExpr("w", 3)))).as("shingle"))
+    val firstSight = sh.groupBy(col("shingle"))
+      .agg(min(col("doc_id")).as("first_doc"))
+    sh.join(firstSight, Seq("shingle"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("first_doc") === col("doc_id"), lit(1L))
+          .otherwise(lit(0L))).as("n_novel"))
+      .select(col("doc_id"), col("n_shingles"), col("n_novel"),
+        r6(col("n_novel").cast("double") / col("n_shingles"))
+          .as("novelty"))
+      .orderBy("doc_id")
+  }
+
+  val t9Sql: String =
+    s"""WITH sh AS (
+      |  SELECT DISTINCT doc_id, shingle FROM (
+      |    SELECT doc_id, unnest(${ngramsSql("w", 3)}) AS shingle FROM (
+      |      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+      |      FROM documents)
+      |    WHERE len(w) >= 3)),
+      |first_sight AS (
+      |  SELECT shingle, min(doc_id) AS first_doc FROM sh GROUP BY shingle)
+      |SELECT doc_id, count(*) AS n_shingles,
+      |  CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_novel,
+      |  ${r6Sql("CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS DOUBLE) / count(*)")}
+      |    AS novelty
+      |FROM sh JOIN first_sight USING (shingle)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t1_lang_id" -> t1LangId,
+    "t9_novelty" -> t9Novelty,
     "t8_surprisal" -> t8Surprisal,
     "t2_quality_score" -> t2QualityScore,
     "t3_token_count" -> t3TokenCount,
@@ -465,6 +519,7 @@ object TextAnalysis {
 
   val oracle: Map[String, String] = Map(
     "t1_lang_id" -> t1Sql,
+    "t9_novelty" -> t9Sql,
     "t8_surprisal" -> t8Sql,
     "t2_quality_score" -> t2Sql,
     "t3_token_count" -> t3Sql,
