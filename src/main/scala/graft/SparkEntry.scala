@@ -42,7 +42,8 @@ object SparkEntry {
       _root_.graft.streaming.EventWindows.defs ++
       _root_.graft.streaming.Sessionize.defs ++
       _root_.graft.streaming.IntervalJoin.defs ++
-      _root_.graft.streaming.StreamDedup.defs
+      _root_.graft.streaming.StreamDedup.defs ++
+      _root_.graft.streaming.CdcMerge.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -67,5 +68,6 @@ object SparkEntry {
       _root_.graft.streaming.EventWindows.oracle ++
       _root_.graft.streaming.Sessionize.oracle ++
       _root_.graft.streaming.IntervalJoin.oracle ++
-      _root_.graft.streaming.StreamDedup.oracle
+      _root_.graft.streaming.StreamDedup.oracle ++
+      _root_.graft.streaming.CdcMerge.oracle
 }
