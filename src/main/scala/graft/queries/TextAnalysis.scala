@@ -460,21 +460,22 @@ object TextAnalysis {
     * d2/d3 find the near-identical pairs, t9 scores partial content
     * reuse that never reaches a duplicate threshold.
     *
-    * Spark-first shape: explode distinct shingles once, min(doc_id) per
-    * shingle (the shingle's first sight — map-side combined), join back
-    * to the exploded stream on shingle, re-aggregate per doc. Two
-    * shuffles, both linear in total shingle volume; the first-sight
-    * relation is the only state and it is bounded by distinct-shingle
-    * count — the same vocabulary-shaped state t8 already carries at
-    * scale (its broadcast-ceiling note applies here too: the join is
-    * shuffle-keyed, never collected).
+    * Spark-first shape: explode distinct shingles from the SESSION-SHARED
+    * shingle index (the same persisted (doc_id, shingles) relation the
+    * d2/d3 dedup family reads — the split+shingle pass over raw text runs
+    * once per session however many consumers run, and t9's two reads of
+    * the stream hit the compact cached sets instead of re-splitting text
+    * twice), min(doc_id) per shingle (the shingle's first sight —
+    * map-side combined), join back to the exploded stream on shingle,
+    * re-aggregate per doc. Two shuffles, both linear in total shingle
+    * volume; the first-sight relation is the only state and it is
+    * bounded by distinct-shingle count — the same vocabulary-shaped
+    * state t8 already carries at scale (its broadcast-ceiling note
+    * applies here too: the join is shuffle-keyed, never collected).
     */
   def t9Novelty(s: SparkSession, d: String): DataFrame = {
-    val sh = documents(s, d)
-      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("w"))
-      .filter(size(col("w")) >= 3)
-      .select(col("doc_id"),
-        explode(array_distinct(expr(ngramsExpr("w", 3)))).as("shingle"))
+    val sh = Dedup.shingleSets(s, d)
+      .select(col("doc_id"), explode(col("shingles")).as("shingle"))
     val firstSight = sh.groupBy(col("shingle"))
       .agg(min(col("doc_id")).as("first_doc"))
     sh.join(firstSight, Seq("shingle"))
@@ -489,12 +490,9 @@ object TextAnalysis {
   }
 
   val t9Sql: String =
-    s"""WITH sh AS (
-      |  SELECT DISTINCT doc_id, shingle FROM (
-      |    SELECT doc_id, unnest(${ngramsSql("w", 3)}) AS shingle FROM (
-      |      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
-      |      FROM documents)
-      |    WHERE len(w) >= 3)),
+    s"""WITH sets AS (${Dedup.shingleSetsSql}),
+      |sh AS (
+      |  SELECT doc_id, unnest(shingles) AS shingle FROM sets),
       |first_sight AS (
       |  SELECT shingle, min(doc_id) AS first_doc FROM sh GROUP BY shingle)
       |SELECT doc_id, count(*) AS n_shingles,
