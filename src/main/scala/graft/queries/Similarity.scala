@@ -165,7 +165,10 @@ object Similarity {
     val q = emb.filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
         col("nrm").as("qnrm"))
-    val cand = emb.filter(pmod(col("vec_id"), lit(7)) === FilterCategory)
+    // sign-preserving % on both engines (the j5 lesson: pmod and % agree
+    // only for non-negative ids; keep the expressions identical so a
+    // future corpus with negative ids cannot silently hash-diverge)
+    val cand = emb.filter(expr("vec_id % 7") === FilterCategory)
     cand.join(broadcast(q), col("vec_id") =!= col("query_id"))
       .withColumn("cos",
         expr("graft_dot(qe, embedding)") / (col("qnrm") * col("nrm")))

@@ -91,6 +91,18 @@ object CdcMerge {
     * skipping entirely if this batchId's commit marker exists (the
     * replay/idempotence contract), and swapping versions by rename so
     * `current` is never half-written.
+    *
+    * Crash-window semantics, for the record: a crash BEFORE the promote
+    * rename leaves `current` untouched (staging debris only — replay
+    * re-merges cleanly after clearing `.staging_*`); a crash BETWEEN the
+    * promote and the marker leaves the batch applied but unmarked — the
+    * replay's retire rename then fails LOUDLY (`v_$batchId` already
+    * exists) instead of double-applying. Double-apply would actually be
+    * value-idempotent here (same change-set: U re-sets the same balance,
+    * D re-deletes, insert re-inserts identically), but loud-fail is the
+    * safer default for a merge whose change-set derivation could someday
+    * stop being deterministic; a transactional table format collapses
+    * promote+marker into one commit and removes the window entirely.
     */
   private[graft] def mergeBatch(s: SparkSession, snapRoot: String,
       batch: DataFrame, batchId: Long): Unit = {
