@@ -503,7 +503,111 @@ object EventWindows {
       |  count(*) AS cnt
       |FROM events GROUP BY 1 ORDER BY bin""".stripMargin
 
+  /** ST17 — late-data drop, certified as data — and the REAL drop rule,
+    * which is sharper than the documentation's: the watermark guarantee
+    * is ONE-SIDED. Measured here before building (update mode, then
+    * two-batch append): a row arriving 30 DAYS late is still AGGREGATED
+    * as long as its window's state exists, because late-input filtering
+    * happens against evicted state, not against the watermark per se —
+    * the watermark only bounds when data ≤ delay late is safe; beyond
+    * it, dropping is "not guaranteed" and in practice means "only after
+    * eviction". So the harness manufactures a GUARANTEED drop with
+    * three mtime-ordered micro-batches: (1) everything on time except
+    * the stragglers and the corpus's last event — sets the watermark
+    * near corpus end; (2) the last event alone — its batch EVICTS and
+    * emits every sealed window (append mode); (3) the corpus's first
+    * second of events — their windows are long since evicted, and ONLY
+    * NOW does the engine drop them, counted by
+    * `numRowsDroppedByWatermark`, pinned to exactly the straggler count
+    * by an in-query `require`. The oracle replays the resulting
+    * relation: windows sealed by the final watermark, aggregated
+    * WITHOUT the stragglers — certifying precisely which rows the
+    * stream lost. The advancer is a real corpus event (not a
+    * sentinel), so the whole run stays expressible over `events`.
+    *
+    * Production lessons this row encodes: the watermark delay is a loss
+    * BUDGET only in one direction (≤ delay late ⇒ never dropped; more
+    * late ⇒ maybe aggregated, maybe dropped, depending on eviction
+    * timing — a nondeterminism to design out, not rely on); dropped
+    * rows ARE observable via `numRowsDroppedByWatermark`, which a real
+    * pipeline should alarm on; and append-mode results cover only
+    * windows the watermark has sealed — the tail of the stream is not
+    * yet in the output.
+    */
+  def st17LateDataDrop(s: SparkSession, d: String): DataFrame =
+    CatchupConf.withBoundedStatePartitions(s) {
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = java.nio.file.Files.createTempDirectory("graft_st17_")
+    val sink = "st17_out_" +
+      java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+    try {
+      val ev = events(s, d).select(col("event_id"), col("ts"),
+        col("event_type"), col("value"))
+      val Array(minUs, maxUs) = ev.agg(min(unix_micros(col("ts"))),
+        max(unix_micros(col("ts")))).head().toSeq.map(_.asInstanceOf[Long]).toArray
+      val cutUs = minUs + 1000000L // the corpus's first second straggles
+      val isStraggler = unix_micros(col("ts")) < cutUs
+      val isAdvancer = unix_micros(col("ts")) === maxUs
+
+      def stage(df: DataFrame, name: String, mtimeBump: Long): Unit = {
+        val scratch = dir.resolve(s"scratch_$name")
+        df.coalesce(1).write.parquet(scratch.toString)
+        import scala.jdk.CollectionConverters._
+        val part = java.nio.file.Files.list(scratch).iterator().asScala
+          .find(_.toString.endsWith(".parquet")).get
+        java.nio.file.Files.copy(part, dir.resolve(s"$name.parquet"))
+        org.apache.commons.io.FileUtils.deleteDirectory(scratch.toFile)
+        java.nio.file.Files.setLastModifiedTime(dir.resolve(s"$name.parquet"),
+          java.nio.file.attribute.FileTime.fromMillis(
+            System.currentTimeMillis() + mtimeBump))
+      }
+      stage(ev.filter(!isStraggler && !isAdvancer), "a_ontime", 0L)
+      stage(ev.filter(isAdvancer), "b_advance", 60000L)
+      stage(ev.filter(isStraggler), "c_stragglers", 120000L)
+      val nStragglers = ev.filter(isStraggler).count()
+      require(nStragglers >= 1, "st17: corpus has no straggler candidates")
+
+      val stream = s.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(dir.toString)
+        .withWatermark("ts", "10 minutes")
+      val q = tumbling(stream.select(col("ts"), col("event_type"),
+          col("value")))
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      require(q.awaitTermination(180000), "st17 stream did not finish in time")
+      val dropped = q.recentProgress
+        .flatMap(p => p.stateOperators.map(_.numRowsDroppedByWatermark))
+        .sum
+      require(dropped == nStragglers,
+        s"st17: engine dropped $dropped rows, expected exactly the " +
+          s"$nStragglers stragglers - the loss accounting is the contract")
+      s.table(sink)
+        .localCheckpoint()
+        .orderBy("window_start", "event_type")
+    } finally {
+      s.catalog.dropTempView(sink)
+      org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+    }
+  }
+
+  /** Windows sealed by the final watermark (max ts − 10 min), aggregated
+    * without the first-second stragglers the stream provably dropped.
+    */
+  val st17Sql: String =
+    """SELECT window_start, event_type, n, total_value FROM (
+      |  SELECT time_bucket(INTERVAL '5 minutes', ts) AS window_start,
+      |    event_type, count(*) AS n,
+      |    CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+      |  FROM events
+      |  WHERE ts >= (SELECT min(ts) + INTERVAL 1 second FROM events)
+      |  GROUP BY 1, 2)
+      |WHERE window_start + INTERVAL 5 minutes <=
+      |  (SELECT max(ts) - INTERVAL 10 minutes FROM events)
+      |ORDER BY window_start, event_type""".stripMargin
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st17_late_data_drop" -> st17LateDataDrop,
     "st1_tumbling_window" -> st1Tumbling,
     "st2_sliding_window" -> st2Sliding,
     "st5_availablenow_catchup" -> st5AvailableNow,
@@ -515,6 +619,7 @@ object EventWindows {
   )
 
   val oracle: Map[String, String] = Map(
+    "st17_late_data_drop" -> st17Sql,
     "st1_tumbling_window" -> st1Sql,
     "st2_sliding_window" -> st2Sql,
     "st5_availablenow_catchup" -> st5Sql,
