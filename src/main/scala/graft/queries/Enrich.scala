@@ -129,6 +129,85 @@ object Enrich {
       |  ON contains(text, kw1) AND contains(text, kw2)
       |GROUP BY kw1, kw2 ORDER BY kw1, kw2""".stripMargin
 
+  /** The e6 keyword-pair dimension: e4's four pairs plus four more,
+    * including a zero-match side (`supplier` is not in the corpus
+    * vocabulary) and prefix-sharing keywords (`sort`/`sor…`,
+    * `scan`/`sca…`) so the gram index is exercised on collisions. */
+  private[queries] val e6Pairs: Seq[(String, String)] = Seq(
+    ("customer", "order"), ("supplier", "part"), ("join", "window"),
+    ("stream", "batch"), ("scan", "merge"), ("sort", "table"),
+    ("vector", "query"), ("filter", "column"))
+
+  /** E6 — the inverted-index REWRITE of the contains theta-join: the
+    * different-algorithm escape hatch e4's nested-loop ceiling names.
+    * `contains(text, kw)` implies text carries kw's leading 3-gram, so
+    * candidates come from an EQUI-join of an exploded (doc_id, 3-gram)
+    * index against the keywords' prefix grams, then the exact two-sided
+    * `contains` predicate verifies candidates — a strict superset
+    * filter, so the rewrite is result-identical to e4's direct join
+    * (the oracle replays the direct join; `InvertedContainsSpec`
+    * cross-validates against the in-engine BNLJ and runs e6 at 2500×
+    * e4's ceiling).
+    *
+    * Scale shape: per-doc gram emission is pruned MAP-SIDE by a
+    * broadcast semi-join against the bounded needle-gram set before
+    * anything shuffles, so the index stream carries only candidate
+    * hits; every join thereafter is a hash equi-join. Cost is
+    * |docs|·|text| gram probes + |candidates| verifications instead of
+    * |docs|·|pairs| substring scans — the keyword dimension can grow
+    * unbounded (it is never a nested-loop build side), which is exactly
+    * what the e4 guard cannot allow. At 100 TB the (doc_id, gram) index
+    * is persisted once (the d8/s8 incremental-index discipline) and
+    * candidate generation is a pruned scan of it.
+    */
+  def e6InvertedContains(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    e6InvertedContainsOver(s, d, e6Pairs.toDF("kw1", "kw2"))
+  }
+
+  private[graft] def e6InvertedContainsOver(s: SparkSession, d: String,
+      pairs: DataFrame): DataFrame = {
+    val dim = pairs.localCheckpoint()
+    require(dim.filter(length(col("kw1")) < 3).isEmpty,
+      "e6_inverted_contains: every kw1 needs >= 3 chars to contribute " +
+        "a candidate 3-gram - shorter keywords need a direct scan (e4)")
+    val needles = dim.select(substring(col("kw1"), 1, 3).as("gram")).distinct()
+    val docs = documents(s, d)
+    val gramIndex = docs.select(col("doc_id"),
+        explode(expr(
+          "CASE WHEN length(text) >= 3 THEN transform(" +
+            "sequence(1, length(text) - 2), i -> substring(text, i, 3)) " +
+            "ELSE array() END")).as("gram"))
+      .join(broadcast(needles), Seq("gram"), "left_semi")
+      .distinct()
+    val cands = gramIndex
+      .join(broadcast(dim), col("gram") === substring(col("kw1"), 1, 3))
+      .select(col("doc_id"), col("kw1"), col("kw2"))
+    val out = cands
+      .join(docs.select(col("doc_id"), col("text")), Seq("doc_id"))
+      .filter(col("text").contains(col("kw1")) &&
+        col("text").contains(col("kw2")))
+      .groupBy(col("kw1"), col("kw2"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"))
+    val materialized = out.localCheckpoint()
+    val plan = out.queryExecution.executedPlan.toString
+    require(!plan.contains("BroadcastNestedLoop"),
+      "e6: candidate generation degenerated to a nested-loop join - " +
+        "the rewrite exists to keep every join an equi-join")
+    materialized.orderBy("kw1", "kw2")
+  }
+
+  val e6Sql: String = {
+    val values = e6Pairs
+      .map { case (a, b) => s"(${sqlLitDuck(a)}, ${sqlLitDuck(b)})" }
+      .mkString(", ")
+    s"""SELECT kw1, kw2, count(*) AS n_docs, min(doc_id) AS first_doc
+      |FROM documents
+      |JOIN (VALUES $values) AS kw(kw1, kw2)
+      |  ON contains(text, kw1) AND contains(text, kw2)
+      |GROUP BY kw1, kw2 ORDER BY kw1, kw2""".stripMargin
+  }
+
   /** E3 — JSON payload extraction: pull a typed field out of the string
     * JSON `props` column (codegen'd path expression, no UDF), aggregate
     * per event type.
@@ -244,6 +323,7 @@ object Enrich {
     "e3_json_extract" -> e3JsonExtract,
     "e4_contains_join" -> e4ContainsJoin,
     "e5_team_canonicalize" -> e5TeamCanonicalize,
+    "e6_inverted_contains" -> e6InvertedContains,
   )
 
   val oracle: Map[String, String] = Map(
@@ -252,5 +332,6 @@ object Enrich {
     "e3_json_extract" -> e3Sql,
     "e4_contains_join" -> e4Sql,
     "e5_team_canonicalize" -> e5Sql,
+    "e6_inverted_contains" -> e6Sql,
   )
 }

@@ -370,12 +370,99 @@ object Joins {
       |JOIN customer ON cust_id = c_custkey
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** The j7 join core: fact lineitems of URGENT orders, revenue per
+    * return flag — the canonical selective-dim × big-fact shuffle join
+    * the Bloom runtime filter exists for.
+    */
+  private[graft] def j7Core(li: DataFrame, urgent: DataFrame): DataFrame =
+    li.join(urgent, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        r6(dsum(col("l_extendedprice"))).as("revenue"),
+        min(col("l_orderkey")).as("first_key"),
+        max(col("l_orderkey")).as("last_key"))
+
+  /** Execute [[j7Core]] with Spark's runtime Bloom-filter injection
+    * forced on (or off, for the spec's control) and the join forced to
+    * shuffle. The application-side scan-size threshold is lowered to 0
+    * because the production default (10 GB) is a BIGGER-than-testdata
+    * gate, not a semantic one: at 100 TB the fact side clears it on its
+    * own. When enabled, the executed plan MUST carry the
+    * `might_contain` probe on the fact side or the query refuses —
+    * silently degrading to an unfiltered shuffle is the failure mode
+    * this operator exists to rule out.
+    */
+  private[graft] def runBloomFilterJoinWithPlan(s: SparkSession, d: String,
+      bloomEnabled: Boolean): (DataFrame, String) = {
+    val (materialized, plan, _) = runBloomFilterJoinExecuted(s, d, bloomEnabled)
+    (materialized, plan)
+  }
+
+  /** [[runBloomFilterJoinWithPlan]] plus the EXECUTED (pre-checkpoint)
+    * frame, whose plan carries the scan/filter metrics the spec pins. */
+  private[graft] def runBloomFilterJoinExecuted(s: SparkSession, d: String,
+      bloomEnabled: Boolean): (DataFrame, String, DataFrame) =
+    withConfs(s, Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> bloomEnabled.toString,
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB")) {
+      val urgent = orders(s, d)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"))
+      val out = j7Core(lineitem(s, d), urgent)
+      val materialized = out.localCheckpoint() // executes under this scope
+      val plan = out.queryExecution.executedPlan.toString
+      if (bloomEnabled) require(plan.contains("might_contain"),
+        "j7: no bloom_filter_might_contain probe on the fact scan - " +
+          "the full fact would flow into the shuffle unfiltered")
+      (materialized.orderBy("l_returnflag"), plan, out)
+    }
+
+  /** J7 — runtime Bloom-filter join pruning: the NON-partition-column
+    * counterpart to a15's dynamic partition pruning. a15's lever only
+    * exists when the join key is the partition column; here the fact is
+    * joined on a data column (`l_orderkey`), so no partition/file
+    * pruning can apply — instead Spark builds a Bloom filter over the
+    * SELECTIVE dim side (`bloom_filter_agg`, itself a map-side-
+    * combinable sketch — k3's merge contract inside the optimizer) and
+    * injects a `might_contain` probe into the fact side BELOW its
+    * shuffle, so non-joining fact rows are dropped at the scan instead
+    * of being shuffled, sorted, and discarded by the join. One-sided
+    * error means dropped rows are provably non-joining — the oracle
+    * replays the plain relational join and the hash certifies zero
+    * result drift. `BloomRuntimeFilterSpec` pins the mechanism on plan
+    * metrics: the probe's output is strictly below the fact scan's and
+    * exactly the true join-side population (plus Bloom false
+    * positives), and the bloom-off control carries no probe yet returns
+    * identical rows.
+    *
+    * Scale shape: at 100 TB this is the difference between shuffling
+    * the full fact (the dominant cost of a selective dim join) and
+    * shuffling only the ~matching fraction; it composes with AQE and
+    * needs no layout preparation, making it the zero-effort complement
+    * to j4's bucketing (which removes the shuffle entirely but needs
+    * the layout written in advance).
+    */
+  def j7BloomFilterJoin(s: SparkSession, d: String): DataFrame =
+    runBloomFilterJoinWithPlan(s, d, bloomEnabled = true)._1
+
+  val j7Sql: String =
+    s"""SELECT l_returnflag, count(*) AS n,
+      |  ${r6Sql("CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)")}
+      |    AS revenue,
+      |  min(l_orderkey) AS first_key, max(l_orderkey) AS last_key
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE o_orderpriority = '1-URGENT'
+      |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "j1_asof_join" -> j1AsofJoin,
     "j2_range_join" -> j2RangeJoin,
     "j4_bucketed_join" -> j4BucketedJoin,
     "j5_salted_skew_join" -> j5SaltedSkewJoin,
     "j6_aqe_skew_join" -> j6AqeSkewJoin,
+    "j7_bloom_filter_join" -> j7BloomFilterJoin,
   )
 
   val oracle: Map[String, String] = Map(
@@ -384,5 +471,6 @@ object Joins {
     "j4_bucketed_join" -> j4Sql,
     "j5_salted_skew_join" -> j5Sql,
     "j6_aqe_skew_join" -> j6Sql,
+    "j7_bloom_filter_join" -> j7Sql,
   )
 }

@@ -33,4 +33,27 @@ object ScanMetrics {
     assert(scans.nonEmpty, "no matching FileSourceScan in executed plan")
     scans.map(_.metrics("numOutputRows").value).sum
   }
+
+  /** `numOutputRows` summed over every `FilterExec` in an ALREADY
+    * EXECUTED plan whose condition string matches `condFilter` (e.g. the
+    * injected `might_contain` Bloom probe). Does not re-execute. */
+  def filterOutputRows(df: DataFrame, condFilter: String => Boolean): Long = {
+    val filters = strip(df.queryExecution.executedPlan).collect {
+      case f: org.apache.spark.sql.execution.FilterExec
+          if condFilter(f.condition.toString) => f
+    }
+    assert(filters.nonEmpty, "no matching FilterExec in executed plan")
+    filters.map(_.metrics("numOutputRows").value).sum
+  }
+
+  /** Leaf file-scan `numOutputRows` of an ALREADY EXECUTED plan (no
+    * re-execution), path-restricted like [[scanOutputRows]]. */
+  def executedScanRows(df: DataFrame, pathFilter: String => Boolean): Long = {
+    val scans = strip(df.queryExecution.executedPlan).collect {
+      case f: FileSourceScanExec
+          if f.relation.location.rootPaths.exists(p => pathFilter(p.toString)) => f
+    }
+    assert(scans.nonEmpty, "no matching FileSourceScan in executed plan")
+    scans.map(_.metrics("numOutputRows").value).sum
+  }
 }
