@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables._
@@ -503,8 +503,157 @@ object TextAnalysis {
       |FROM sh JOIN first_sight USING (shingle)
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ---- T10: distributed BPE vocabulary training --------------------
+
+  /** Merge rounds trained by t10. Four keeps the generated oracle CTE
+    * chain readable; the loop shape is round-count-agnostic. */
+  private[queries] val BpeRounds: Int = 4
+
+  /** One greedy-leftmost BPE merge of the chosen pair inside a symbol
+    * array, as a codegen'd `aggregate` fold: append each symbol, but
+    * when the running array ends in `a` and the next symbol is `b`,
+    * replace the tail with the merged token. Equivalent to the classic
+    * scan-with-skip (`i += 2` after a merge) because a merged token
+    * `a||b` can never equal `a` (b is nonempty), so a fresh merge is
+    * never itself the left partner of another merge in the same round.
+    */
+  private def mergeSyms(syms: Column, a: String, b: String): Column =
+    aggregate(syms, array().cast("array<string>"),
+      (acc, x) => when(size(acc) > 0 &&
+          element_at(acc, -1) === lit(a) && x === lit(b),
+        concat(slice(acc, lit(1), size(acc) - 1),
+          array(concat(element_at(acc, -1), x))))
+        .otherwise(concat(acc, array(x))))
+
+  /** The t10 training loop over any (word, freq) dictionary: per round,
+    * count adjacent symbol pairs (weighted by word frequency, overlaps
+    * counted — the classic BPE convention), pick the max-count pair
+    * (ties to the lexicographically smallest), and greedy-merge it into
+    * every sequence. Returns one row per learned merge rule.
+    */
+  private[graft] def bpeTrainOver(s: SparkSession, words: DataFrame,
+      rounds: Int): DataFrame = {
+    import s.implicits._
+    var seqs = words
+      .select(col("freq"), split(col("word"), "").as("syms"))
+      .localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[
+      (Int, String, String, String, Long)]
+    var r = 1
+    var exhausted = false
+    while (r <= rounds && !exhausted) {
+      val best = seqs
+        .select(col("freq"), explode(expr(
+          "CASE WHEN size(syms) >= 2 THEN transform(" +
+            "sequence(1, size(syms) - 1), i -> struct(" +
+            "element_at(syms, i) AS a, element_at(syms, i + 1) AS b)) " +
+            "ELSE array() END")).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("a"), col("b"))
+        .limit(1).collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val (a, b, cnt) =
+          (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        merges += ((r, a, b, a + b, cnt))
+        seqs = seqs
+          .withColumn("syms", mergeSyms(col("syms"), a, b))
+          .localCheckpoint()
+        r += 1
+      }
+    }
+    merges.toSeq
+      .toDF("round", "left_sym", "right_sym", "merged", "pair_count")
+      .orderBy("round")
+  }
+
+  /** T10 — distributed BPE vocabulary training: learn the first
+    * [[BpeRounds]] byte-pair merge rules of the corpus — the
+    * tokenizer-construction step of a training-data pipeline, upstream
+    * of t3's token counting. Spark-first shape: the corpus is first
+    * compressed to a (word, freq) dictionary (ONE corpus-sized shuffle,
+    * after which every round is dictionary-sized — the industrial BPE
+    * trick), sequences live as symbol arrays mutated by a codegen'd
+    * fold, pair counting is a map-side-combined aggregation, and the
+    * only driver state is the learned rule itself (one row per round —
+    * the s21 centroid discipline). The DuckDB oracle replays each round
+    * CTE-for-CTE (pair count via `lead`, greedy-leftmost merge via the
+    * islands-and-even-offsets window rule — equivalent to the fold, see
+    * [[mergeSyms]]), generated by the same loop structure
+    * ([[t10RoundCtes]]) so engine and oracle cannot drift.
+    *
+    * Scale shape: at 100 TB the dictionary is ~10⁷ rows regardless of
+    * corpus size, so training cost is (one corpus scan) + rounds ×
+    * (dictionary scan) — each round two narrow dictionary passes, no
+    * corpus re-reads; `BpeTrainSpec` pins hand-computed merges
+    * (including overlap counting and greedy non-overlap), the
+    * max-pair-count monotonicity invariant, and early exhaustion.
+    */
+  def t10BpeTrain(s: SparkSession, d: String): DataFrame = {
+    val words = documents(s, d)
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+    bpeTrainOver(s, words, BpeRounds)
+  }
+
+  /** One oracle round: pair counts via `lead`, best pair by (count
+    * desc, pair asc), greedy-leftmost non-overlapping merge via
+    * gaps-and-islands (consecutive candidate positions form an island —
+    * only possible when a = b — and the even offsets from the island
+    * start are taken; the row after a taken merge is consumed). */
+  private def t10RoundCtes(k: Int): String = {
+    val p = s"seq_r${k - 1}"
+    s"""pairs_r$k AS (
+      |  SELECT sym AS a, nxt AS b, sum(freq) AS c FROM (
+      |    SELECT freq, sym, lead(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt
+      |    FROM $p) x
+      |  WHERE nxt IS NOT NULL GROUP BY sym, nxt),
+      |best_r$k AS (SELECT a, b, c FROM pairs_r$k ORDER BY c DESC, a, b LIMIT 1),
+      |cand_r$k AS (
+      |  SELECT s.word, s.freq, s.pos, s.sym, s.nxt,
+      |    coalesce(s.sym = b.a AND s.nxt = b.b, FALSE) AS is_cand
+      |  FROM (SELECT *, lead(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt
+      |        FROM $p) s CROSS JOIN best_r$k b),
+      |island_r$k AS (
+      |  SELECT *, CASE WHEN is_cand THEN pos - ROW_NUMBER()
+      |      OVER (PARTITION BY word, is_cand ORDER BY pos) END AS isl
+      |  FROM cand_r$k),
+      |taken_r$k AS (
+      |  SELECT *, is_cand AND
+      |      ((pos - min(pos) OVER (PARTITION BY word, isl)) % 2 = 0) AS taken
+      |  FROM island_r$k),
+      |seq_r$k AS (
+      |  SELECT word, freq, ROW_NUMBER() OVER (PARTITION BY word ORDER BY pos) AS pos, sym
+      |  FROM (
+      |    SELECT word, freq, pos,
+      |      CASE WHEN taken THEN sym || nxt ELSE sym END AS sym,
+      |      coalesce(lag(taken) OVER (PARTITION BY word ORDER BY pos), FALSE) AS consumed
+      |    FROM taken_r$k) y
+      |  WHERE NOT consumed)""".stripMargin
+  }
+
+  val t10Sql: String = {
+    val rounds = (1 to BpeRounds).map(t10RoundCtes).mkString(",\n")
+    val finals = (1 to BpeRounds).map(k =>
+      s"SELECT $k AS round, a AS left_sym, b AS right_sym, a || b AS merged, " +
+        s"CAST(c AS BIGINT) AS pair_count FROM best_r$k").mkString(" UNION ALL ")
+    s"""WITH words AS (
+      |  SELECT word, count(*) AS freq FROM (
+      |    SELECT unnest(string_split(text, ' ')) AS word FROM documents) w
+      |  WHERE length(word) > 0 GROUP BY word),
+      |seq_r0 AS (
+      |  SELECT word, freq, unnest(range(1, length(word) + 1)) AS pos,
+      |    unnest(string_split(word, '')) AS sym
+      |  FROM words),
+      |$rounds
+      |SELECT * FROM ($finals) ORDER BY round""".stripMargin
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t1_lang_id" -> t1LangId,
+    "t10_bpe_train" -> t10BpeTrain,
     "t9_novelty" -> t9Novelty,
     "t8_surprisal" -> t8Surprisal,
     "t2_quality_score" -> t2QualityScore,
@@ -517,6 +666,7 @@ object TextAnalysis {
 
   val oracle: Map[String, String] = Map(
     "t1_lang_id" -> t1Sql,
+    "t10_bpe_train" -> t10Sql,
     "t9_novelty" -> t9Sql,
     "t8_surprisal" -> t8Sql,
     "t2_quality_score" -> t2Sql,
