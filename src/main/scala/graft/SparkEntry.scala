@@ -43,6 +43,7 @@ object SparkEntry {
       _root_.graft.streaming.Sessionize.defs ++
       _root_.graft.streaming.IntervalJoin.defs ++
       _root_.graft.streaming.StreamDedup.defs ++
+      _root_.graft.streaming.StreamNearDup.defs ++
       _root_.graft.streaming.CdcMerge.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -69,5 +70,6 @@ object SparkEntry {
       _root_.graft.streaming.Sessionize.oracle ++
       _root_.graft.streaming.IntervalJoin.oracle ++
       _root_.graft.streaming.StreamDedup.oracle ++
+      _root_.graft.streaming.StreamNearDup.oracle ++
       _root_.graft.streaming.CdcMerge.oracle
 }
