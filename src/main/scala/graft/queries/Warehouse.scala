@@ -140,13 +140,95 @@ object Warehouse {
       |WHERE c.op IS NULL OR c.op = 'U'
       |ORDER BY cust_id""".stripMargin
 
+  // ---- O11: incremental materialized-view maintenance ----------------
+
+  /** Partial-aggregate state of the o11 view over any events slice:
+    * per user, (count, exact decimal sum, min, max). Every component is
+    * ALGEBRAIC — mergeable by re-aggregation — which is the entire
+    * trick: `merge(partials(A) ∪ partials(B)) = partials(A ∪ B)`,
+    * exactly (decimal addition is associative; min/max/count trivially
+    * so). Pinned as a law in `IncrementalAggSpec`.
+    */
+  private[graft] def o11PartialsOf(ev: DataFrame): DataFrame =
+    ev.groupBy(col("user_id")).agg(
+      count(lit(1)).as("cnt"),
+      sum(col("value").cast("decimal(18,6)")).cast("decimal(18,6)").as("sumv"),
+      min(col("value")).as("minv"),
+      max(col("value")).as("maxv"))
+
+  /** Merge partial states (any number of slices' partials unioned). */
+  private[graft] def o11Merge(partials: DataFrame): DataFrame =
+    partials.groupBy(col("user_id")).agg(
+      sum(col("cnt")).as("cnt"),
+      sum(col("sumv")).cast("decimal(18,6)").as("sumv"),
+      min(col("minv")).as("minv"),
+      max(col("maxv")).as("maxv"))
+
+  /** Finalize partial state into the user-facing view row. */
+  private[graft] def o11Finalize(state: DataFrame): DataFrame =
+    state.select(col("user_id"),
+      col("cnt").as("n_events"),
+      r6(col("sumv").cast("double")).as("total_value"),
+      col("minv").as("min_value"),
+      col("maxv").as("max_value"),
+      r6(col("sumv").cast("double") / col("cnt")).as("avg_value"))
+
+  /** O11 — incremental materialized-view maintenance: the aggregate
+    * twin of o10's row-level MERGE. A per-user metrics rollup is
+    * materialized from history as PARTIAL aggregate state (count /
+    * exact decimal sum / min / max — all algebraic), and an appended
+    * delta refreshes the view by aggregating ONLY the delta and
+    * re-merging states — history is never rescanned. The harness
+    * materializes the view at a ¾ event-id boundary, refreshes with
+    * the remaining quarter, and the oracle recomputes the aggregate
+    * over the FULL corpus — the hash certifies that state merging is
+    * exactly equivalent to recomputation. `IncrementalAggSpec` pins
+    * the mechanism on scan metrics (the refresh reads only delta rows
+    * from the fact) and the merge law on arbitrary slicings.
+    *
+    * Scale shape: this is how a 100 TB rollup stays fresh — refresh
+    * cost is O(delta) + O(|view|) instead of O(history), the exact
+    * map-side-combine contract (k1–k4's sketch merges) applied to
+    * plain SQL aggregates. Non-algebraic metrics (exact distinct,
+    * median) need sketch state instead (k2's HLL registers, k4's bins)
+    * — same merge discipline, bounded error.
+    */
+  def o11IncrementalAgg(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d).select(col("event_id"), col("user_id"), col("value"))
+    val boundary = 3L * (ev.agg(max(col("event_id"))).head().getLong(0) + 1) / 4
+    val dir = java.nio.file.Files.createTempDirectory("graft_o11_")
+    try {
+      o11PartialsOf(ev.filter(col("event_id") < boundary))
+        .write.parquet(s"$dir/view")
+      val viewR = s.read.parquet(s"$dir/view")
+      val deltaP = o11PartialsOf(ev.filter(col("event_id") >= boundary))
+      val refresh = o11Finalize(o11Merge(viewR.unionByName(deltaP)))
+      val out = refresh.localCheckpoint() // executes before dir cleanup
+      val plan = refresh.queryExecution.executedPlan.toString
+      require(plan.contains("view"),
+        "o11: refresh must read the materialized partial state")
+      out.orderBy("user_id")
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+  }
+
+  val o11Sql: String =
+    s"""SELECT user_id, count(*) AS n_events,
+      |  ${r6Sql("CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)")}
+      |    AS total_value,
+      |  min(value) AS min_value, max(value) AS max_value,
+      |  ${r6Sql("CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(*)")}
+      |    AS avg_value
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "o9_scd2_history" -> o9Scd2History,
     "o10_merge_upsert" -> o10MergeUpsert,
+    "o11_incremental_agg" -> o11IncrementalAgg,
   )
 
   val oracle: Map[String, String] = Map(
     "o9_scd2_history" -> o9Sql,
     "o10_merge_upsert" -> o10Sql,
+    "o11_incremental_agg" -> o11Sql,
   )
 }
