@@ -258,9 +258,9 @@ object Joins {
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** Conf scope with set-or-unset restore (the CatchupConf discipline,
-    * local to the j6 harness).
+    * shared by the j6/j7/a17 harnesses).
     */
-  private def withConfs[A](s: SparkSession, kv: Seq[(String, String)])(
+  private[queries] def withConfs[A](s: SparkSession, kv: Seq[(String, String)])(
       body: => A): A = {
     val prior = kv.map { case (k, _) => k -> s.conf.getOption(k) }
     kv.foreach { case (k, v) => s.conf.set(k, v) }

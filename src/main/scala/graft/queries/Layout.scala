@@ -365,15 +365,102 @@ object Layout {
       |  AND user_id < (SELECT 9 * (max(user_id) + 1) // 20 FROM events)
       |GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // ---- A17: statistics-driven join reordering (CBO) -------------------
+
+  /** Stage the three a17 catalog tables (projected to the query's
+    * columns), ANALYZE them, run the star query with textual order
+    * fact→dim→dim under the given CBO setting, and return the
+    * materialized result plus the optimized plan's leaf order. Factored
+    * so `CboReorderSpec` can run the stats-blind control.
+    */
+  private[graft] def runCboReorderWithPlan(s: SparkSession, d: String,
+      cboEnabled: Boolean): (DataFrame, Seq[String]) = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_a17_")
+    val runId = java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+    val (tLi, tOrd, tCust) = (s"a17_li_$runId", s"a17_ord_$runId",
+      s"a17_cust_$runId")
+    try {
+      def stage(df: DataFrame, name: String, t: String): Unit =
+        df.write.option("path", dir.resolve(name).toString).saveAsTable(t)
+      stage(lineitem(s, d).select(col("l_orderkey"), col("l_extendedprice")),
+        "li", tLi)
+      stage(orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+        col("o_orderpriority")), "ord", tOrd)
+      stage(customer(s, d).select(col("c_custkey"), col("c_mktsegment")),
+        "cust", tCust)
+      Seq(tLi, tOrd, tCust).foreach(t =>
+        s.sql(s"ANALYZE TABLE $t COMPUTE STATISTICS FOR ALL COLUMNS"))
+      Joins.withConfs(s, Seq(
+        "spark.sql.cbo.enabled" -> cboEnabled.toString,
+        "spark.sql.cbo.joinReorder.enabled" -> cboEnabled.toString)) {
+        val q = s.table(tLi)
+          .join(s.table(tOrd), col("l_orderkey") === col("o_orderkey"))
+          .join(s.table(tCust), col("o_custkey") === col("c_custkey"))
+          .filter(col("c_mktsegment") === "BUILDING" &&
+            col("o_orderpriority") === "1-URGENT")
+          .groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("n"),
+            r6(dsum(col("l_extendedprice"))).as("revenue"))
+        val leaves = q.queryExecution.optimizedPlan.collectLeaves()
+          .map(_.toString.linesIterator.next())
+        (q.localCheckpoint().orderBy("c_mktsegment"), leaves.toSeq)
+      }
+    } finally {
+      Seq(tLi, tOrd, tCust).foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
+      org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+    }
+  }
+
+  /** A17 — cost-based join reordering from table statistics: the
+    * OPTIMIZER-side scale lever next to the layout ones (a14–a16 prune
+    * scans; a17 re-plans the join tree). The star query is written in
+    * the worst textual order — fact first, so a syntax-driven planner
+    * joins fact×orders (the big×big pair) before any filter has cut
+    * anything. With ANALYZE'd row/column stats and CBO on, Catalyst
+    * reorders the join cluster so the two FILTERED dimensions join
+    * first and the fact joins last against an already-tiny build side.
+    * The in-query require pins exactly that (fact relation is the LAST
+    * leaf of the optimized join tree); `CboReorderSpec` pins the
+    * stats-blind control (CBO off → fact stays first, textual order)
+    * and identical rows. The oracle replays the star relationally —
+    * reordering changes the schedule, never the result.
+    *
+    * Scale shape: at 100 TB join order is frequently THE difference
+    * between a runnable and an unrunnable query (intermediate result
+    * sizes vary by orders of magnitude); stats collection is the cheap
+    * prerequisite (one ANALYZE pass per table, amortized over every
+    * query). AQE re-plans within a stage at runtime; CBO is the only
+    * mechanism that can fix the join TREE before execution starts.
+    */
+  def a17CboReorder(s: SparkSession, d: String): DataFrame = {
+    val (out, leaves) = runCboReorderWithPlan(s, d, cboEnabled = true)
+    require(leaves.nonEmpty && leaves.last.contains("a17_li_"),
+      "a17: CBO did not reorder the join tree - the unfiltered fact " +
+        s"should join LAST against the filtered dims, got: $leaves")
+    out
+  }
+
+  val a17Sql: String =
+    s"""SELECT c_mktsegment, count(*) AS n,
+      |  ${r6Sql("CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)")}
+      |    AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |WHERE c_mktsegment = 'BUILDING' AND o_orderpriority = '1-URGENT'
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a14_minmax_prune" -> a14MinmaxPrune,
     "a15_dynamic_prune" -> a15DynamicPrune,
     "a16_zorder_prune" -> a16ZorderPrune,
+    "a17_cbo_reorder" -> a17CboReorder,
   )
 
   val oracle: Map[String, String] = Map(
     "a14_minmax_prune" -> a14Sql,
     "a15_dynamic_prune" -> a15Sql,
     "a16_zorder_prune" -> a16Sql,
+    "a17_cbo_reorder" -> a17Sql,
   )
 }
