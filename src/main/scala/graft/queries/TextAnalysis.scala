@@ -651,9 +651,69 @@ object TextAnalysis {
       |SELECT * FROM ($finals) ORDER BY round""".stripMargin
   }
 
+  // ---- T11: per-document TF-IDF keyword extraction -------------------
+
+  /** T11 — per-document keyword extraction: the top-3 terms of each doc
+    * by TF-IDF, the curator's "what is this document about" signal next
+    * to t2's "how good is it". Two corpus-linear shuffles (term
+    * frequency per (doc, term); document frequency per term) plus one
+    * doc-keyed window for the top-k — no per-doc corpus scans.
+    *
+    * Numerics: the IDF factor is the INTEGER surrogate
+    * `idf_micro = (N · 10⁶) div df` instead of `ln(N/df)` — `ln` is
+    * libm-dependent (NOT correctly rounded in either engine, unlike
+    * sqrt) and a last-ulp disagreement flips rank ties; integer
+    * division is bit-identical everywhere. Ranking by `tf · N/df` vs
+    * `tf · ln(N/df)` weights tf more, which for a keyword signal is a
+    * defensible (and exactly reproducible) variant — the hazard
+    * discipline that moved s18 off CAST(float AS DECIMAL).
+    */
+  def t11Tfidf(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val n = docs.count() // bounded scalar, the k4 envelope discipline
+    val tf = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("term"))
+    tf.join(df, Seq("term"))
+      .withColumn("score", // integer div: `/` on longs would widen to double
+        expr(s"tf * (CAST(${n * 1000000L} AS BIGINT) div df)"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("doc_id"), col("rank"), col("term"), col("tf"),
+        col("df"), col("score"))
+      .orderBy("doc_id", "rank")
+  }
+
+  val t11Sql: String =
+    """WITH tf AS (
+      |  SELECT doc_id, term, count(*) AS tf FROM (
+      |    SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      |    FROM documents) x
+      |  WHERE length(term) > 0 GROUP BY doc_id, term),
+      |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+      |n AS (SELECT count(*) AS n_docs FROM documents),
+      |scored AS (
+      |  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+      |    tf.tf * ((n.n_docs * 1000000) // df.df) AS score
+      |  FROM tf JOIN df USING (term) CROSS JOIN n),
+      |ranked AS (
+      |  SELECT *, row_number() OVER (PARTITION BY doc_id
+      |      ORDER BY score DESC, term) AS rank
+      |  FROM scored)
+      |SELECT doc_id, CAST(rank AS INT) AS rank, term,
+      |  tf, df, score
+      |FROM ranked WHERE rank <= 3
+      |ORDER BY doc_id, rank""".stripMargin
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t1_lang_id" -> t1LangId,
     "t10_bpe_train" -> t10BpeTrain,
+    "t11_tfidf" -> t11Tfidf,
     "t9_novelty" -> t9Novelty,
     "t8_surprisal" -> t8Surprisal,
     "t2_quality_score" -> t2QualityScore,
@@ -667,6 +727,7 @@ object TextAnalysis {
   val oracle: Map[String, String] = Map(
     "t1_lang_id" -> t1Sql,
     "t10_bpe_train" -> t10Sql,
+    "t11_tfidf" -> t11Sql,
     "t9_novelty" -> t9Sql,
     "t8_surprisal" -> t8Sql,
     "t2_quality_score" -> t2Sql,
