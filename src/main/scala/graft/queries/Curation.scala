@@ -494,7 +494,89 @@ object Curation {
       |  ON m.source = n.source
       |ORDER BY m.position, m.doc_id, m.copy""".stripMargin
 
+  // ---- C7: corpus-relative quality gate -------------------------------
+
+  private val C7Bins = 128
+  private val C7DropFrac = 0.2
+
+  /** C7 — CORPUS-RELATIVE quality gating: drop the bottom ~20% of
+    * documents by t2 quality score, with the cut decided at histogram
+    * resolution. c1's gates are ABSOLUTE (fixed thresholds); production
+    * curation usually cuts by corpus percentile, which naively needs a
+    * global sort. Instead: score once, take the (min, max, n) envelope,
+    * bin scores into [[C7Bins]] fixed buckets (k4's mergeable-sketch
+    * state — map-side combinable, 128 rows however large the corpus),
+    * pick the lowest bin whose cumulative count covers
+    * `ceil(0.2·n)`, and keep every doc in a STRICTLY higher bin. The
+    * cut therefore lands on a bin boundary — "bottom ≥20%, quantized to
+    * histogram resolution" — which is exactly reproducible on both
+    * engines (the oracle replays envelope → binning → cut → gate), has
+    * no per-doc rank, and never sorts. Per-source admit counts reported.
+    *
+    * Scale shape: three scans of a once-materialized (doc, source,
+    * quality) projection — envelope, 128-bin histogram, gate — vs the
+    * O(n log n) global sort a percent_rank gate would need; the
+    * histogram is the same fixed state at any corpus size. Tighter cuts
+    * need more bins, not different machinery.
+    */
+  def c7RelativeGate(s: SparkSession, d: String): DataFrame = {
+    val scored = TextAnalysis.withQualityCols(documentsSpread(s, d))
+      .select(col("doc_id"), col("source"), col("quality"))
+      .localCheckpoint() // scored once; envelope/hist/gate scan this
+    val env = scored.agg(min(col("quality")), max(col("quality")),
+      count(lit(1))).head()
+    val (qmin, qmax, n) = (env.getDouble(0), env.getDouble(1), env.getLong(2))
+    val width = math.max(qmax - qmin, 1e-9) / C7Bins
+    val binned = scored.withColumn("bin",
+      least(lit(C7Bins - 1),
+        floor((col("quality") - lit(qmin)) / lit(width)).cast("int")))
+    val target = math.ceil(C7DropFrac * n).toLong
+    val histRows = binned.groupBy(col("bin")).agg(count(lit(1)).as("cnt"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val cutBin = histRows
+      .scanLeft((0, 0L)) { case ((_, cum), (b, c)) => (b, cum + c) }
+      .drop(1).find(_._2 >= target).map(_._1)
+      .getOrElse(C7Bins - 1)
+    val totals = binned.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_total"))
+    val kept = binned.filter(col("bin") > lit(cutBin))
+      .groupBy(col("source")).agg(count(lit(1)).as("n_kept"))
+    totals.join(kept, Seq("source"), "left")
+      .select(col("source"), col("n_total"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        lit(cutBin).as("cut_bin"))
+      .orderBy("source")
+  }
+
+  val c7Sql: String =
+    s"""WITH q AS (
+      |  SELECT doc_id, source, ${TextAnalysis.qualityFormulaSql} AS quality
+      |  FROM (${TextAnalysis.qualityPartsSql})),
+      |r AS (SELECT min(quality) AS qmin, max(quality) AS qmax,
+      |    count(*) AS n FROM q),
+      |b AS (
+      |  SELECT doc_id, source,
+      |    LEAST(${C7Bins - 1}, CAST(floor((quality - qmin) /
+      |      (GREATEST(qmax - qmin, 1e-9) / ${C7Bins}.0)) AS INT)) AS bin
+      |  FROM q CROSS JOIN r),
+      |hist AS (SELECT bin, count(*) AS cnt FROM b GROUP BY bin),
+      |cum AS (
+      |  SELECT a.bin, CAST(sum(c.cnt) AS BIGINT) AS cum
+      |  FROM hist a JOIN hist c ON c.bin <= a.bin GROUP BY a.bin),
+      |cut AS (
+      |  SELECT min(bin) AS cut_bin FROM cum CROSS JOIN r
+      |  WHERE cum >= CAST(ceil($C7DropFrac * n) AS BIGINT)),
+      |tot AS (SELECT source, count(*) AS n_total FROM b GROUP BY source),
+      |kept AS (
+      |  SELECT source, count(*) AS n_kept FROM b CROSS JOIN cut
+      |  WHERE bin > cut_bin GROUP BY source)
+      |SELECT t.source, t.n_total, coalesce(k.n_kept, 0) AS n_kept,
+      |  (SELECT CAST(cut_bin AS INT) FROM cut) AS cut_bin
+      |FROM tot t LEFT JOIN kept k ON t.source = k.source
+      |ORDER BY t.source""".stripMargin
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c7_relative_gate" -> c7RelativeGate,
     "c1_curation_decision" -> c1CurationDecision,
     "c1b_curation_dupinject" -> c1DupInject,
     "c2_train_split" -> c2TrainSplit,
@@ -505,6 +587,7 @@ object Curation {
   )
 
   val oracle: Map[String, String] = Map(
+    "c7_relative_gate" -> c7Sql,
     "c1_curation_decision" -> c1Sql,
     "c1b_curation_dupinject" -> c1DupSql,
     "c2_train_split" -> c2Sql,

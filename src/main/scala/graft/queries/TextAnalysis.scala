@@ -136,7 +136,7 @@ object TextAnalysis {
     * SQL twins of [[withQualityCols]]).
     */
   private[queries] def qualityPartsSqlOver(corpus: String): String =
-    s"""SELECT doc_id,
+    s"""SELECT doc_id, source,
       |    len(w) AS n_tokens,
       |    len(list_filter(w, x -> x in ('the','a','of','and','in'))) / len(w) AS stop_ratio,
       |    length(replace(text, ' ', '')) / len(w) AS avg_wlen,
