@@ -519,8 +519,13 @@ object Curation {
     * histogram is the same fixed state at any corpus size. Tighter cuts
     * need more bins, not different machinery.
     */
-  def c7RelativeGate(s: SparkSession, d: String): DataFrame = {
-    val scored = TextAnalysis.withQualityCols(documentsSpread(s, d))
+  def c7RelativeGate(s: SparkSession, d: String): DataFrame =
+    c7Of(documentsSpread(s, d))
+
+  /** The c7 core on ANY (doc_id, text, n_chars, source) frame —
+    * frame-parameterized for [[graft.tools.ScaleHeadroom]]. */
+  private[graft] def c7Of(docs: DataFrame): DataFrame = {
+    val scored = TextAnalysis.withQualityCols(docs)
       .select(col("doc_id"), col("source"), col("quality"))
       .localCheckpoint() // scored once; envelope/hist/gate scan this
     val env = scored.agg(min(col("quality")), max(col("quality")),

@@ -133,7 +133,7 @@ object Enrich {
     * including a zero-match side (`supplier` is not in the corpus
     * vocabulary) and prefix-sharing keywords (`sort`/`sor…`,
     * `scan`/`sca…`) so the gram index is exercised on collisions. */
-  private[queries] val e6Pairs: Seq[(String, String)] = Seq(
+  private[graft] val e6Pairs: Seq[(String, String)] = Seq(
     ("customer", "order"), ("supplier", "part"), ("join", "window"),
     ("stream", "batch"), ("scan", "merge"), ("sort", "table"),
     ("vector", "query"), ("filter", "column"))
@@ -166,13 +166,18 @@ object Enrich {
   }
 
   private[graft] def e6InvertedContainsOver(s: SparkSession, d: String,
-      pairs: DataFrame): DataFrame = {
+      pairs: DataFrame): DataFrame =
+    e6Of(documents(s, d), pairs)
+
+  /** The e6 core on ANY (doc_id, text) frame — frame-parameterized for
+    * [[graft.tools.ScaleHeadroom]]. */
+  private[graft] def e6Of(docs0: DataFrame, pairs: DataFrame): DataFrame = {
+    val docs = docs0.select(col("doc_id"), col("text"))
     val dim = pairs.localCheckpoint()
     require(dim.filter(length(col("kw1")) < 3).isEmpty,
       "e6_inverted_contains: every kw1 needs >= 3 chars to contribute " +
         "a candidate 3-gram - shorter keywords need a direct scan (e4)")
     val needles = dim.select(substring(col("kw1"), 1, 3).as("gram")).distinct()
-    val docs = documents(s, d)
     val gramIndex = docs.select(col("doc_id"),
         explode(expr(
           "CASE WHEN length(text) >= 3 THEN transform(" +

@@ -398,6 +398,23 @@ object Joins {
     (materialized, plan)
   }
 
+  /** [[j7Core]] under the forced-bloom conf scope on ANY fact/dim pair,
+    * probe-required — the frame-parameterized core for
+    * [[graft.tools.ScaleHeadroom]]. */
+  private[graft] def j7BloomOf(s: SparkSession, li: DataFrame,
+      urgent: DataFrame): DataFrame =
+    withConfs(s, Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB")) {
+      val out = j7Core(li, urgent)
+      val materialized = out.localCheckpoint()
+      require(out.queryExecution.executedPlan.toString.contains("might_contain"),
+        "j7: bloom probe did not inject at this scale")
+      materialized
+    }
+
   /** [[runBloomFilterJoinWithPlan]] plus the EXECUTED (pre-checkpoint)
     * frame, whose plan carries the scan/filter metrics the spec pins. */
   private[graft] def runBloomFilterJoinExecuted(s: SparkSession, d: String,

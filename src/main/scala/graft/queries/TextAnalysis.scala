@@ -668,8 +668,12 @@ object TextAnalysis {
     * defensible (and exactly reproducible) variant — the hazard
     * discipline that moved s18 off CAST(float AS DECIMAL).
     */
-  def t11Tfidf(s: SparkSession, d: String): DataFrame = {
-    val docs = documents(s, d)
+  def t11Tfidf(s: SparkSession, d: String): DataFrame =
+    t11Of(documents(s, d))
+
+  /** The t11 core on ANY (doc_id, text) frame — frame-parameterized for
+    * [[graft.tools.ScaleHeadroom]]. */
+  private[graft] def t11Of(docs: DataFrame): DataFrame = {
     val n = docs.count() // bounded scalar, the k4 envelope discipline
     val tf = docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))

@@ -162,6 +162,23 @@ object ScaleHeadroom {
     val custDim = Tables.customer(spark, sfDir)
       .select(col("c_custkey").as("cust_id"),
         col("c_mktsegment").as("segment"))
+    // r13 second-wave inputs
+    def liAt(scale: Int): DataFrame = {
+      val base = Tables.lineitem(spark, sfDir)
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_returnflag"))
+      (0 until scale).map { i =>
+        if (i == 0) base
+        else base.select(
+          (col("l_orderkey") + lit(i * 1000000000L)).as("l_orderkey"),
+          col("l_extendedprice"), col("l_returnflag"))
+      }.reduce(_ unionByName _).repartition(par)
+    }
+    val urgentDim = Tables.orders(spark, sfDir)
+      .filter(col("o_orderpriority") === "1-URGENT").select(col("o_orderkey"))
+    import spark.implicits._
+    val e6PairsDf = graft.queries.Enrich.e6Pairs.toDF("kw1", "kw2")
+    def dictAt(scale: Int): DataFrame = wordsAt(scale)
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
     val custDimBal = Tables.customer(spark, sfDir)
       .select(col("c_custkey").as("cust_id"),
         col("c_mktsegment").as("segment"), col("c_acctbal").as("bal"))
@@ -214,6 +231,36 @@ object ScaleHeadroom {
       // in-core require refuses if the split did not engage
       "j6_aqe_skew" -> (n => graft.queries.Joins.runAqeSkewJoinWithPlan(
         spark, eventsFactAt(n), custDim, skewEnabled = true)._1),
+      // ---- r13 second-wave family ----
+      // bloom runtime filter: fact volume grows (shifted order keys, so
+      // copies never join), dim fixed — probe selectivity RISES with
+      // scale, the production selective-dim shape; the in-core require
+      // re-proves injection engages at every scale
+      "j7_bloom_join" -> (n => graft.queries.Joins.j7BloomOf(spark,
+        liAt(n), urgentDim)),
+      // inverted-index contains join: tagged copies still CONTAIN the
+      // base keywords (substring semantics), so candidates and matches
+      // grow linearly with the corpus — index emission, semi-join
+      // pruning, and verification are all data-linear
+      "e6_inverted_contains" -> (n => graft.queries.Enrich.e6Of(docsAt(n),
+        e6PairsDf)),
+      // BPE training: the corpus-sized shuffle compresses to a word
+      // dict; tagged copies mint NEW words, so the dict grows ~linearly
+      // — the honest worst case (real crawls grow vocab sublinearly)
+      "t10_bpe_train" -> (n => graft.queries.TextAnalysis.bpeTrainOver(
+        spark, dictAt(n), 4)),
+      // TF-IDF keywords: two corpus-linear shuffles + doc-keyed window
+      "t11_tfidf" -> (n => graft.queries.TextAnalysis.t11Of(docsAt(n))),
+      // incremental-agg partials: one map-side-combined groupBy over
+      // the growing fact, fixed entity space (the o9/o10 frame)
+      "o11_inc_agg" -> (n => graft.queries.Warehouse.o11Finalize(
+        graft.queries.Warehouse.o11Merge(
+          graft.queries.Warehouse.o11PartialsOf(evFullAt(n))))),
+      // relative quality gate: score pass + envelope + 128-bin hist +
+      // gate — all corpus-linear, sketch state fixed
+      "c7_relative_gate" -> (n => graft.queries.Curation.c7Of(
+        docsFullAt(n).withColumn("source",
+          pmod(col("doc_id"), lit(5)).cast("string")))),
       "d2_ngram_jaccard" -> (n => Dedup.d2PairsOf(setsOf(docsAt(n)))),
       "d3_minhash_lsh" -> (n => Dedup.minhashLsh(setsOf(docsAt(n)))),
       "d5_simhash_pairs" -> (n => Dedup.d5PairsOf(docsAt(n))),
