@@ -379,7 +379,68 @@ object Ingest {
       |  WHERE table_id = 'Roster' AND col = 'Player') g
       |ORDER BY page, row_idx""".stripMargin
 
+  // ---- I9: schema-evolution-tolerant scan -----------------------------
+
+  /** I9 — reading a fact whose schema EVOLVED across its file history:
+    * the first ¾ of events was written before a `channel` column
+    * existed; the remainder carries it. One `mergeSchema` scan reads
+    * both vintages as a single relation (old files surface NULL for
+    * the new column), and the aggregate folds the legacy rows under an
+    * explicit `legacy` bucket — the coalesce-don't-crash contract a
+    * multi-year 100 TB fact directory demands. The oracle replays the
+    * two vintages as a UNION with NULL-padding.
+    *
+    * Scale note: `mergeSchema=true` reconciles schemas by reading EVERY
+    * file footer — O(files) driver work, fine here, a real cost at
+    * millions of files. The production variant supplies the unified
+    * schema explicitly (from a metastore) and skips footer
+    * reconciliation entirely; `SchemaEvolutionSpec` pins that both
+    * read modes agree row-for-row, so the cheap path is certified
+    * against the discovering one.
+    */
+  def i9SchemaEvolution(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d).select(col("event_id"), col("user_id"), col("value"))
+    val boundary = 3L * (ev.agg(max(col("event_id"))).head().getLong(0) + 1) / 4
+    val dir = java.nio.file.Files.createTempDirectory("graft_i9_")
+    try {
+      stageEvolvedLayout(ev, boundary, s"$dir/fact")
+      val merged = s.read.option("mergeSchema", "true").parquet(s"$dir/fact")
+      require(merged.schema.fieldNames.contains("channel"),
+        "i9: merged schema must surface the evolved column")
+      merged
+        .groupBy(coalesce(col("channel"), lit("legacy")).as("channel"))
+        .agg(count(lit(1)).as("n"), r6(dsum(col("value"))).as("total_value"))
+        .localCheckpoint() // staged dir is deleted in finally
+        .orderBy("channel")
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+  }
+
+  /** Write the two schema vintages of the i9 fact: v1 files without
+    * `channel`, v2 files with it (derived deterministically). */
+  private[graft] def stageEvolvedLayout(ev: DataFrame, boundary: Long,
+      path: String): Unit = {
+    ev.filter(col("event_id") < boundary)
+      .coalesce(1).write.mode("append").parquet(path)
+    ev.filter(col("event_id") >= boundary)
+      .withColumn("channel", expr("concat('ch', user_id % 3)"))
+      .coalesce(1).write.mode("append").parquet(path)
+  }
+
+  val i9Sql: String =
+    s"""WITH bnd AS (SELECT 3 * (max(event_id) + 1) // 4 AS b FROM events),
+      |u AS (
+      |  SELECT event_id, user_id, value, NULL AS channel
+      |  FROM events, bnd WHERE event_id < b
+      |  UNION ALL
+      |  SELECT event_id, user_id, value, 'ch' || (user_id % 3) AS channel
+      |  FROM events, bnd WHERE event_id >= b)
+      |SELECT coalesce(channel, 'legacy') AS channel, count(*) AS n,
+      |  ${r6Sql("CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)")}
+      |    AS total_value
+      |FROM u GROUP BY 1 ORDER BY 1""".stripMargin
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "i9_schema_evolution" -> i9SchemaEvolution,
     "s5_csv_scan" -> s5CsvScan,
     "i8_html_page_prune" -> i8HtmlPagePrune,
     "p11_table_size_gate" -> p11TableSizeGate,
@@ -392,6 +453,7 @@ object Ingest {
   )
 
   val oracle: Map[String, String] = Map(
+    "i9_schema_evolution" -> i9Sql,
     "s5_csv_scan" -> s5Sql,
     "i8_html_page_prune" -> i8Sql,
     "p11_table_size_gate" -> p11Sql,
