@@ -127,6 +127,61 @@ object Relational {
       |AND o_totalprice > 1000.0
       |GROUP BY o_orderstatus, o_orderpriority ORDER BY o_orderstatus, o_orderpriority""".stripMargin
 
+  /** Q5 — correlated-subquery decorrelation: customers with at least
+    * one URGENT order (correlated EXISTS) and no F-status order
+    * (correlated NOT EXISTS), counted per market segment. Written in
+    * the subquery form a user would write; Catalyst's subquery rewrite
+    * turns the EXISTS into a LEFT SEMI join and the NOT EXISTS into a
+    * LEFT ANTI join — the in-query require pins both join types in the
+    * optimized plan and that no subquery expression survives, i.e. the
+    * engine never executes a per-row probe. Declare-don't-schedule,
+    * demonstrated on the one construct users most often assume is
+    * per-row.
+    *
+    * Scale shape: per-row subquery execution is O(|outer|·|inner|)
+    * scans at 100 TB; the decorrelated form is two hash joins that
+    * shuffle each side once — the difference between impossible and
+    * routine. Set-predicate semantics (not aggregation) so it
+    * composes with any downstream shape.
+    */
+  def q5DecorrelatedExists(s: SparkSession, d: String): DataFrame = {
+    val out = s.sql(
+      s"""SELECT c.c_mktsegment AS segment, count(*) AS n,
+         |  min(c.c_custkey) AS first_cust
+         |FROM parquet.`$d/customer.parquet` c
+         |WHERE EXISTS (
+         |    SELECT 1 FROM parquet.`$d/orders.parquet` o
+         |    WHERE o.o_custkey = c.c_custkey
+         |      AND o.o_orderpriority = '1-URGENT')
+         |  AND NOT EXISTS (
+         |    SELECT 1 FROM parquet.`$d/orders.parquet` o2
+         |    WHERE o2.o_custkey = c.c_custkey
+         |      AND o2.o_orderstatus = 'F')
+         |GROUP BY c.c_mktsegment
+         |ORDER BY c.c_mktsegment""".stripMargin)
+    val opt = out.queryExecution.optimizedPlan.toString
+    require(opt.contains("LeftSemi") && opt.contains("LeftAnti") &&
+      !opt.toLowerCase.contains("exists"),
+      "q5: EXISTS/NOT EXISTS must decorrelate to semi/anti joins - a " +
+        "surviving subquery expression means per-row probing")
+    out
+  }
+
+  val q5Sql: String =
+    """SELECT c.c_mktsegment AS segment, count(*) AS n,
+      |  min(c.c_custkey) AS first_cust
+      |FROM customer c
+      |WHERE EXISTS (
+      |    SELECT 1 FROM orders o
+      |    WHERE o.o_custkey = c.c_custkey
+      |      AND o.o_orderpriority = '1-URGENT')
+      |  AND NOT EXISTS (
+      |    SELECT 1 FROM orders o2
+      |    WHERE o2.o_custkey = c.c_custkey
+      |      AND o2.o_orderstatus = 'F')
+      |GROUP BY c.c_mktsegment
+      |ORDER BY c.c_mktsegment""".stripMargin
+
   /** Equality row filter: SURVEY P6 (repeated-header-row drop re-expressed:
     * `Player != 'Player'` ≡ drop rows whose key equals a sentinel literal).
     */
@@ -579,6 +634,7 @@ object Relational {
     "q2_revenue_by_nation" -> q2RevenueByNation,
     "q3_top_orders" -> q3TopOrders,
     "q4_filter_tally" -> q4FilterTally,
+    "q5_decorrelated_exists" -> q5DecorrelatedExists,
     "p6_header_row_filter" -> p6HeaderRowFilter,
     "p7_pattern_exclusion" -> p7PatternExclusion,
     "p8_keyword_length" -> p8KeywordLength,
@@ -607,6 +663,7 @@ object Relational {
     "q2_revenue_by_nation" -> q2Sql,
     "q3_top_orders" -> q3Sql,
     "q4_filter_tally" -> q4Sql,
+    "q5_decorrelated_exists" -> q5Sql,
     "p6_header_row_filter" -> p6Sql,
     "p7_pattern_exclusion" -> p7Sql,
     "p8_keyword_length" -> p8Sql,
