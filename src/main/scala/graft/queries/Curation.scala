@@ -580,7 +580,130 @@ object Curation {
       |FROM tot t LEFT JOIN kept k ON t.source = k.source
       |ORDER BY t.source""".stripMargin
 
+  // ---- C8: domain authority by PageRank over textual overlap --------
+
+  /** Shingles appearing in more than this many sources are dropped from
+    * the overlap graph: they are corpus-wide boilerplate (stopword
+    * runs), connect everything to everything, and the cap is what
+    * bounds the self-join blowup at corpus scale (d2's df-cap
+    * discipline applied to the source-level index). */
+  private[queries] val C8DfCap = 10
+
+  /** PageRank iterations — fixed so the oracle unrolls CTE-for-CTE. */
+  private[queries] val C8Rounds = 5
+
+  /** Integer micro-unit scale for ranks: 1.0 of rank mass = 10^12. All
+    * PageRank arithmetic stays in BIGINT with explicit floor division,
+    * so both engines compute bit-identical ranks — the float division a
+    * textbook PageRank uses is exactly the cross-engine hazard the
+    * r6/uq6 discipline exists to avoid, and unlike means, iterated
+    * division compounds rounding drift across rounds. */
+  private[queries] val C8Unit = 1000000000000L
+
+  /** C8 — domain authority ranking: PageRank over the inter-source
+    * textual-overlap graph, the corpus-level quality signal curation
+    * mixes (c6) and gates (c1/c7) consume. Public-web pipelines rank
+    * crawl domains by link centrality (PageRank / harmonic centrality)
+    * and feed the score into keep/sample decisions; with no hyperlink
+    * column in the corpus, the graph here is textual co-occurrence —
+    * source A links to B when they share a distinct 3-gram shingle
+    * (weight = number of shared shingles), which is the same evidence
+    * base the dedup family mines, reused at the aggregate level.
+    *
+    * Spark-first shape: the graph build is two shingle-keyed shuffles
+    * over the SESSION-SHARED shingle index (distinct (source, shingle),
+    * then a df-capped self-join — [[C8DfCap]] bounds the per-shingle
+    * fan-out so the pair stage is linear in kept postings, never
+    * all-pairs). The 5 rank iterations are edge-keyed join+aggregate
+    * rounds over the materialized edge list (lineage truncated once via
+    * localCheckpoint — the iteration input is the fixed graph, not the
+    * corpus). All rank arithmetic is integer micro-units ([[C8Unit]]):
+    * contribution = ((85·r) div 100)·w div W, teleport = 0.15·unit,
+    * floor-truncation loss is deterministic and identical in both
+    * engines.
+    *
+    * Scale shape: at 100 TB the graph build is the dedup family's
+    * bounded-posting pattern (documented subquadratic in SCALE.md) and
+    * each iteration is one shuffle linear in |edges| — the classic
+    * distributed PageRank schedule. Driver state is nothing; rank state
+    * lives in the cluster, keyed by source.
+    */
+  def c8DomainPagerank(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d).select(col("doc_id"), col("source"))
+    val srcShingle = Dedup.shingleSets(s, d)
+      .select(col("doc_id"), explode(col("shingles")).as("shingle"))
+      .join(docs, "doc_id")
+      .select(col("source"), col("shingle"))
+      .distinct()
+    val kept = srcShingle.join(
+      srcShingle.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+        .filter(col("df") <= lit(C8DfCap))
+        .select(col("shingle")),
+      "shingle")
+    val edges = kept
+      .join(kept.select(col("shingle"), col("source").as("src_b")), "shingle")
+      .filter(col("source") =!= col("src_b"))
+      .groupBy(col("source").as("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("w"))
+    val ew = edges
+      .join(edges.groupBy(col("src_a")).agg(sum(col("w")).as("out_w")),
+        "src_a")
+      .localCheckpoint()
+    val nodes = docs.select(col("source")).distinct().localCheckpoint()
+    var rank = nodes.withColumn("rank", lit(C8Unit))
+    for (_ <- 1 to C8Rounds) {
+      val in = rank.join(ew, col("source") === col("src_a"))
+        .select(col("src_b").as("source"),
+          expr("(((85 * rank) div 100) * w) div out_w").as("m"))
+        .groupBy(col("source")).agg(sum(col("m")).as("in_mass"))
+      rank = nodes.join(in, Seq("source"), "left")
+        .select(col("source"),
+          (lit(C8Unit * 15L / 100L) +
+            coalesce(col("in_mass"), lit(0L))).as("rank"))
+    }
+    rank.orderBy(col("rank").desc, col("source"))
+  }
+
+  val c8Sql: String = {
+    val iterCtes = (1 to C8Rounds).map { i =>
+      s"""c$i AS (
+        |  SELECT e.src_b AS source,
+        |    CAST(sum((((85 * r.rank) // 100) * e.w) // e.out_w) AS BIGINT)
+        |      AS in_mass
+        |  FROM ew e JOIN r${i - 1} r ON e.src_a = r.source
+        |  GROUP BY e.src_b),
+        |r$i AS (
+        |  SELECT n.source,
+        |    ${C8Unit * 15L / 100L} + coalesce(c$i.in_mass, 0) AS rank
+        |  FROM nodes n LEFT JOIN c$i USING (source))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH sets AS (${Dedup.shingleSetsSql}),
+      |ss AS (
+      |  SELECT DISTINCT d.source, sh.shingle
+      |  FROM (SELECT doc_id, unnest(shingles) AS shingle FROM sets) sh
+      |  JOIN documents d USING (doc_id)),
+      |k AS (
+      |  SELECT ss.source, ss.shingle FROM ss
+      |  JOIN (SELECT shingle FROM ss GROUP BY shingle
+      |        HAVING count(*) <= $C8DfCap) keep USING (shingle)),
+      |edges AS (
+      |  SELECT a.source AS src_a, b.source AS src_b, count(*) AS w
+      |  FROM k a JOIN k b USING (shingle)
+      |  WHERE a.source <> b.source
+      |  GROUP BY 1, 2),
+      |ew AS (
+      |  SELECT e.src_a, e.src_b, e.w, o.out_w FROM edges e
+      |  JOIN (SELECT src_a, CAST(sum(w) AS BIGINT) AS out_w
+      |        FROM edges GROUP BY 1) o USING (src_a)),
+      |nodes AS (SELECT DISTINCT source FROM documents),
+      |r0 AS (SELECT source, CAST($C8Unit AS BIGINT) AS rank FROM nodes),
+      |$iterCtes
+      |SELECT source, CAST(rank AS BIGINT) AS rank FROM r$C8Rounds
+      |ORDER BY rank DESC, source""".stripMargin
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c8_domain_pagerank" -> c8DomainPagerank,
     "c7_relative_gate" -> c7RelativeGate,
     "c1_curation_decision" -> c1CurationDecision,
     "c1b_curation_dupinject" -> c1DupInject,
@@ -592,6 +715,7 @@ object Curation {
   )
 
   val oracle: Map[String, String] = Map(
+    "c8_domain_pagerank" -> c8Sql,
     "c7_relative_gate" -> c7Sql,
     "c1_curation_decision" -> c1Sql,
     "c1b_curation_dupinject" -> c1DupSql,

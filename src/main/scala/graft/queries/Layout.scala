@@ -450,11 +450,81 @@ object Layout {
       |WHERE c_mktsegment = 'BUILDING' AND o_orderpriority = '1-URGENT'
       |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
 
+  /** A18 — one-pass column profiling: the statistics-gathering operator
+    * that feeds everything else in this family (a17's CBO needs row and
+    * column stats; a14/a16 layouts are chosen by min/max spread; skew
+    * handling needs distinct counts). Per profiled column: non-null
+    * count, exact distinct count, and min/max rendered through an
+    * EXPLICIT cross-engine format (printf for doubles, a fixed
+    * date-format for timestamps, raw for strings/ints) — profile output
+    * is consumed by humans and catalogs, so the rendering is part of
+    * the contract, not a display detail.
+    *
+    * Spark-first shape: ONE aggregate over one scan computing all
+    * 4 columns × 4 stats, then `stack` pivots the single row into the
+    * per-column profile. The multiple exact `countDistinct`s plan as
+    * one Expand (4× rows in flight, still a single pass + one shuffle
+    * of partial aggregates). Scale shape: at 100 TB exact distinct is
+    * the one stat that doesn't map-side-combine into fixed state —
+    * production profiling swaps it for HLL (k2's sketch, mergeable,
+    * fixed 2 KB per column) and keeps min/max/non-null exact; the
+    * operator keeps exact distincts here because the oracle certifies
+    * values, not estimates.
+    */
+  def a18Profile(s: SparkSession, d: String): DataFrame = {
+    val agg = lineitem(s, d).agg(
+      count(col("l_orderkey")).as("nn_k"),
+      countDistinct(col("l_orderkey")).as("nd_k"),
+      min(col("l_orderkey")).as("mn_k"), max(col("l_orderkey")).as("mx_k"),
+      count(col("l_quantity")).as("nn_q"),
+      countDistinct(col("l_quantity")).as("nd_q"),
+      min(col("l_quantity")).as("mn_q"), max(col("l_quantity")).as("mx_q"),
+      count(col("l_returnflag")).as("nn_r"),
+      countDistinct(col("l_returnflag")).as("nd_r"),
+      min(col("l_returnflag")).as("mn_r"), max(col("l_returnflag")).as("mx_r"),
+      count(col("l_shipdate")).as("nn_s"),
+      countDistinct(col("l_shipdate")).as("nd_s"),
+      min(col("l_shipdate")).as("mn_s"), max(col("l_shipdate")).as("mx_s"))
+    agg.select(expr(
+      """stack(4,
+        |'l_orderkey', nn_k, nd_k,
+        |  cast(mn_k as string), cast(mx_k as string),
+        |'l_quantity', nn_q, nd_q,
+        |  format_string('%.6f', mn_q), format_string('%.6f', mx_q),
+        |'l_returnflag', nn_r, nd_r, mn_r, mx_r,
+        |'l_shipdate', nn_s, nd_s,
+        |  date_format(mn_s, 'yyyy-MM-dd HH:mm:ss'),
+        |  date_format(mx_s, 'yyyy-MM-dd HH:mm:ss'))
+        |AS (col_name, n_nonnull, n_distinct, min_str, max_str)""".stripMargin))
+      .orderBy("col_name")
+  }
+
+  val a18Sql: String =
+    """SELECT * FROM (
+      |  SELECT 'l_orderkey' AS col_name, count(l_orderkey) AS n_nonnull,
+      |    count(DISTINCT l_orderkey) AS n_distinct,
+      |    CAST(min(l_orderkey) AS VARCHAR) AS min_str,
+      |    CAST(max(l_orderkey) AS VARCHAR) AS max_str FROM lineitem
+      |  UNION ALL
+      |  SELECT 'l_quantity', count(l_quantity), count(DISTINCT l_quantity),
+      |    printf('%.6f', min(l_quantity)), printf('%.6f', max(l_quantity))
+      |  FROM lineitem
+      |  UNION ALL
+      |  SELECT 'l_returnflag', count(l_returnflag),
+      |    count(DISTINCT l_returnflag), min(l_returnflag), max(l_returnflag)
+      |  FROM lineitem
+      |  UNION ALL
+      |  SELECT 'l_shipdate', count(l_shipdate), count(DISTINCT l_shipdate),
+      |    strftime(min(l_shipdate), '%Y-%m-%d %H:%M:%S'),
+      |    strftime(max(l_shipdate), '%Y-%m-%d %H:%M:%S') FROM lineitem
+      |) ORDER BY col_name""".stripMargin
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a14_minmax_prune" -> a14MinmaxPrune,
     "a15_dynamic_prune" -> a15DynamicPrune,
     "a16_zorder_prune" -> a16ZorderPrune,
     "a17_cbo_reorder" -> a17CboReorder,
+    "a18_profile" -> a18Profile,
   )
 
   val oracle: Map[String, String] = Map(
@@ -462,5 +532,6 @@ object Layout {
     "a15_dynamic_prune" -> a15Sql,
     "a16_zorder_prune" -> a16Sql,
     "a17_cbo_reorder" -> a17Sql,
+    "a18_profile" -> a18Sql,
   )
 }

@@ -62,7 +62,7 @@ object Similarity {
   }
 
   /** DuckDB rendering of the same strict-left-fold cosine. */
-  private def cosineSql(a: String, b: String): String = {
+  private[queries] def cosineSql(a: String, b: String): String = {
     def fold(items: String) =
       s"list_reduce(list_prepend(0.0, $items), (acc, x) -> acc + x)"
     val dot = fold(s"list_transform(range(1, len($a)+1), i -> $a[i]::DOUBLE * $b[i]::DOUBLE)")
