@@ -628,13 +628,25 @@ object Curation {
     * distributed PageRank schedule. Driver state is nothing; rank state
     * lives in the cluster, keyed by source.
     */
-  def c8DomainPagerank(s: SparkSession, d: String): DataFrame = {
-    val docs = documents(s, d).select(col("doc_id"), col("source"))
-    val srcShingle = Dedup.shingleSets(s, d)
+  def c8DomainPagerank(s: SparkSession, d: String): DataFrame =
+    c8Over(Dedup.shingleSets(s, d),
+      documents(s, d).select(col("doc_id"), col("source")))
+
+  /** The c8 core over any (doc_id, shingles) sets frame and a
+    * (doc_id, source) map — factored so the ScaleHeadroom harness can
+    * feed enlarged corpora with fresh (non-session-cached) shingle
+    * sets. */
+  private[graft] def c8Over(sets: DataFrame, srcMap: DataFrame): DataFrame = {
+    // materialized once: the posting relation feeds THREE consumers
+    // (df counts, and both sides of the pair self-join) — without the
+    // checkpoint each consumer would recompute the corpus-sized
+    // explode+join+distinct lineage
+    val srcShingle = sets
       .select(col("doc_id"), explode(col("shingles")).as("shingle"))
-      .join(docs, "doc_id")
+      .join(srcMap, "doc_id")
       .select(col("source"), col("shingle"))
       .distinct()
+      .localCheckpoint()
     val kept = srcShingle.join(
       srcShingle.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
         .filter(col("df") <= lit(C8DfCap))
@@ -649,7 +661,7 @@ object Curation {
       .join(edges.groupBy(col("src_a")).agg(sum(col("w")).as("out_w")),
         "src_a")
       .localCheckpoint()
-    val nodes = docs.select(col("source")).distinct().localCheckpoint()
+    val nodes = srcMap.select(col("source")).distinct().localCheckpoint()
     var rank = nodes.withColumn("rank", lit(C8Unit))
     for (_ <- 1 to C8Rounds) {
       val in = rank.join(ew, col("source") === col("src_a"))

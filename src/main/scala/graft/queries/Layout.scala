@@ -460,42 +460,66 @@ object Layout {
     * is consumed by humans and catalogs, so the rendering is part of
     * the contract, not a display detail.
     *
-    * Spark-first shape: ONE aggregate over one scan computing all
-    * 4 columns × 4 stats, then `stack` pivots the single row into the
-    * per-column profile. The multiple exact `countDistinct`s plan as
-    * one Expand (4× rows in flight, still a single pass + one shuffle
-    * of partial aggregates). Scale shape: at 100 TB exact distinct is
-    * the one stat that doesn't map-side-combine into fixed state —
-    * production profiling swaps it for HLL (k2's sketch, mergeable,
-    * fixed 2 KB per column) and keeps min/max/non-null exact; the
-    * operator keeps exact distincts here because the oracle certifies
-    * values, not estimates.
+    * Spark-first shape: one scan, pivoted row-wise by `stack` into
+    * (col_name, one typed value column per source type), then TWO
+    * aggregation levels. Level 1 groups by (col_name, value) with a
+    * count-only buffer — a plain HashAggregate, map-side combined.
+    * Level 2 derives everything from the distinct-value relation:
+    * n_distinct = count, n_nonnull = sum of occurrences, min/max =
+    * min/max (distinct preserves extremes). The naive single
+    * `agg(countDistinct…, min…, max…)` formulation is a measured 4×
+    * slower: Spark's HashAggregate requires fixed-size aggregate
+    * buffers, so a string min/max in the same aggregate as a distinct
+    * count demotes the WHOLE Expand pipeline to SortAggregate — a full
+    * 5-column sort of rows×columns expanded data. Splitting the levels
+    * keeps the data-sized stage hash-based; the string min/max only
+    * ever sees the already-distinct values. Scale shape: at 100 TB
+    * exact distinct is the one stat that doesn't collapse to fixed
+    * state — production profiling swaps level 1 for HLL (k2's sketch,
+    * mergeable, fixed 2 KB per column) and keeps min/max/non-null
+    * exact; the operator keeps exact distincts here because the oracle
+    * certifies values, not estimates.
     */
   def a18Profile(s: SparkSession, d: String): DataFrame = {
-    val agg = lineitem(s, d).agg(
-      count(col("l_orderkey")).as("nn_k"),
-      countDistinct(col("l_orderkey")).as("nd_k"),
-      min(col("l_orderkey")).as("mn_k"), max(col("l_orderkey")).as("mx_k"),
-      count(col("l_quantity")).as("nn_q"),
-      countDistinct(col("l_quantity")).as("nd_q"),
-      min(col("l_quantity")).as("mn_q"), max(col("l_quantity")).as("mx_q"),
-      count(col("l_returnflag")).as("nn_r"),
-      countDistinct(col("l_returnflag")).as("nd_r"),
-      min(col("l_returnflag")).as("mn_r"), max(col("l_returnflag")).as("mx_r"),
-      count(col("l_shipdate")).as("nn_s"),
-      countDistinct(col("l_shipdate")).as("nd_s"),
-      min(col("l_shipdate")).as("mn_s"), max(col("l_shipdate")).as("mx_s"))
-    agg.select(expr(
+    val stacked = lineitem(s, d).select(expr(
       """stack(4,
-        |'l_orderkey', nn_k, nd_k,
-        |  cast(mn_k as string), cast(mx_k as string),
-        |'l_quantity', nn_q, nd_q,
-        |  format_string('%.6f', mn_q), format_string('%.6f', mx_q),
-        |'l_returnflag', nn_r, nd_r, mn_r, mx_r,
-        |'l_shipdate', nn_s, nd_s,
-        |  date_format(mn_s, 'yyyy-MM-dd HH:mm:ss'),
-        |  date_format(mx_s, 'yyyy-MM-dd HH:mm:ss'))
-        |AS (col_name, n_nonnull, n_distinct, min_str, max_str)""".stripMargin))
+        |'l_orderkey', l_orderkey, cast(null as double),
+        |  cast(null as string), cast(null as timestamp_ntz),
+        |'l_quantity', cast(null as bigint), l_quantity,
+        |  cast(null as string), cast(null as timestamp_ntz),
+        |'l_returnflag', cast(null as bigint), cast(null as double),
+        |  l_returnflag, cast(null as timestamp_ntz),
+        |'l_shipdate', cast(null as bigint), cast(null as double),
+        |  cast(null as string), cast(l_shipdate as timestamp_ntz))
+        |AS (col_name, v_long, v_dbl, v_str, v_ts)""".stripMargin))
+    val present = col("v_long").isNotNull || col("v_dbl").isNotNull ||
+      col("v_str").isNotNull || col("v_ts").isNotNull
+    val distincts = stacked
+      .groupBy(col("col_name"), col("v_long"), col("v_dbl"),
+        col("v_str"), col("v_ts"))
+      .agg(count(lit(1)).as("occ"))
+    distincts.groupBy(col("col_name")).agg(
+      coalesce(sum(when(present, col("occ"))), lit(0L)).as("n_nonnull"),
+      count(when(present, lit(1))).as("n_distinct"),
+      min(col("v_long")).as("mn_l"), max(col("v_long")).as("mx_l"),
+      min(col("v_dbl")).as("mn_d"), max(col("v_dbl")).as("mx_d"),
+      min(col("v_str")).as("mn_s"), max(col("v_str")).as("mx_s"),
+      min(col("v_ts")).as("mn_t"), max(col("v_ts")).as("mx_t"))
+      .select(col("col_name"), col("n_nonnull"), col("n_distinct"),
+        expr(
+          """CASE col_name
+            |  WHEN 'l_orderkey' THEN cast(mn_l as string)
+            |  WHEN 'l_quantity' THEN format_string('%.6f', mn_d)
+            |  WHEN 'l_returnflag' THEN mn_s
+            |  ELSE date_format(mn_t, 'yyyy-MM-dd HH:mm:ss') END""".stripMargin)
+          .as("min_str"),
+        expr(
+          """CASE col_name
+            |  WHEN 'l_orderkey' THEN cast(mx_l as string)
+            |  WHEN 'l_quantity' THEN format_string('%.6f', mx_d)
+            |  WHEN 'l_returnflag' THEN mx_s
+            |  ELSE date_format(mx_t, 'yyyy-MM-dd HH:mm:ss') END""".stripMargin)
+          .as("max_str"))
       .orderBy("col_name")
   }
 
@@ -519,12 +543,82 @@ object Layout {
       |    strftime(max(l_shipdate), '%Y-%m-%d %H:%M:%S') FROM lineitem
       |) ORDER BY col_name""".stripMargin
 
+  /** A19 — statistics answered from METADATA ONLY: parquet aggregate
+    * pushdown. a18 computes the profile by scanning data; a19 is the
+    * companion scale lever — COUNT/MIN/MAX (and GROUP BY on partition
+    * columns) answered from parquet footer statistics, so the "scan"
+    * emits one pre-aggregated row per row-group instead of the rows
+    * themselves. Two shapes, one query: global lineitem stats from an
+    * unpartitioned table's footers, and per-day event stats where BOTH
+    * the aggregate AND the group-by are pushed (`PushedAggregation` +
+    * `PushedGroupBy: [day]` — the partition value is the group, footer
+    * stats are the aggregate, zero data pages read). Both pushes are
+    * require-pinned in-query: this operator's contract IS the
+    * mechanism, silently falling back to a data scan would still
+    * return the right rows. The oracle replays both relationally —
+    * pushdown must change the I/O, never the answer.
+    *
+    * Spark-first shape: DSv2 parquet scan (`useV1SourceList` minus
+    * parquet) + `spark.sql.parquet.aggregatePushdown` — planner work,
+    * zero custom code. Scale shape: at 100 TB this is the difference
+    * between a profiling/monitoring query costing a full-fact scan and
+    * costing a footer sweep (~KB per file) — the reason production
+    * catalogs answer row counts instantly. The pushdown contract (no
+    * row filters, partition-column groups only, COUNT/MIN/MAX only) is
+    * exactly the footer-stats feasibility boundary; a18 covers
+    * everything past it.
+    */
+  def a19AggPushdown(s: SparkSession, d: String): DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_a19_")
+    try {
+      writeDayPartitionedLayout(s, d, dir.toString)
+      Joins.withConfs(s, Seq(
+        "spark.sql.sources.useV1SourceList" -> "avro,csv,json,kafka,orc,text",
+        "spark.sql.parquet.aggregatePushdown" -> "true")) {
+        val global = s.read.parquet(s"$d/lineitem.parquet")
+          .agg(count(col("l_orderkey")).as("n_rows"),
+            min(col("l_orderkey")).as("min_v"),
+            max(col("l_orderkey")).as("max_v"))
+          .select(lit("lineitem:total").as("scope"),
+            col("n_rows"), col("min_v"), col("max_v"))
+        require(global.queryExecution.sparkPlan.toString
+            .contains("PushedAggregation: [COUNT(l_orderkey)"),
+          "a19: global COUNT/MIN/MAX must push to parquet footers - " +
+            "a silent data-scan fallback defeats the operator")
+        val grouped = s.read.parquet(s"$dir/fact")
+          .groupBy(col("day"))
+          .agg(count(col("event_id")).as("n_rows"),
+            min(col("event_id")).as("min_v"),
+            max(col("event_id")).as("max_v"))
+          .select(concat(lit("events:"), col("day")).as("scope"),
+            col("n_rows"), col("min_v"), col("max_v"))
+        val gPlan = grouped.queryExecution.sparkPlan.toString
+        require(gPlan.contains("PushedAggregation: [COUNT(event_id)") &&
+            gPlan.contains("PushedGroupBy: [day]"),
+          "a19: per-day stats must push BOTH the aggregate and the " +
+            "partition-column group-by")
+        global.unionByName(grouped).orderBy("scope").localCheckpoint()
+      }
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+  }
+
+  val a19Sql: String =
+    """SELECT * FROM (
+      |  SELECT 'lineitem:total' AS scope, count(l_orderkey) AS n_rows,
+      |    min(l_orderkey) AS min_v, max(l_orderkey) AS max_v FROM lineitem
+      |  UNION ALL
+      |  SELECT 'events:' || strftime(ts, '%Y-%m-%d'), count(event_id),
+      |    min(event_id), max(event_id)
+      |  FROM events GROUP BY strftime(ts, '%Y-%m-%d')
+      |) ORDER BY scope""".stripMargin
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a14_minmax_prune" -> a14MinmaxPrune,
     "a15_dynamic_prune" -> a15DynamicPrune,
     "a16_zorder_prune" -> a16ZorderPrune,
     "a17_cbo_reorder" -> a17CboReorder,
     "a18_profile" -> a18Profile,
+    "a19_agg_pushdown" -> a19AggPushdown,
   )
 
   val oracle: Map[String, String] = Map(
@@ -533,5 +627,6 @@ object Layout {
     "a16_zorder_prune" -> a16Sql,
     "a17_cbo_reorder" -> a17Sql,
     "a18_profile" -> a18Sql,
+    "a19_agg_pushdown" -> a19Sql,
   )
 }

@@ -118,7 +118,10 @@ object Warehouse {
           .as("bal"))
       .orderBy("cust_id")
 
-  val o10Sql: String =
+  /** The o10 merge replay WITHOUT the final ordering — shared between
+    * [[o10Sql]] and o12's versioned twin so the two oracles can never
+    * drift apart. */
+  private val o10CoreSql: String =
     """WITH ranked AS (
       |  SELECT user_id AS cust_id, event_type, value,
       |    row_number() OVER (PARTITION BY user_id
@@ -137,8 +140,9 @@ object Warehouse {
       |  coalesce(b.segment, 'UNKNOWN') AS segment,
       |  CASE WHEN c.op = 'U' THEN c.new_bal ELSE b.bal END AS bal
       |FROM base b FULL JOIN chg c ON b.cust_id = c.cust_id
-      |WHERE c.op IS NULL OR c.op = 'U'
-      |ORDER BY cust_id""".stripMargin
+      |WHERE c.op IS NULL OR c.op = 'U'""".stripMargin
+
+  val o10Sql: String = o10CoreSql + "\nORDER BY cust_id"
 
   // ---- O11: incremental materialized-view maintenance ----------------
 
@@ -220,15 +224,108 @@ object Warehouse {
       |    AS avg_value
       |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  // ---- O12: snapshot versioning + time travel -----------------------
+
+  private def o12Manifest(base: String): java.nio.file.Path =
+    java.nio.file.Paths.get(base, "manifest")
+
+  private[graft] def o12Versions(base: String): Seq[Int] = {
+    val m = o12Manifest(base)
+    if (java.nio.file.Files.exists(m))
+      java.nio.file.Files.readString(m).trim.split(",")
+        .filter(_.nonEmpty).map(_.toInt).toSeq
+    else Seq.empty
+  }
+
+  /** Commit `df` as version `v` of the snapshot table at `base`: data
+    * lands in a dot-prefixed staging dir (invisible to readers), is
+    * renamed to `v=N`, and becomes READABLE only when the manifest —
+    * swapped atomically, the a13/st9 discipline — lists N. A crash
+    * between data rename and manifest swap leaves debris a reader can
+    * never see; re-running the commit overwrites it. */
+  private[graft] def o12Commit(base: String, v: Int, df: DataFrame): Unit = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val staging = Paths.get(base, s".v$v.staging")
+    df.coalesce(1).write.mode("overwrite").parquet(staging.toString)
+    val dataDir = Paths.get(base, s"v=$v")
+    require(staging.toFile.renameTo(dataDir.toFile),
+      s"o12: data rename failed for version $v")
+    val mStage = Paths.get(base, ".manifest.staging")
+    Files.writeString(mStage, (o12Versions(base) :+ v).mkString(","))
+    Files.move(mStage, o12Manifest(base),
+      StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** Read the snapshot as of `v` — strictly through the manifest: a
+    * staged, half-renamed, or crashed-mid-commit version is invisible,
+    * and asking for it fails loudly instead of returning partial data. */
+  private[graft] def o12ReadAsOf(s: SparkSession, base: String,
+      v: Int): DataFrame = {
+    val committed = o12Versions(base)
+    require(committed.contains(v),
+      s"o12: version $v is not committed (manifest: " +
+        s"${committed.mkString(",")})")
+    s.read.parquet(s"$base/v=$v")
+  }
+
+  /** O12 — snapshot time travel: the read-side contract the o10 merge
+    * and st16's snapshot swap imply but never expose — every committed
+    * version stays readable AS OF its commit, concurrently with later
+    * ones. v0 is the customer dim; v1 applies o10's CDC change-set TO
+    * THE COMMITTED v0 (read back through the manifest, exactly as a
+    * restarted job would); the query returns both versions tagged, so
+    * the oracle certifies immutability (v0 rows unchanged post-v1) and
+    * lineage (v1 = merge(v0, changes)) in one hash. This is the
+    * Delta/Iceberg `VERSION AS OF` mechanism built from primitives:
+    * version-addressed immutable data dirs + an atomically-swapped
+    * manifest as the commit point. `TimeTravelSpec` pins the
+    * operational edges (uncommitted reads fail loudly, staged debris
+    * is invisible, commits append monotonically).
+    *
+    * Scale shape: at 100 TB time travel is what makes reprocessing and
+    * audit possible without copying the table — a version is METADATA
+    * (a manifest entry + immutable files), so N versions cost storage
+    * only for changed files. The read path is manifest lookup + a
+    * plain parquet scan of that version's files — all layout levers
+    * (a14 clustering, a19 footer stats) compose unchanged.
+    */
+  def o12TimeTravel(s: SparkSession, d: String): DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_o12_")
+    try {
+      val base = customer(s, d).select(col("c_custkey").as("cust_id"),
+        col("c_mktsegment").as("segment"), col("c_acctbal").as("bal"))
+      o12Commit(dir.toString, 0, base)
+      o12Commit(dir.toString, 1,
+        o10Apply(o12ReadAsOf(s, dir.toString, 0), o10Changes(s, d)))
+      o12ReadAsOf(s, dir.toString, 0).withColumn("version", lit(0))
+        .unionByName(
+          o12ReadAsOf(s, dir.toString, 1).withColumn("version", lit(1)))
+        .orderBy("version", "cust_id")
+        .localCheckpoint()
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+  }
+
+  val o12Sql: String =
+    s"""SELECT * FROM (
+      |  SELECT c_custkey AS cust_id, c_mktsegment AS segment,
+      |    c_acctbal AS bal, 0 AS version
+      |  FROM customer
+      |  UNION ALL
+      |  SELECT m.cust_id, m.segment, m.bal, 1 AS version
+      |  FROM ($o10CoreSql) m
+      |) ORDER BY version, cust_id""".stripMargin
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "o9_scd2_history" -> o9Scd2History,
     "o10_merge_upsert" -> o10MergeUpsert,
     "o11_incremental_agg" -> o11IncrementalAgg,
+    "o12_time_travel" -> o12TimeTravel,
   )
 
   val oracle: Map[String, String] = Map(
     "o9_scd2_history" -> o9Sql,
     "o10_merge_upsert" -> o10Sql,
     "o11_incremental_agg" -> o11Sql,
+    "o12_time_travel" -> o12Sql,
   )
 }

@@ -261,6 +261,24 @@ object ScaleHeadroom {
       "c7_relative_gate" -> (n => graft.queries.Curation.c7Of(
         docsFullAt(n).withColumn("source",
           pmod(col("doc_id"), lit(5)).cast("string")))),
+      // ---- r13 third-wave family ----
+      // semantic dedup: corpus AND cluster count grow together (k ~ N,
+      // the SemDeDup contract) so cluster width stays flat and the
+      // pair stage stays linear; the measured superlinear term is the
+      // brute-force O(N·k) seed assignment a production build replaces
+      // with a hierarchical coarse quantizer
+      "d12_semantic_dedup" -> (n => Dedup.d12Of(embAt(n), 8 * n)),
+      // domain PageRank: tagged copies mint NEW sources (5 per copy)
+      // sharing no shingles across copies — the graph grows as n
+      // disjoint base-shaped components, nodes and edges both linear;
+      // each rank iteration is one edge-keyed shuffle
+      "c8_domain_pagerank" -> { n =>
+        val docs = docsAt(n).select(col("doc_id"),
+          concat(pmod(col("doc_id"), lit(5)), lit("_"),
+            expr("doc_id div 1000000")).as("source"), col("text"))
+        Curation.c8Over(setsOf(docs.select("doc_id", "text")),
+          docs.select("doc_id", "source"))
+      },
       "d2_ngram_jaccard" -> (n => Dedup.d2PairsOf(setsOf(docsAt(n)))),
       "d3_minhash_lsh" -> (n => Dedup.minhashLsh(setsOf(docsAt(n)))),
       "d5_simhash_pairs" -> (n => Dedup.d5PairsOf(docsAt(n))),

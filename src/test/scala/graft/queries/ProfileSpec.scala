@@ -29,11 +29,18 @@ class ProfileSpec extends SparkSpecBase {
     assert(mnQ === f"${dq.getDouble(2)}%.6f" && mxQ === f"${dq.getDouble(3)}%.6f")
   }
 
-  test("a18 is one pass: single relation leaf, Expand-planned distincts") {
+  test("a18 is one pass and its data-sized stage stays hash-based") {
     val q = Layout.a18Profile(spark, sf)
     assert(q.queryExecution.optimizedPlan.collectLeaves().size === 1,
       "profile must read the table exactly once")
-    assert(q.queryExecution.optimizedPlan.toString.contains("Expand"),
-      "multiple exact countDistincts should plan as one Expand over one scan")
+    // the level-1 distinct aggregation (the only data-sized stage) must
+    // be a HashAggregate: a string min/max sharing an aggregate with the
+    // distinct counting would demote the whole pipeline to SortAggregate
+    // (fixed-size-buffer rule), a measured 4x regression at sf0.1
+    val sparkPlan = q.queryExecution.sparkPlan.toString
+    val firstAgg = sparkPlan.linesIterator.toSeq.reverse
+      .find(l => l.contains("Aggregate(") && l.contains("occ"))
+    assert(firstAgg.exists(_.contains("HashAggregate")),
+      s"level-1 distinct aggregation must be hash-based, got: $firstAgg")
   }
 }
