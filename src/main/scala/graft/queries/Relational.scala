@@ -423,6 +423,64 @@ object Relational {
       |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_signup_event
       |FROM events ORDER BY user_id, event_id""".stripMargin
 
+  /** W5 — time-series gap fill / daily resample: every user's event
+    * stream becomes a CONTINUOUS daily series between their first and
+    * last active day — observed days carry the day's exact total,
+    * gap days carry the last observed total forward with an is_filled
+    * marker. The standard resample-to-grid shape feature pipelines and
+    * monitoring run before any rolling computation (w3's rolling mean
+    * silently skips missing days unless the grid is densified first).
+    *
+    * Spark-first shape: one day-keyed aggregate, a per-user bounds
+    * aggregate, `sequence()+explode` to mint the grid (linear in
+    * user-days, no driver loop), a day-keyed left join back, and one
+    * user-keyed locf window (w1's carry-forward applied to the dense
+    * grid). Scale: the grid is |users|×|days| rows — bounded by
+    * calendar span, not event volume; all shuffles are user- or
+    * (user, day)-keyed.
+    */
+  def w5GapFill(s: SparkSession, d: String): DataFrame = {
+    val daily = events(s, d)
+      .groupBy(col("user_id"), date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .agg(r6(dsum(col("value"))).as("day_value"))
+    val grid = daily.groupBy(col("user_id"))
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(col("user_id"),
+        explode(sequence(to_date(col("d0")), to_date(col("d1")))).as("dd"))
+      .select(col("user_id"), date_format(col("dd"), "yyyy-MM-dd").as("day"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(daily, Seq("user_id", "day"), "left")
+      .withColumn("filled_value",
+        last(col("day_value"), ignoreNulls = true).over(w))
+      .select(col("user_id"), col("day"), col("filled_value"),
+        when(col("day_value").isNull, lit(1)).otherwise(lit(0))
+          .as("is_filled"))
+      .orderBy("user_id", "day")
+  }
+
+  val w5Sql: String =
+    """WITH daily AS (
+      |  SELECT user_id, strftime(ts, '%Y-%m-%d') AS day,
+      |    floor(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+      |      * 1000000.0 + 0.5) / 1000000.0 AS day_value
+      |  FROM events GROUP BY 1, 2),
+      |grid AS (
+      |  SELECT b.user_id, strftime(g.g, '%Y-%m-%d') AS day
+      |  FROM (SELECT user_id, min(day) AS d0, max(day) AS d1
+      |        FROM daily GROUP BY 1) b,
+      |    LATERAL (SELECT unnest(generate_series(CAST(b.d0 AS DATE),
+      |      CAST(b.d1 AS DATE), INTERVAL 1 DAY)) AS g) g)
+      |SELECT g.user_id, g.day,
+      |  last_value(dd.day_value IGNORE NULLS)
+      |    OVER (PARTITION BY g.user_id ORDER BY g.day
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |    AS filled_value,
+      |  CASE WHEN dd.day_value IS NULL THEN 1 ELSE 0 END AS is_filled
+      |FROM grid g LEFT JOIN daily dd
+      |  ON g.user_id = dd.user_id AND g.day = dd.day
+      |ORDER BY g.user_id, g.day""".stripMargin
+
   /** Occurrence-order ranking: SURVEY W2/F16 (1st vs later occurrence
     * within a partition, order-sensitive disambiguation). */
   def w2OccurrenceRank(s: SparkSession, d: String): DataFrame = {
@@ -648,6 +706,7 @@ object Relational {
     "o4_union_by_name" -> o4UnionByName,
     "o5_prefix_dedup" -> o5PrefixDedup,
     "w1_carry_forward" -> w1CarryForward,
+    "w5_gap_fill" -> w5GapFill,
     "w2_occurrence_rank" -> w2OccurrenceRank,
     "w3_rolling_avg" -> w3RollingAvg,
   )
@@ -677,6 +736,7 @@ object Relational {
     "o4_union_by_name" -> o4Sql,
     "o5_prefix_dedup" -> o5Sql,
     "w1_carry_forward" -> w1Sql,
+    "w5_gap_fill" -> w5Sql,
     "w2_occurrence_rank" -> w2Sql,
     "w3_rolling_avg" -> w3Sql,
   )
