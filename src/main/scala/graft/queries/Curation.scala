@@ -580,6 +580,49 @@ object Curation {
       |FROM tot t LEFT JOIN kept k ON t.source = k.source
       |ORDER BY t.source""".stripMargin
 
+  // ---- C9: duplication-aware sampling weights -----------------------
+
+  /** C9 — inverse-duplication sampling: instead of c1's hard near-dup
+    * drop, weight each document's keep probability by 1/|its near-dup
+    * cluster| so every cluster contributes ONE expected document — the
+    * softer curation policy (the SlimPajama/CCNet-style move) that
+    * preserves distributional coverage where hard dedup would delete
+    * legitimately popular content entirely. Composes two certified
+    * relations: d6's cluster map (session-memoized — singletons are
+    * their own cluster, so the whole corpus is covered) and c5's
+    * salted-hash draw discipline (deterministic, re-run/repartition
+    * stable, oracle-replayable; the keep test `draw·n < 10⁴` stays in
+    * integers). Scale shape: one cluster-keyed window for sizes + an
+    * embarrassingly parallel hash draw — nothing beyond what d6
+    * already paid.
+    */
+  def c9DedupWeightedSample(s: SparkSession, d: String): DataFrame = {
+    val sized = Dedup.d6ClustersShared(s, d)
+      .select(col("doc_id"), col("cluster_id"))
+      .withColumn("n_members", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("cluster_id"))))
+    sized
+      .withColumn("draw",
+        pmod(md5Hash32(concat(lit("c9:"), col("doc_id"))), lit(10000)))
+      .select(col("doc_id"), col("cluster_id"), col("n_members"),
+        col("draw"),
+        (col("draw") * col("n_members") < lit(10000)).as("sampled"))
+      .orderBy("doc_id")
+  }
+
+  val c9Sql: String =
+    s"""WITH clusters AS (${Dedup.d6CoreSql}),
+      |sized AS (
+      |  SELECT doc_id, cluster_id,
+      |    count(*) OVER (PARTITION BY cluster_id) AS n_members
+      |  FROM clusters)
+      |SELECT doc_id, cluster_id, n_members,
+      |  ('0x' || substr(md5('c9:' || doc_id), 1, 8))::BIGINT % 10000
+      |    AS draw,
+      |  (('0x' || substr(md5('c9:' || doc_id), 1, 8))::BIGINT % 10000)
+      |    * n_members < 10000 AS sampled
+      |FROM sized ORDER BY doc_id""".stripMargin
+
   // ---- C8: domain authority by PageRank over textual overlap --------
 
   /** Shingles appearing in more than this many sources are dropped from
@@ -715,6 +758,7 @@ object Curation {
   }
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c9_dedup_weighted_sample" -> c9DedupWeightedSample,
     "c8_domain_pagerank" -> c8DomainPagerank,
     "c7_relative_gate" -> c7RelativeGate,
     "c1_curation_decision" -> c1CurationDecision,
@@ -727,6 +771,7 @@ object Curation {
   )
 
   val oracle: Map[String, String] = Map(
+    "c9_dedup_weighted_sample" -> c9Sql,
     "c8_domain_pagerank" -> c8Sql,
     "c7_relative_gate" -> c7Sql,
     "c1_curation_decision" -> c1Sql,

@@ -714,7 +714,95 @@ object TextAnalysis {
       |FROM ranked WHERE rank <= 3
       |ORDER BY doc_id, rank""".stripMargin
 
+  // ---- T12: per-source distribution drift ---------------------------
+
+  /** T12 — per-source unigram-distribution drift: how far each source's
+    * token distribution sits from the corpus mixture, the monitoring
+    * statistic a pipeline tracks to catch a source going off-mix (a
+    * crawler picking up boilerplate, a feed switching language) before
+    * it poisons training data. The measure is L1 distance — kept
+    * EXACTLY in integers by cross-multiplying the two denominators
+    * away: L1·(Tₛ·T) = Σ_w |n(s,w)·T − n(w)·Tₛ|, with words ABSENT
+    * from the source folded in closed form (Σ_{w∉s} n(w)·Tₛ =
+    * T·Tₛ − Σ_{w∈s} n(w)·Tₛ), so the computation is linear in PRESENT
+    * (source, word) postings — never the source×vocab grid — and both
+    * engines replay it bit-identically (a float KL with transcendental
+    * logs is the cross-engine hazard the t8 integer-surprisal
+    * discipline exists to avoid).
+    *
+    * Spark-first shape: one (source, word)-keyed count, a word-keyed
+    * and a source-keyed re-aggregation of it, a 1-row broadcast total,
+    * and one posting-keyed join+sum. Scale: all shuffles are keyed by
+    * word or source; the scaled integers stay under 2⁶³ up to ~10⁹
+    * tokens per side — past that, production normalizes counts to
+    * per-mille units at map time (k4's micro-unit discipline) before
+    * the cross-multiply.
+    */
+  def t12SourceDrift(s: SparkSession, d: String): DataFrame =
+    t12Of(documentsSpread(s, d))
+
+  /** The t12 core over any (source, text) frame — factored for the
+    * spec's closed-form corpora (identical mixture → drift 0; disjoint
+    * vocabulary → the 2·Tₛ·T·(1−Tₛ/T) ceiling). */
+  private[graft] def t12Of(docs: DataFrame): DataFrame = {
+    val words = docs
+      .select(col("source"),
+        explode(split(trim(col("text")), "\\s+")).as("word"))
+      .filter(length(col("word")) > 0)
+    val cntSw = words.groupBy(col("source"), col("word"))
+      .agg(count(lit(1)).as("n_sw"))
+    val cntW = cntSw.groupBy(col("word")).agg(sum(col("n_sw")).as("n_w"))
+    val tots = cntSw.groupBy(col("source"))
+      .agg(sum(col("n_sw")).as("t_s"), count(lit(1)).as("n_vocab"))
+    val tot = cntSw.agg(sum(col("n_sw")).as("t_all"))
+    cntSw.join(cntW, "word")
+      .join(tots, "source")
+      .crossJoin(broadcast(tot))
+      .withColumn("delta",
+        abs(col("n_sw") * col("t_all") - col("n_w") * col("t_s"))
+          - col("n_w") * col("t_s"))
+      .groupBy(col("source"), col("t_s"), col("n_vocab"), col("t_all"))
+      .agg(sum(col("delta")).as("sum_delta"))
+      .withColumn("l1_scaled", col("t_s") * col("t_all") + col("sum_delta"))
+      .withColumn("drift_ppm",
+        expr("l1_scaled div greatest((2 * t_s * t_all) div 1000000, 1)"))
+      .select(col("source"), col("t_s"), col("n_vocab"),
+        col("l1_scaled"), col("drift_ppm"))
+      .orderBy("source")
+  }
+
+  val t12Sql: String =
+    """WITH w2 AS (
+      |  SELECT source, word FROM (
+      |    SELECT source,
+      |      unnest(string_split_regex(trim(text), '\s+')) AS word
+      |    FROM documents)
+      |  WHERE len(word) > 0),
+      |c_sw AS (
+      |  SELECT source, word, count(*) AS n_sw FROM w2 GROUP BY 1, 2),
+      |c_w AS (
+      |  SELECT word, CAST(sum(n_sw) AS BIGINT) AS n_w
+      |  FROM c_sw GROUP BY 1),
+      |tots AS (
+      |  SELECT source, CAST(sum(n_sw) AS BIGINT) AS t_s,
+      |    count(*) AS n_vocab
+      |  FROM c_sw GROUP BY 1),
+      |tot AS (SELECT CAST(sum(n_sw) AS BIGINT) AS t_all FROM c_sw),
+      |per AS (
+      |  SELECT s.source, t.t_s, t.n_vocab, a.t_all,
+      |    CAST(sum(abs(s.n_sw * a.t_all - w.n_w * t.t_s)
+      |      - w.n_w * t.t_s) AS BIGINT) AS sum_delta
+      |  FROM c_sw s JOIN c_w w USING (word) JOIN tots t USING (source)
+      |  CROSS JOIN tot a
+      |  GROUP BY 1, 2, 3, 4)
+      |SELECT source, t_s, n_vocab,
+      |  t_s * t_all + sum_delta AS l1_scaled,
+      |  (t_s * t_all + sum_delta)
+      |    // greatest((2 * t_s * t_all) // 1000000, 1) AS drift_ppm
+      |FROM per ORDER BY source""".stripMargin
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t12_source_drift" -> t12SourceDrift,
     "t1_lang_id" -> t1LangId,
     "t10_bpe_train" -> t10BpeTrain,
     "t11_tfidf" -> t11Tfidf,
@@ -729,6 +817,7 @@ object TextAnalysis {
   )
 
   val oracle: Map[String, String] = Map(
+    "t12_source_drift" -> t12Sql,
     "t1_lang_id" -> t1Sql,
     "t10_bpe_train" -> t10Sql,
     "t11_tfidf" -> t11Sql,
