@@ -52,7 +52,9 @@ class AntiPatternSweepSpec extends SparkSpecBase {
     "s16_spherical_refine",   // broadcast of k centroid rows per refit variant
     "s19_ivfpq",              // broadcast 8-row centroid dim (query probe side)
     "e2e_dvp_pipeline",       // 30-team dim grid + 1-row validation verdicts, broadcast
-    "a9_completeness_grid")   // expected-grid dim × dim (SURVEY A9)
+    "a9_completeness_grid",   // expected-grid dim × dim (SURVEY A9)
+    "d12_semantic_dedup",     // broadcast of 8 centroid rows (s14 build path)
+    "t12_source_drift")       // 1-row corpus-total envelope, broadcast
 
   /** Checkpoint-truncated queries → where the real plan shape IS
     * audited instead (inner-transform test below, a batch twin, or a
