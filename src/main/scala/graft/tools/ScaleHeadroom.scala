@@ -279,6 +279,15 @@ object ScaleHeadroom {
         Curation.c8Over(setsOf(docs.select("doc_id", "text")),
           docs.select("doc_id", "source"))
       },
+      // source drift: tagged copies mint new sources AND new words, so
+      // postings grow linearly while the closed-form absent-word fold
+      // keeps the computation posting-linear (never source×vocab)
+      "t12_source_drift" -> { n =>
+        graft.queries.TextAnalysis.t12Of(docsAt(n).select(
+          col("doc_id"),
+          concat(pmod(col("doc_id"), lit(5)), lit("_"),
+            expr("doc_id div 1000000")).as("source"), col("text")))
+      },
       "d2_ngram_jaccard" -> (n => Dedup.d2PairsOf(setsOf(docsAt(n)))),
       "d3_minhash_lsh" -> (n => Dedup.minhashLsh(setsOf(docsAt(n)))),
       "d5_simhash_pairs" -> (n => Dedup.d5PairsOf(docsAt(n))),
