@@ -212,6 +212,71 @@ object Media {
   def frameSample(nFrames: Int, stride: Int): Seq[Int] =
     0 until nFrames by stride
 
+  /** One record of [[Media.downsample]]'s output: the re-decoded
+    * identity of the RESAMPLED artifact (format/dims/rate parsed back
+    * out of the new payload's header — the roundtrip proof), plus the
+    * decimation accounting. */
+  final case class MediaResampled(
+      media_id: Long,
+      format: String,
+      orig_body_bytes: Int,
+      kept_units: Int,
+      new_n_bytes: Int,
+      new_checksum: Long,
+      re_w: Int,
+      re_h: Int,
+      re_rate: Int)
+
+  /** Byte-level media downsampling — the TRANSFORM step next to m2's
+    * feature extraction: audio is decimated (every `sampleStride`-th
+    * PCM sample kept, rate divided to match), video keeps every
+    * `frameStride`-th 64-byte frame unit, stills pass through. The
+    * resampled body is re-encoded behind the SAME verified header
+    * layer ([[wavBytes]]/[[bmpBytes]]) and then DECODED BACK — the
+    * output carries the new artifact's parsed header, so a payload
+    * that stopped being a valid media file would fail loudly here,
+    * not downstream. Same mapPartitions contract as
+    * [[extractFeatures]]: byte work amortized per partition, payloads
+    * never shuffled.
+    */
+  def downsample(media: Dataset[MediaRecord], sampleStride: Int = 4,
+      frameStride: Int = 10): Dataset[MediaResampled] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.map { m =>
+        val hdr = decodeHeader(m.payload)
+        val body = java.util.Arrays.copyOfRange(
+          m.payload, hdr.bodyOffset, m.payload.length)
+        val (newPayload, keptUnits) = hdr.format match {
+          case "wav" =>
+            val kept = Array.newBuilder[Byte]
+            var i = 0
+            while (i < body.length) { kept += body(i); i += sampleStride }
+            (wavBytes(hdr.sampleRate / sampleStride, kept.result()),
+              (body.length + sampleStride - 1) / sampleStride)
+          case "bmp" =>
+            val nFrames = body.length / 64 + 1
+            val frames = frameSample(nFrames, frameStride)
+            val kept = frames.iterator.flatMap { f =>
+              val from = f * 64
+              if (from >= body.length) Iterator.empty
+              else java.util.Arrays.copyOfRange(body, from,
+                math.min(from + 64, body.length)).iterator
+            }.toArray
+            (bmpBytes(hdr.width, hdr.height, kept), frames.size)
+          case _ => (m.payload, 1)
+        }
+        val re = decodeHeader(newPayload)
+        var sum = 0L
+        var i = re.bodyOffset
+        while (i < newPayload.length) { sum += newPayload(i) & 0xff; i += 1 }
+        MediaResampled(m.media_id, re.format, body.length, keptUnits,
+          newPayload.length, sum, re.width, re.height, re.sampleRate)
+      }
+    }
+  }
+
   /** Partition-parallel feature extraction over the typed media Dataset:
     * REAL header decode per record (format, dims, rate, body offset),
     * body checksum, thumbnail fit from the DECODED dims, frame sampling

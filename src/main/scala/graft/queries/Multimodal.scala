@@ -300,7 +300,68 @@ object Multimodal {
       |WHERE bit_count(xor(a.simhash64, b.simhash64)) <= 3
       |ORDER BY media_a, media_b""".stripMargin
 
+  /** M5 — media downsampling, the byte-level TRANSFORM step the m-family
+    * lacked (m2 computes thumbnail/frame-sample METADATA; m5 performs
+    * the decimation): audio keeps every 4th PCM sample with the rate
+    * divided to match, video keeps every 10th 64-byte frame unit,
+    * stills pass through — then re-encodes behind the same verified
+    * header layer and DECODES THE RESULT BACK, so the output row
+    * carries the resampled artifact's own parsed header (an invalid
+    * artifact fails in the operator, not downstream). The oracle
+    * replays the stride arithmetic over the synthetic body bytes
+    * (ASCII text ≡ body, the m2 discipline) including the re-decoded
+    * rate/dims — certifying both the decimation and the roundtrip.
+    *
+    * Scale shape: mapPartitions, one pass, payloads never shuffle; at
+    * 100 TB this is the shape of any per-record transcode (a real
+    * codec slots in behind the same header layer, same batching).
+    */
+  def m5MediaDownsample(s: SparkSession, d: String): DataFrame = {
+    import graft.multimodal.Media
+    Media.downsample(Media.fromDocuments(documentsSpread(s, d)))
+      .toDF()
+      .orderBy("media_id")
+  }
+
+  val m5Sql: String =
+    """SELECT doc_id AS media_id,
+      |  CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'wav'
+      |    ELSE 'bmp' END AS format,
+      |  CAST(length(text) AS INTEGER) AS orig_body_bytes,
+      |  CAST(CASE doc_id % 3
+      |    WHEN 0 THEN 1
+      |    WHEN 1 THEN (length(text) + 3) // 4
+      |    ELSE ((length(text) // 64 + 1) + 9) // 10 END AS INTEGER)
+      |    AS kept_units,
+      |  CAST(CASE doc_id % 3
+      |    WHEN 0 THEN 33 + length(text)
+      |    WHEN 1 THEN 44 + (length(text) + 3) // 4
+      |    ELSE 54 + len(list_filter(range(1, length(text) + 1),
+      |      i -> ((i - 1) // 64) % 10 = 0)) END AS INTEGER) AS new_n_bytes,
+      |  CAST(CASE doc_id % 3
+      |    WHEN 0 THEN coalesce(list_sum(list_transform(
+      |      range(1, length(text) + 1), i -> ascii(text[i]))), 0)
+      |    WHEN 1 THEN coalesce(list_sum(list_transform(
+      |      list_filter(range(1, length(text) + 1), i -> (i - 1) % 4 = 0),
+      |      i -> ascii(text[i]))), 0)
+      |    ELSE coalesce(list_sum(list_transform(
+      |      list_filter(range(1, length(text) + 1),
+      |        i -> ((i - 1) // 64) % 10 = 0),
+      |      i -> ascii(text[i]))), 0) END AS BIGINT) AS new_checksum,
+      |  CAST(CASE WHEN doc_id % 3 = 1 THEN 0 ELSE w END AS INTEGER)
+      |    AS re_w,
+      |  CAST(CASE WHEN doc_id % 3 = 1 THEN 0 ELSE h END AS INTEGER)
+      |    AS re_h,
+      |  CAST(CASE WHEN doc_id % 3 = 1
+      |    THEN (16000 + (doc_id % 8) * 1000) // 4 ELSE 0 END AS INTEGER)
+      |    AS re_rate
+      |FROM (SELECT doc_id, text,
+      |        n_chars % 640 + 16 AS w, n_chars % 480 + 9 AS h
+      |      FROM documents)
+      |ORDER BY media_id""".stripMargin
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m5_media_downsample" -> m5MediaDownsample,
     "m1_binary_meta" -> m1BinaryMeta,
     "m2_media_features" -> m2MediaFeatures,
     "m3_media_dedup" -> m3MediaDedup,
@@ -308,6 +369,7 @@ object Multimodal {
   )
 
   val oracle: Map[String, String] = Map(
+    "m5_media_downsample" -> m5Sql,
     "m1_binary_meta" -> m1Sql,
     "m2_media_features" -> m2Sql,
     "m3_media_dedup" -> m3Sql,
