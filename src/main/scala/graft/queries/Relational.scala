@@ -481,6 +481,54 @@ object Relational {
       |  ON g.user_id = dd.user_id AND g.day = dd.day
       |ORDER BY g.user_id, g.day""".stripMargin
 
+  /** W6 — daily actives / retention rollup: per day, distinct active
+    * users, NEW users (first ever seen that day), and cumulative reach
+    * — the DAU/new/cumulative triple every usage dashboard runs. The
+    * cumulative count is NOT a global-order window (which would
+    * single-partition the corpus at scale): first-seen collapses the
+    * fact to one row per user, the day relation is CALENDAR-bounded,
+    * and the running total is a day≤day self-join over that bounded
+    * relation — O(days²) pairs on a dimension-sized frame, corpus
+    * volume touched exactly twice (two user-keyed/day-keyed
+    * aggregates, both map-side combined).
+    */
+  def w6DailyActives(s: SparkSession, d: String): DataFrame = {
+    val withDay = events(s, d)
+      .select(col("user_id"), date_format(col("ts"), "yyyy-MM-dd").as("day"))
+    val daily = withDay.groupBy(col("day"))
+      .agg(countDistinct(col("user_id")).as("n_active"))
+    val news = withDay.groupBy(col("user_id"))
+      .agg(min(col("day")).as("day"))
+      .groupBy(col("day")).agg(count(lit(1)).as("n_new"))
+    val perDay = daily.join(news, Seq("day"), "left")
+      .select(col("day"), col("n_active"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"))
+    perDay
+      .join(perDay.select(col("day").as("d2"), col("n_new").as("nn2")),
+        col("d2") <= col("day"))
+      .groupBy(col("day"), col("n_active"), col("n_new"))
+      .agg(sum(col("nn2")).as("cum_users"))
+      .orderBy("day")
+  }
+
+  val w6Sql: String =
+    """WITH wd AS (
+      |  SELECT user_id, strftime(ts, '%Y-%m-%d') AS day FROM events),
+      |daily AS (
+      |  SELECT day, count(DISTINCT user_id) AS n_active FROM wd GROUP BY 1),
+      |news AS (
+      |  SELECT day, count(*) AS n_new FROM (
+      |    SELECT user_id, min(day) AS day FROM wd GROUP BY 1)
+      |  GROUP BY 1),
+      |per_day AS (
+      |  SELECT d.day, d.n_active, coalesce(n.n_new, 0) AS n_new
+      |  FROM daily d LEFT JOIN news n USING (day))
+      |SELECT a.day, a.n_active, a.n_new,
+      |  CAST(sum(b.n_new) AS BIGINT) AS cum_users
+      |FROM per_day a JOIN per_day b ON b.day <= a.day
+      |GROUP BY a.day, a.n_active, a.n_new
+      |ORDER BY a.day""".stripMargin
+
   /** Occurrence-order ranking: SURVEY W2/F16 (1st vs later occurrence
     * within a partition, order-sensitive disambiguation). */
   def w2OccurrenceRank(s: SparkSession, d: String): DataFrame = {
@@ -707,6 +755,7 @@ object Relational {
     "o5_prefix_dedup" -> o5PrefixDedup,
     "w1_carry_forward" -> w1CarryForward,
     "w5_gap_fill" -> w5GapFill,
+    "w6_daily_actives" -> w6DailyActives,
     "w2_occurrence_rank" -> w2OccurrenceRank,
     "w3_rolling_avg" -> w3RollingAvg,
   )
@@ -737,6 +786,7 @@ object Relational {
     "o5_prefix_dedup" -> o5Sql,
     "w1_carry_forward" -> w1Sql,
     "w5_gap_fill" -> w5Sql,
+    "w6_daily_actives" -> w6Sql,
     "w2_occurrence_rank" -> w2Sql,
     "w3_rolling_avg" -> w3Sql,
   )
