@@ -612,7 +612,82 @@ object Layout {
       |  FROM events GROUP BY strftime(ts, '%Y-%m-%d')
       |) ORDER BY scope""".stripMargin
 
+  private[queries] val A20Codecs = Seq("snappy", "uncompressed", "zstd")
+
+  /** Total bytes of the visible data files under a layout dir. */
+  private[queries] def a20LayoutBytes(dir: java.nio.file.Path): Long = {
+    val files = dir.toFile.listFiles()
+    if (files == null) 0L
+    else files.filter(f => f.isFile && !f.getName.startsWith("_") &&
+      !f.getName.startsWith(".")).map(_.length).sum
+  }
+
+  /** Writes the a20 events projection under each codec and returns
+    * (codec → layout bytes) — factored so `CodecLayoutSpec` can pin the
+    * measured compression ratios. */
+  private[graft] def a20WriteLayouts(s: SparkSession, d: String,
+      base: java.nio.file.Path): Map[String, Long] = {
+    val ev = events(s, d)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"), col("props"))
+    A20Codecs.map { c =>
+      ev.write.option("compression", c).parquet(base.resolve(c).toString)
+      c -> a20LayoutBytes(base.resolve(c))
+    }.toMap
+  }
+
+  /** A20 — storage-codec layout proof: the same relation written under
+    * snappy, zstd, and uncompressed parquet, each read back and
+    * aggregated identically — the oracle hash certifies every codec
+    * round-trips losslessly, and the in-query require pins the size
+    * lever (zstd ≤ snappy < uncompressed) that motivates the choice.
+    * At 100 TB the codec IS a first-order cost knob: it scales the
+    * bytes every scan, shuffle spill, and replica pays — typically
+    * 2–4× between uncompressed and zstd on textual/numeric mixes —
+    * and it is purely a WRITE-TIME property (a14–a16's clustering,
+    * a19's footer stats, and all pruning compose unchanged on top).
+    * The classic trade: snappy decodes faster per byte, zstd stores
+    * fewer bytes; scan-bound workloads usually win with zstd, CPU-
+    * bound rewrites with snappy — measured ratios pinned in
+    * `CodecLayoutSpec` so the numbers, not folklore, decide.
+    */
+  def a20CodecLayout(s: SparkSession, d: String): DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_a20_")
+    try {
+      val sizes = a20WriteLayouts(s, d, dir)
+      require(sizes("zstd") <= sizes("snappy") &&
+          sizes("snappy") < sizes("uncompressed"),
+        s"a20: codec size ordering violated: $sizes")
+      A20Codecs.sorted.map { c =>
+        s.read.parquet(dir.resolve(c).toString)
+          .agg(count(lit(1)).as("n_rows"),
+            countDistinct(col("user_id")).as("n_users"),
+            r6(dsum(col("value"))).as("value_sum"),
+            min(col("event_id")).as("min_event"),
+            max(col("event_id")).as("max_event"))
+          .select(lit(c).as("codec"), col("n_rows"), col("n_users"),
+            col("value_sum"), col("min_event"), col("max_event"))
+      }.reduce(_ unionByName _)
+        .orderBy("codec")
+        .localCheckpoint()
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+  }
+
+  val a20Sql: String = {
+    def one(c: String) =
+      s"""SELECT '$c' AS codec, count(*) AS n_rows,
+        |  count(DISTINCT user_id) AS n_users,
+        |  ${r6Sql("CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)")}
+        |    AS value_sum,
+        |  min(event_id) AS min_event, max(event_id) AS max_event
+        |FROM events""".stripMargin
+    s"""SELECT * FROM (
+      |${A20Codecs.sorted.map(one).mkString("\nUNION ALL\n")}
+      |) ORDER BY codec""".stripMargin
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a20_codec_layout" -> a20CodecLayout,
     "a14_minmax_prune" -> a14MinmaxPrune,
     "a15_dynamic_prune" -> a15DynamicPrune,
     "a16_zorder_prune" -> a16ZorderPrune,
@@ -628,5 +703,6 @@ object Layout {
     "a17_cbo_reorder" -> a17Sql,
     "a18_profile" -> a18Sql,
     "a19_agg_pushdown" -> a19Sql,
+    "a20_codec_layout" -> a20Sql,
   )
 }
