@@ -248,6 +248,14 @@ object Warehouse {
     val staging = Paths.get(base, s".v$v.staging")
     df.coalesce(1).write.mode("overwrite").parquet(staging.toString)
     val dataDir = Paths.get(base, s"v=$v")
+    // Crash window 2 recovery: a crash BETWEEN the data rename and the
+    // manifest swap leaves a `v=N` dir that no manifest lists. rename(2)
+    // onto a non-empty dir fails (ENOTEMPTY), so without this sweep the
+    // version could never be re-committed. A dataDir whose version is
+    // absent from the manifest is unreadable debris by construction
+    // (readers go strictly through the manifest) — delete and proceed.
+    if (Files.exists(dataDir) && !o12Versions(base).contains(v))
+      org.apache.commons.io.FileUtils.deleteDirectory(dataDir.toFile)
     require(staging.toFile.renameTo(dataDir.toFile),
       s"o12: data rename failed for version $v")
     val mStage = Paths.get(base, ".manifest.staging")

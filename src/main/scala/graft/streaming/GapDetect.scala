@@ -60,8 +60,15 @@ object GapDetect {
           } else {
             val ts = it.map(e =>
               e.ts.getTime * 1000L + (e.ts.getNanos / 1000L) % 1000L)
-              .toSeq.sorted
-            val all = state.getOption.map(_.lastTs).toSeq ++ ts
+              .toSeq
+            // Sort AFTER merging with the stored lastTs: the watermark
+            // (global-max − delay) bounds lateness globally, but lastTs
+            // is per-user, so a new event inside the slack can still be
+            // older than this user's last seen event. Unsorted, sliding
+            // pairs mismatch (wrong gap boundaries) and `all.last`
+            // would regress lastTs, re-arming the timeout too early —
+            // a false open-gap alert. Sorted, `all.last` is the max.
+            val all = (state.getOption.map(_.lastTs).toSeq ++ ts).sorted
             val gaps = all.sliding(2).collect {
               case Seq(a, b) if b - a > gapUs =>
                 GapOut(user, a, b, open = false)

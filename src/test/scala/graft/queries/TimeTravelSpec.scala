@@ -56,6 +56,29 @@ class TimeTravelSpec extends SparkSpecBase {
       new java.io.File(base))
   }
 
+  test("o12 crash between data rename and manifest swap is re-runnable") {
+    val base = freshTable()
+    try {
+      Warehouse.o12Commit(base, 0, Seq((1L, "a")).toDF("k", "v"))
+      // simulate crash window 2: the data dir was renamed into place
+      // (with stale content, as a partial earlier attempt would leave)
+      // but the manifest swap never happened
+      Seq((8L, "stale")).toDF("k", "v").write.parquet(s"$base/v=1")
+      assert(Warehouse.o12Versions(base) === Seq(0))
+      val e = intercept[IllegalArgumentException] {
+        Warehouse.o12ReadAsOf(spark, base, 1)
+      }
+      assert(e.getMessage.contains("not committed"))
+      // re-running the commit must replace the debris, not ENOTEMPTY-fail
+      Warehouse.o12Commit(base, 1, Seq((9L, "z")).toDF("k", "v"))
+      assert(Warehouse.o12Versions(base) === Seq(0, 1))
+      assert(Warehouse.o12ReadAsOf(spark, base, 1)
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSeq ===
+        Seq((9L, "z")))
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(base))
+  }
+
   test("o12 v1 equals the o10 merge applied to the committed v0") {
     val out = Warehouse.o12TimeTravel(spark, sf)
     val v1 = out.filter(col("version") === 1)
