@@ -895,14 +895,23 @@ object Similarity {
     * `graft_topk` map-side-combined aggregate shape as lloydAssign.
     * Vectors MULTI-PROBE their top-[[hierProbes]] leader groups (the
     * IVF nprobe discipline): single-probe agreement with brute force
-    * measured 0.63 on this corpus — boundary vectors' true argmax
-    * routinely lives in the runner-up group — and a fixed probe count
-    * keeps the asymptotics at O(√k) while restoring the accuracy.
+    * measured 0.63 at k=8 on this corpus — boundary vectors' true
+    * argmax routinely lives in a runner-up group — and a fixed probe
+    * count keeps the asymptotics at O(√k) while restoring accuracy
+    * (k=64: 0.63 → 0.86 pass1 going 2 → 4 probes; at k=800 four
+    * probes still scan 141 of 800 centroids per vector).
     * Fully deterministic (ties → lowest id), so the DuckDB oracle
     * replays it CTE-for-CTE ([[Dedup.d12Sql]]); `SemanticDedupSpec`
     * bounds its disagreement vs the brute-force argmax on this corpus.
     */
-  private[graft] val hierProbes = 2
+  private[graft] val hierProbes = 4
+
+  /** Flat-vs-hierarchical switch: below this centroid count the
+    * brute-force argmax is one broadcast pass and the hierarchy is
+    * pure stage overhead (the work terms only cross near √k·(1+probes)
+    * < k, and each extra ranked pass costs fixed scheduling time); at
+    * or above it callers route through [[hierAssign]]. */
+  private[graft] val HierThreshold = 32
 
   /** Argmax of `valueCol` over a broadcast (id, refCol) relation, per
     * `keyCol` — the repeated ranked-join shape inside [[hierAssign]]. */
@@ -961,6 +970,90 @@ object Similarity {
       .select(col("vec_id"),
         try_element_at(col("top"), lit(1)).getField("id").as("cell"))
   }
+
+  /** DuckDB replay of [[hierAssign]] over centroid CTE `cents`
+    * (cent_id, ce), CTE-for-CTE: seed leaders (lowest-m cent_ids) →
+    * one Lloyd round over the centroid table (micro-unit-exact refit
+    * means, the uq6 discipline) → centroids regrouped under the refit
+    * leaders → vectors multi-probe their top-[[hierProbes]] non-empty
+    * groups → fine argmax within the probed groups. All ties to
+    * lowest id. Emits CTEs `<p>seed/<p>sgrp/<p>ldim/<p>lead/<p>cgrp/
+    * <p>vgrp/<p>`; expects a vector CTE `e`(vec_id, embedding). */
+  private[queries] def hierAssignSql(p: String, cents: String,
+      m: Int): String = {
+    def cos(a: String, b: String) = cosineSql(a, b)
+    s"""${p}seed AS (
+      |  SELECT cent_id AS lid, ce AS le FROM $cents
+      |  ORDER BY cent_id LIMIT $m),
+      |${p}sgrp AS (
+      |  SELECT cent_id, lid AS grp FROM (
+      |    SELECT c2.cent_id, l.lid,
+      |      row_number() OVER (PARTITION BY c2.cent_id
+      |        ORDER BY ${cos("c2.ce", "l.le")} DESC, l.lid) AS rn
+      |    FROM $cents c2 CROSS JOIN ${p}seed l) u
+      |  WHERE rn = 1),
+      |${p}ldim AS (
+      |  SELECT g.grp, i - 1 AS pos,
+      |    CAST(floor(c.ce[i] * 1000000.0 + 0.5) AS BIGINT) AS v
+      |  FROM ${p}sgrp g JOIN $cents c USING (cent_id),
+      |    LATERAL (SELECT unnest(range(1, len(c.ce) + 1)) AS i)),
+      |${p}lead AS (
+      |  SELECT grp AS lid, list(mv ORDER BY pos) AS le FROM (
+      |    SELECT grp, pos, ${uq6MeanSql("sum(v)", "count(*)")} AS mv
+      |    FROM ${p}ldim GROUP BY grp, pos) q
+      |  GROUP BY grp),
+      |${p}cgrp AS (
+      |  SELECT u.cent_id, u.lid AS grp, c.ce FROM (
+      |    SELECT c2.cent_id, l.lid,
+      |      row_number() OVER (PARTITION BY c2.cent_id
+      |        ORDER BY ${cos("c2.ce", "l.le")} DESC, l.lid) AS rn
+      |    FROM $cents c2 CROSS JOIN ${p}lead l) u
+      |  JOIN $cents c ON c.cent_id = u.cent_id
+      |  WHERE u.rn = 1),
+      |${p}vgrp AS (
+      |  SELECT vec_id, lid AS grp FROM (
+      |    SELECT e.vec_id, l.lid,
+      |      row_number() OVER (PARTITION BY e.vec_id
+      |        ORDER BY ${cos("e.embedding", "l.le")} DESC, l.lid) AS rn
+      |    FROM e CROSS JOIN (
+      |      SELECT lid, le FROM ${p}lead
+      |      WHERE lid IN (SELECT DISTINCT grp FROM ${p}cgrp)) l) u
+      |  WHERE rn <= $hierProbes),
+      |$p AS (
+      |  SELECT vec_id, cent_id AS cell FROM (
+      |    SELECT e.vec_id, g.cent_id,
+      |      row_number() OVER (PARTITION BY e.vec_id
+      |        ORDER BY ${cos("e.embedding", "g.ce")} DESC, g.cent_id) AS rn
+      |    FROM e
+      |    JOIN ${p}vgrp v USING (vec_id)
+      |    JOIN ${p}cgrp g ON g.grp = v.grp) u
+      |  WHERE rn = 1)""".stripMargin
+  }
+
+  /** S23 — hierarchical coarse quantization as its own certified
+    * operator: assign every vector to one of 64 seed centroids through
+    * [[hierAssign]] (⌈√64⌉ = 8 refit leaders, 4-probe) — the
+    * production assignment path d12 routes through above
+    * [[HierThreshold]], hash-certified here at a k where the hierarchy
+    * is the right tool (the registered d12 runs k=8, which takes the
+    * flat path). The oracle replays the full hierarchy CTE-for-CTE.
+    * Scale shape: two broadcast ranked passes over the vectors (√k
+    * leaders, then ~2·√k group members) instead of one k-wide pass —
+    * the assignment cost that stays flat per vector as k ~ N grows.
+    */
+  def s23HierAssign(s: SparkSession, d: String): DataFrame = {
+    val e = withNorm(s, d).select(col("vec_id"), col("embedding"))
+    hierAssign(e, seedCentroids(e, 64), 64).orderBy("vec_id")
+  }
+
+  val s23Sql: String =
+    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+      |cent0 AS (
+      |  SELECT vec_id AS cent_id,
+      |    list_transform(embedding, x -> x::DOUBLE) AS ce
+      |  FROM e WHERE vec_id < 64),
+      |${hierAssignSql("hout", "cent0", 8)}
+      |SELECT vec_id, cell FROM hout ORDER BY vec_id""".stripMargin
 
   /** One Lloyd update pass: per-cell per-dimension micro-unit-exact
     * means (cross-engine bit-identical — [[graft.Tables.uq6]]; the
@@ -2133,6 +2226,7 @@ object Similarity {
     "s5_label_centroids" -> s5LabelCentroids,
     "s1_bruteforce_topk" -> s1BruteForceTopK,
     "s22_filtered_topk" -> s22FilteredTopK,
+    "s23_hier_assign" -> s23HierAssign,
     "s2_lsh_neardup" -> s2LshNearDup,
     "s3_embedding_neardup" -> s3EmbeddingNearDup,
     "s4_ivf_topk" -> s4IvfTopK,
@@ -2154,6 +2248,7 @@ object Similarity {
     "s5_label_centroids" -> s5Sql,
     "s1_bruteforce_topk" -> s1Sql,
     "s22_filtered_topk" -> s22Sql,
+    "s23_hier_assign" -> s23Sql,
     "s2_lsh_neardup" -> s2Sql,
     "s3_embedding_neardup" -> s3Sql,
     "s4_ivf_topk" -> s4Sql,

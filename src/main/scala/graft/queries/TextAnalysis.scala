@@ -651,6 +651,86 @@ object TextAnalysis {
       |SELECT * FROM ($finals) ORDER BY round""".stripMargin
   }
 
+  // ---- T13: apply the trained BPE vocabulary -------------------------
+
+  /** T13 — tokenize the corpus with the merge rules t10 learns: the
+    * apply half of the tokenizer story (r13 verdict ask #3), the step a
+    * pipeline actually runs between vocabulary training and t3's token
+    * counting. Train first (the t10 path — the learned rule table is
+    * the only driver state, ≤[[BpeRounds]] rows), then tokenize each
+    * DISTINCT word once by replaying the rules in order through the
+    * same greedy-leftmost [[mergeSyms]] fold (the dictionary trick
+    * again: the fold runs |vocab| times, not |corpus| times), and join
+    * the token sequences back to per-document word counts. Output one
+    * (doc_id, token, cnt) row per document × token.
+    *
+    * Scale shape: one corpus-sized shuffle to the (doc, word) counts, a
+    * word-keyed join against the tokenized dictionary (vocabulary-
+    * sized — broadcastable at any corpus scale; AQE decides), one
+    * final (doc, token) aggregation. Applying R rules is R chained
+    * codegen'd folds over dictionary rows — corpus cost is independent
+    * of R. The DuckDB oracle replays training CTE-for-CTE (the exact
+    * [[t10RoundCtes]] chain, so train and apply cannot drift) and reads
+    * the tokenization off the final round's sequences; `BpeApplySpec`
+    * pins the reconstruction invariant (tokens concat back to the
+    * word) and that learned merges actually bite.
+    */
+  def t13BpeApply(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val words = docs
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+    val rules = bpeTrainOver(s, words, BpeRounds)
+      .orderBy("round").collect()
+      .map(r => (r.getString(1), r.getString(2)))
+    t13ApplyOver(docs, words, rules)
+  }
+
+  /** The apply core: replay `rules` over the word dictionary, join back
+    * to per-doc word counts. Factored so a spec can apply a trained
+    * rule set to a DIFFERENT corpus (the production shape). */
+  private[graft] def t13ApplyOver(docs: DataFrame, words: DataFrame,
+      rules: Seq[(String, String)]): DataFrame = {
+    val dictTok = rules.foldLeft(
+      words.select(col("word"), split(col("word"), "").as("syms"))) {
+      case (df, (a, b)) => df.withColumn("syms", mergeSyms(col("syms"), a, b))
+    }
+    val docWords = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("n"))
+    docWords.join(dictTok.select(col("word"), col("syms")), "word")
+      .select(col("doc_id"), col("n"), explode(col("syms")).as("token"))
+      .groupBy(col("doc_id"), col("token"))
+      .agg(sum(col("n")).as("cnt"))
+      .orderBy("doc_id", "token")
+  }
+
+  val t13Sql: String = {
+    val rounds = (1 to BpeRounds).map(t10RoundCtes).mkString(",\n")
+    s"""WITH words AS (
+      |  SELECT word, count(*) AS freq FROM (
+      |    SELECT unnest(string_split(text, ' ')) AS word FROM documents) w
+      |  WHERE length(word) > 0 GROUP BY word),
+      |seq_r0 AS (
+      |  SELECT word, freq, unnest(range(1, length(word) + 1)) AS pos,
+      |    unnest(string_split(word, '')) AS sym
+      |  FROM words),
+      |$rounds,
+      |doc_words AS (
+      |  SELECT doc_id, word FROM (
+      |    SELECT doc_id, unnest(string_split(text, ' ')) AS word
+      |    FROM documents) w
+      |  WHERE length(word) > 0),
+      |tok AS (
+      |  SELECT d.doc_id, s.sym AS token
+      |  FROM doc_words d JOIN seq_r$BpeRounds s USING (word))
+      |SELECT doc_id, token, count(*) AS cnt
+      |FROM tok GROUP BY doc_id, token
+      |ORDER BY doc_id, token""".stripMargin
+  }
+
   // ---- T11: per-document TF-IDF keyword extraction -------------------
 
   /** T11 — per-document keyword extraction: the top-3 terms of each doc
@@ -805,6 +885,7 @@ object TextAnalysis {
     "t12_source_drift" -> t12SourceDrift,
     "t1_lang_id" -> t1LangId,
     "t10_bpe_train" -> t10BpeTrain,
+    "t13_bpe_apply" -> t13BpeApply,
     "t11_tfidf" -> t11Tfidf,
     "t9_novelty" -> t9Novelty,
     "t8_surprisal" -> t8Surprisal,
@@ -820,6 +901,7 @@ object TextAnalysis {
     "t12_source_drift" -> t12Sql,
     "t1_lang_id" -> t1Sql,
     "t10_bpe_train" -> t10Sql,
+    "t13_bpe_apply" -> t13Sql,
     "t11_tfidf" -> t11Sql,
     "t9_novelty" -> t9Sql,
     "t8_surprisal" -> t8Sql,

@@ -53,7 +53,8 @@ class AntiPatternSweepSpec extends SparkSpecBase {
     "s19_ivfpq",              // broadcast 8-row centroid dim (query probe side)
     "e2e_dvp_pipeline",       // 30-team dim grid + 1-row validation verdicts, broadcast
     "a9_completeness_grid",   // expected-grid dim × dim (SURVEY A9)
-    "d12_semantic_dedup",     // broadcast ⌈√k⌉ leaders + k grouped centroids (hierAssign)
+    "d12_semantic_dedup",     // broadcast of 8 centroid rows (flat path, k <= HierThreshold)
+    "s23_hier_assign",        // broadcast ⌈√k⌉ refit leaders + k grouped centroids (hierAssign)
     "t12_source_drift")       // 1-row corpus-total envelope, broadcast
 
   /** Checkpoint-truncated queries → where the real plan shape IS

@@ -64,27 +64,34 @@ class SemanticDedupSpec extends SparkSpecBase {
   /** The r13 verdict's fix condition for the hierarchical quantizer:
     * the O(√k)-per-vector assignment must agree with the brute-force
     * O(k) argmax on this corpus, or its disagreement must be bounded
-    * and visible. Both passes measured: seed centroids and the refit
-    * centroids derived from the hierarchical first pass. */
+    * and visible. Measured at k=64 — the regime d12 actually routes
+    * through [[Similarity.hierAssign]] (above HierThreshold; the s23
+    * oracle row hash-certifies the same path) — for both passes: seed
+    * centroids and the refit centroids derived from the hierarchical
+    * first pass. */
   test("d12 hierarchical assignment tracks the brute-force argmax") {
+    val k = 64
+    assert(k > Similarity.HierThreshold,
+      "the pin must exercise the hierarchical regime")
     val e = Similarity.withNorm(spark, sf)
       .select(col("vec_id"), col("embedding"))
-    val seeds = Similarity.seedCentroids(e, 8)
+    val seeds = Similarity.seedCentroids(e, k)
     val n = e.count().toDouble
-    val h1 = Similarity.hierAssign(e, seeds, 8)
+    val h1 = Similarity.hierAssign(e, seeds, k)
     val b1 = Similarity.lloydAssign(e, seeds)
     val agree1 = h1.join(b1.withColumnRenamed("cell", "bcell"), "vec_id")
       .filter(col("cell") === col("bcell")).count() / n
     val cent1 = Similarity.lloydRefit(e, h1)
-    val h2 = Similarity.hierAssign(e, cent1, 8)
+    val h2 = Similarity.hierAssign(e, cent1, k)
     val b2 = Similarity.lloydAssign(e, cent1)
     val agree2 = h2.join(b2.withColumnRenamed("cell", "bcell"), "vec_id")
       .filter(col("cell") === col("bcell")).count() / n
-    // measured on this corpus: pass1 0.906, pass2 0.952 (refit leaders
-    // + 2-probe); floor leaves regeneration slack but still fails the
-    // single-probe seed-leader variants (0.63 / 0.82)
-    assert(agree1 >= 0.85 && agree2 >= 0.85,
+    // measured at k=64 with 4 probes: 0.864 / 0.958 (2 probes gave
+    // 0.634 / 0.826); floor leaves regeneration slack while still
+    // failing the low-probe variants this design replaced
+    assert(agree1 >= 0.80 && agree2 >= 0.80,
       f"hierarchical vs brute-force agreement degraded: " +
-        f"pass1 $agree1%.3f pass2 $agree2%.3f (floor 0.85)")
+        f"pass1 $agree1%.3f pass2 $agree2%.3f (floor 0.80)")
+    info(f"agreement pass1 $agree1%.3f pass2 $agree2%.3f")
   }
 }
