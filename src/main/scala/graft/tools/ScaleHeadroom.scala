@@ -289,6 +289,10 @@ object ScaleHeadroom {
             expr("doc_id div 1000000")).as("source"), col("text")))
       },
       "d2_ngram_jaccard" -> (n => Dedup.d2PairsOf(setsOf(docsAt(n)))),
+      // substring dedup: tagged copies share no K-grams with the base
+      // or each other, so grams/postings/pairs all grow linearly; the
+      // df cap bounds every posting list exactly as in d2
+      "d14_substring_dedup" -> (n => Dedup.d14Of(docsAt(n))),
       "d3_minhash_lsh" -> (n => Dedup.minhashLsh(setsOf(docsAt(n)))),
       "d5_simhash_pairs" -> (n => Dedup.d5PairsOf(docsAt(n))),
       "d9_simhash64_pairs" -> (n => Dedup.d9PairsOf(docsAt(n))),
