@@ -50,7 +50,9 @@ object Warehouse {
         col("value"))
   }
 
-  val o9Sql: String =
+  /** The o9 replay WITHOUT the final ordering — shared with the e2e
+    * warehouse chain so the two oracles cannot drift. */
+  private[queries] val o9CoreSql: String =
     """WITH upd AS (
       |  SELECT user_id, ts, max(value) AS value
       |  FROM events WHERE event_type = 'purchase'
@@ -62,8 +64,9 @@ object Warehouse {
       |  CASE WHEN lead(ts) OVER w IS NULL THEN 1 ELSE 0 END AS is_current,
       |  value
       |FROM upd
-      |WINDOW w AS (PARTITION BY user_id ORDER BY ts)
-      |ORDER BY user_id, version""".stripMargin
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts)""".stripMargin
+
+  val o9Sql: String = o9CoreSql + "\nORDER BY user_id, version"
 
   /** The o10 change-set: each user's LATEST event among
     * purchase/signup/error (ties impossible — (ts, event_id) is unique)
@@ -118,11 +121,12 @@ object Warehouse {
           .as("bal"))
       .orderBy("cust_id")
 
-  /** The o10 merge replay WITHOUT the final ordering — shared between
-    * [[o10Sql]] and o12's versioned twin so the two oracles can never
-    * drift apart. */
-  private val o10CoreSql: String =
-    """WITH ranked AS (
+  /** The o10 change-set CTEs (ranked → chg) alone — shared with the
+    * e2e warehouse chain, which reroutes the balances through the SCD2
+    * current rows before merging. (The merged core below stays shared
+    * between [[o10Sql]] and o12's versioned twin.) */
+  private[queries] val o10ChgSql: String =
+    """ranked AS (
       |  SELECT user_id AS cust_id, event_type, value,
       |    row_number() OVER (PARTITION BY user_id
       |      ORDER BY ts DESC, event_id DESC) AS rn
@@ -131,7 +135,10 @@ object Warehouse {
       |  SELECT cust_id,
       |    CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
       |    value AS new_bal
-      |  FROM ranked WHERE rn = 1),
+      |  FROM ranked WHERE rn = 1)""".stripMargin
+
+  private val o10CoreSql: String =
+    s"""WITH $o10ChgSql,
       |base AS (
       |  SELECT c_custkey AS cust_id, c_mktsegment AS segment,
       |    c_acctbal AS bal
@@ -215,14 +222,18 @@ object Warehouse {
     } finally org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
   }
 
-  val o11Sql: String =
+  /** The o11 full-recompute replay WITHOUT the ordering — shared with
+    * the e2e warehouse chain's serving join. */
+  private[queries] val o11CoreSql: String =
     s"""SELECT user_id, count(*) AS n_events,
       |  ${r6Sql("CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)")}
       |    AS total_value,
       |  min(value) AS min_value, max(value) AS max_value,
       |  ${r6Sql("CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(*)")}
       |    AS avg_value
-      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+      |FROM events GROUP BY user_id""".stripMargin
+
+  val o11Sql: String = o11CoreSql + "\nORDER BY user_id"
 
   // ---- O12: snapshot versioning + time travel -----------------------
 
@@ -323,11 +334,105 @@ object Warehouse {
       |  FROM ($o10CoreSql) m
       |) ORDER BY version, cust_id""".stripMargin
 
+  // ---- O13: snapshot retention / vacuum ------------------------------
+
+  /** Expire every version of the o12 snapshot table at `base` except
+    * the newest `retain`, returning the expired version ids. The
+    * deletion protocol is the o12 commit discipline INVERTED:
+    *
+    *  1. swap the manifest down to the retained set FIRST (atomic
+    *     move) — from that instant a live-manifest reader can neither
+    *     resolve an expired version (o12ReadAsOf fails loudly) nor
+    *     observe its files mid-delete, because readers address files
+    *     only through the manifest;
+    *  2. physically delete expired `v=N` dirs AFTER the swap — a crash
+    *     anywhere in this phase leaves only manifest-absent debris;
+    *  3. sweep any other manifest-absent `v=N` dir (a crashed earlier
+    *     vacuum or commit), which makes re-running a crashed vacuum a
+    *     complete recovery and the whole operation idempotent.
+    *
+    * Scale shape: vacuum is metadata work + unlinks — one manifest
+    * write and O(expired) directory deletes; no data is read or
+    * rewritten, so retention on a 100 TB table costs the same as on a
+    * 100 MB one (modulo the object-store delete calls).
+    */
+  private[graft] def o13Vacuum(base: String, retain: Int): Seq[Int] = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val vs = o12Versions(base)
+    val keep = vs.sorted.takeRight(retain)
+    val expired = vs.filterNot(keep.contains)
+    if (expired.nonEmpty) {
+      val mStage = Paths.get(base, ".manifest.staging")
+      Files.writeString(mStage, keep.mkString(","))
+      Files.move(mStage, o12Manifest(base),
+        StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+    }
+    val live = o12Versions(base).toSet
+    val debris = Option(new java.io.File(base).listFiles()).toSeq.flatten
+      .filter(f => f.isDirectory && f.getName.startsWith("v="))
+      .filterNot(f => live.contains(f.getName.stripPrefix("v=").toInt))
+    debris.foreach(org.apache.commons.io.FileUtils.deleteDirectory)
+    expired.sorted
+  }
+
+  /** O13 — retention/vacuum over the o12 snapshot table: build three
+    * committed versions (the o12 lineage v0 → v1 = merge(v0, changes),
+    * plus v2 = v1 with balances bumped), vacuum down to the newest
+    * two, and return the SURVIVING versions tagged — the relation the
+    * oracle can replay. The operational contract is enforced in-line
+    * with loud requires (the j7 discipline): vacuum reports exactly
+    * {0}, the manifest is exactly {1,2}, a `VERSION AS OF 0` read
+    * fails loudly post-expiry, v0's files are physically gone, and an
+    * immediate re-run expires nothing. `VacuumSpec` drives the crash
+    * windows (manifest swapped but files undeleted → reader already
+    * fails loudly, re-run completes the delete) and the
+    * retention-boundary edges.
+    */
+  def o13SnapshotVacuum(s: SparkSession, d: String): DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_o13_")
+    try {
+      val base = customer(s, d).select(col("c_custkey").as("cust_id"),
+        col("c_mktsegment").as("segment"), col("c_acctbal").as("bal"))
+      o12Commit(dir.toString, 0, base)
+      o12Commit(dir.toString, 1,
+        o10Apply(o12ReadAsOf(s, dir.toString, 0), o10Changes(s, d)))
+      o12Commit(dir.toString, 2,
+        o12ReadAsOf(s, dir.toString, 1)
+          .withColumn("bal", col("bal") + lit(1)))
+      val expired = o13Vacuum(dir.toString, 2)
+      require(expired == Seq(0), s"o13: expected to expire {0}, got $expired")
+      require(o12Versions(dir.toString) == Seq(1, 2),
+        s"o13: manifest must retain exactly {1,2}")
+      val stale =
+        try { o12ReadAsOf(s, dir.toString, 0); false }
+        catch { case _: IllegalArgumentException => true }
+      require(stale, "o13: expired VERSION AS OF must fail loudly")
+      require(!java.nio.file.Files.exists(dir.resolve("v=0")),
+        "o13: expired version files must be physically deleted")
+      require(o13Vacuum(dir.toString, 2).isEmpty,
+        "o13: immediate vacuum re-run must expire nothing")
+      o12ReadAsOf(s, dir.toString, 1).withColumn("version", lit(1))
+        .unionByName(
+          o12ReadAsOf(s, dir.toString, 2).withColumn("version", lit(2)))
+        .orderBy("version", "cust_id")
+        .localCheckpoint()
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+  }
+
+  val o13Sql: String =
+    s"""WITH m AS ($o10CoreSql)
+      |SELECT * FROM (
+      |  SELECT cust_id, segment, bal, 1 AS version FROM m
+      |  UNION ALL
+      |  SELECT cust_id, segment, bal + 1 AS bal, 2 AS version FROM m
+      |) ORDER BY version, cust_id""".stripMargin
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "o9_scd2_history" -> o9Scd2History,
     "o10_merge_upsert" -> o10MergeUpsert,
     "o11_incremental_agg" -> o11IncrementalAgg,
     "o12_time_travel" -> o12TimeTravel,
+    "o13_snapshot_vacuum" -> o13SnapshotVacuum,
   )
 
   val oracle: Map[String, String] = Map(
@@ -335,5 +440,6 @@ object Warehouse {
     "o10_merge_upsert" -> o10Sql,
     "o11_incremental_agg" -> o11Sql,
     "o12_time_travel" -> o12Sql,
+    "o13_snapshot_vacuum" -> o13Sql,
   )
 }
