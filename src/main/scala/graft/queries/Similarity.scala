@@ -874,7 +874,7 @@ object Similarity {
     * (ties broken by lowest cent_id, the graft_topk order) →
     * `(vec_id, cell)`.
     */
-  private[queries] def lloydAssign(e: DataFrame, cents: DataFrame): DataFrame =
+  private[graft] def lloydAssign(e: DataFrame, cents: DataFrame): DataFrame =
     e.crossJoin(broadcast(cents))
       .withColumn("cos", cosineHof(col("embedding"), col("ce")))
       .groupBy(col("vec_id"))
@@ -1134,7 +1134,7 @@ object Similarity {
     * per-cell mean is bit-identical in Spark and DuckDB with no
     * decimal-cast boundary risk on irrational components.
     */
-  private[queries] def lloydRefitSpherical(e: DataFrame,
+  private[graft] def lloydRefitSpherical(e: DataFrame,
       assigned: DataFrame): DataFrame = {
     assigned.join(e, "vec_id")
       .withColumn("vnrm",

@@ -211,6 +211,91 @@ class PqRecallSpec extends SparkSpecBase {
       s"probe budgets diverged: first-n=$baseCands maximin=$maxiCands")
   }
 
+  /** The r13 verdict ask: push recall@5 past 0.52 at the same probe
+    * budget, and pin the recall-vs-candidates PARETO CURVE rather than
+    * one point. The measured lever is build-time only — two more Lloyd
+    * rounds on the maximin seed (4 → 6; probe cost untouched):
+    *
+    *   nprobe    4      8      16      (candidates ~1.25k/2.5k/5k)
+    *   first-n   0.320  0.440  0.520
+    *   maximin4  0.400  0.520  0.600   (the s21 capture)
+    *   maximin6  0.400  0.560  0.600
+    *
+    * Pinned: the 6-round build strictly beats 0.52 at the s21 budget
+    * (nprobe=8, candidates within 2×), its curve is non-decreasing in
+    * nprobe, and it dominates first-n seeding at EVERY probed point —
+    * the whole curve moved, not one lucky cell.
+    */
+  test("six-round maximin centroids push recall past 0.52 across the curve (sf0.1)") {
+    val big = "/root/testdata/sf0.1"
+    assume(new java.io.File(s"$big/embeddings.parquet").exists,
+      "sf0.1 testdata absent")
+    val e = Similarity.withNorm(spark, big)
+
+    def recallAndCands(cent: Option[org.apache.spark.sql.DataFrame],
+        nprobe: Int): (Double, Long) = {
+      val probe = Similarity.ivfPqProbeOf(e, nlist = 32, nprobe = nprobe,
+        shortK = 50, centroids = cent).cache()
+      try {
+        val cands = probe.groupBy("query_id").agg(first("n_cand").as("nc"))
+          .agg(sum("nc")).head.getLong(0)
+        val q = e.filter(col("vec_id") >= 32 && col("vec_id") < 37)
+          .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+            col("nrm").as("qn"))
+        val n = e.select(col("vec_id").as("neighbor_id"),
+          col("embedding").as("ne"), col("nrm").as("nn"))
+        val rer = probe.select(col("query_id"), col("neighbor_id"))
+          .join(n, "neighbor_id").join(broadcast(q), "query_id")
+          .withColumn("cos",
+            expr("graft_dot(qe, ne)") / (col("qn") * col("nn")))
+          .groupBy("query_id")
+          .agg(expr("graft_topk(cos, neighbor_id, 5)").as("top"))
+          .select(col("query_id"),
+            explode(expr("transform(top, x -> x.id)")).as("neighbor_id"))
+        val exact = e.join(broadcast(q), col("vec_id") =!= col("query_id"))
+          .withColumn("cos",
+            expr("graft_dot(qe, embedding)") / (col("qn") * col("nrm")))
+          .groupBy("query_id")
+          .agg(expr("graft_topk(cos, vec_id, 5)").as("top"))
+          .select(col("query_id"),
+            explode(expr("transform(top, x -> x.id)")).as("neighbor_id"),
+            lit(1).as("hit"))
+        val rec = rer.join(exact, Seq("query_id", "neighbor_id"), "left")
+          .groupBy("query_id")
+          .agg((sum(coalesce(col("hit"), lit(0))) / lit(5.0)).as("r"))
+          .collect().map(_.getDouble(1))
+        (rec.sum / rec.length, cands)
+      } finally probe.unpersist()
+    }
+
+    val cent6 = Similarity.refinedCentroids(e, nlist = 32, rounds = 6)
+    val curve6 = Seq(4, 8, 16).map(np => np -> recallAndCands(Some(cent6), np))
+    val curve0 = Seq(4, 8, 16).map(np => np -> recallAndCands(None, np)).toMap
+
+    // headline: strictly past 0.52 at the s21 budget
+    val (r8, c8) = curve6.find(_._1 == 8).get._2
+    val (_, s21c8) = recallAndCands(
+      Some(Similarity.refinedCentroids(e, nlist = 32, rounds = 4)), 8)
+    assert(r8 > 0.52, f"six-round recall@5 at nprobe=8 fell to $r8%.3f " +
+      "(measured 0.560 at capture; s21's four-round build measured 0.520)")
+    assert(c8 <= s21c8 * 2 && s21c8 <= c8 * 2,
+      s"probe budgets diverged: rounds6=$c8 rounds4=$s21c8")
+
+    // curve shape: non-decreasing in nprobe, dominates first-n per point
+    val recs = curve6.map(_._2._1)
+    assert(recs == recs.sorted,
+      s"recall must be non-decreasing in nprobe: $curve6")
+    curve6.foreach { case (np, (r, c)) =>
+      val (r0, c0) = curve0(np)
+      assert(r >= r0,
+        f"six-round build fell below first-n at nprobe=$np: $r%.3f < $r0%.3f")
+      assert(c <= c0 * 2 && c0 <= c * 2,
+        s"candidate budgets diverged at nprobe=$np: $c vs $c0")
+    }
+    info(curve6.map { case (np, (r, c)) =>
+      f"nprobe=$np recall=$r%.3f cands=$c" }.mkString("; "))
+  }
+
   /** Pins the two-stage contract (s20): exact re-rank of the ADC
     * shortlist must recover recall the compressed ranking loses — mean
     * recall@5 at least the pure-ADC row's (it is strictly higher on
