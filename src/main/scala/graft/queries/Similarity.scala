@@ -922,9 +922,16 @@ object Similarity {
       .groupBy(col(keyCol))
       .agg(expr(s"graft_topk(cos, $refId, $k)").as("top"))
 
-  private[graft] def hierAssign(e: DataFrame, cents: DataFrame,
+  private[graft] def hierAssign(e: DataFrame, centsIn: DataFrame,
       nlist: Int): DataFrame = {
     val m = math.ceil(math.sqrt(nlist.toDouble)).toInt
+    // The centroid table is referenced ~5× below (seeds, two argmax
+    // passes, the member join) — and in the second d12 pass it is
+    // itself a refit-of-first-assignment CHAIN, so without truncating
+    // the lineage every reference re-executes the whole upstream DAG
+    // (measured: 63 s vs 6 s at the 10× ScaleHeadroom corpus). One
+    // k-row materialization fixes it; k is quantizer-sized by contract.
+    val cents = centsIn.localCheckpoint()
     val seeds = cents.orderBy(col("cent_id")).limit(m)
       .select(col("cent_id").as("lid"), col("ce").as("le"))
     // one Lloyd round over the CENTROID table itself: group centroids

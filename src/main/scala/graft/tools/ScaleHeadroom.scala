@@ -293,6 +293,22 @@ object ScaleHeadroom {
       // or each other, so grams/postings/pairs all grow linearly; the
       // df cap bounds every posting list exactly as in d2
       "d14_substring_dedup" -> (n => Dedup.d14Of(docsAt(n))),
+      // BPE train→apply: the measured cost includes training (the t10
+      // dictionary rounds — tagged copies grow the dictionary ~n×) plus
+      // the apply joins; apply itself is one corpus shuffle + a
+      // vocabulary-sized join however many rules were learned
+      "t13_bpe_apply" -> { n =>
+        val docs = docsAt(n)
+        val words = docs
+          .select(explode(split(col("text"), " ")).as("word"))
+          .filter(length(col("word")) > 0)
+          .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+        val rules = graft.queries.TextAnalysis.bpeTrainOver(
+            docs.sparkSession, words, 4)
+          .orderBy("round").collect()
+          .map(r => (r.getString(1), r.getString(2))).toSeq
+        graft.queries.TextAnalysis.t13ApplyOver(docs, words, rules)
+      },
       "d3_minhash_lsh" -> (n => Dedup.minhashLsh(setsOf(docsAt(n)))),
       "d5_simhash_pairs" -> (n => Dedup.d5PairsOf(docsAt(n))),
       "d9_simhash64_pairs" -> (n => Dedup.d9PairsOf(docsAt(n))),
