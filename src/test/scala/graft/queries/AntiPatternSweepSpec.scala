@@ -54,6 +54,7 @@ class AntiPatternSweepSpec extends SparkSpecBase {
     "e2e_dvp_pipeline",       // 30-team dim grid + 1-row validation verdicts, broadcast
     "a9_completeness_grid",   // expected-grid dim × dim (SURVEY A9)
     "d12_semantic_dedup",     // broadcast of 8 centroid rows (flat path, k <= HierThreshold)
+    "d15_semantic_pq",        // broadcast 8 centroids + m*ksub^2 code-pair table
     "s23_hier_assign",        // broadcast ⌈√k⌉ refit leaders + k grouped centroids (hierAssign)
     "t12_source_drift")       // 1-row corpus-total envelope, broadcast
 
