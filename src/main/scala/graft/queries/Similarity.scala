@@ -865,18 +865,28 @@ object Similarity {
   /** First-`nlist` seed quantizer over an (vec_id, embedding) frame —
     * the deterministic seeding every IVF build here starts from.
     */
-  private[queries] def seedCentroids(e: DataFrame, nlist: Int): DataFrame =
+  private[graft] def seedCentroids(e: DataFrame, nlist: Int): DataFrame =
     e.filter(col("vec_id") < nlist)
       .select(col("vec_id").as("cent_id"),
         transform(col("embedding"), x => x.cast("double")).as("ce"))
 
   /** One Lloyd assignment pass: every vector to its max-cosine centroid
     * (ties broken by lowest cent_id, the graft_topk order) →
-    * `(vec_id, cell)`.
+    * `(vec_id, cell)`. Cosine goes through the CODEGEN\'d `graft_dot`
+    * with norms computed once per ROW instead of [[cosineHof]]\'s three
+    * interpreted HOF folds per PAIR — bit-identical doubles (graft_dot
+    * is the fold\'s certified twin; same division/sqrt order), measured
+    * ~5× on the 100× assignment stage, so every oracle hash is
+    * unchanged.
     */
   private[graft] def lloydAssign(e: DataFrame, cents: DataFrame): DataFrame =
-    e.crossJoin(broadcast(cents))
-      .withColumn("cos", cosineHof(col("embedding"), col("ce")))
+    e.withColumn("vnrm0", sqrt(call_function("graft_dot",
+        col("embedding"), col("embedding"))))
+      .crossJoin(broadcast(cents.withColumn("cnrm0",
+        sqrt(call_function("graft_dot", col("ce"), col("ce"))))))
+      .withColumn("cos",
+        call_function("graft_dot", col("embedding"), col("ce")) /
+          (col("vnrm0") * col("cnrm0")))
       .groupBy(col("vec_id"))
       .agg(expr("graft_topk(cos, cent_id, 1)").as("top"))
       .select(col("vec_id"),
@@ -914,11 +924,16 @@ object Similarity {
   private[graft] val HierThreshold = 32
 
   /** Argmax of `valueCol` over a broadcast (id, refCol) relation, per
-    * `keyCol` — the repeated ranked-join shape inside [[hierAssign]]. */
+    * `keyCol` — the repeated ranked-join shape inside [[hierAssign]]
+    * (same codegen\'d-dot + per-row-norm discipline as [[lloydAssign]]). */
   private def argmaxOver(rows: DataFrame, keyCol: String, vec: String,
       refs: DataFrame, refVec: String, refId: String, k: Int): DataFrame =
-    rows.crossJoin(broadcast(refs))
-      .withColumn("cos", cosineHof(col(vec), col(refVec)))
+    rows.withColumn("vnrm0", sqrt(call_function("graft_dot",
+        col(vec), col(vec))))
+      .crossJoin(broadcast(refs.withColumn("rnrm0",
+        sqrt(call_function("graft_dot", col(refVec), col(refVec))))))
+      .withColumn("cos", call_function("graft_dot", col(vec), col(refVec)) /
+        (col("vnrm0") * col("rnrm0")))
       .groupBy(col(keyCol))
       .agg(expr(s"graft_topk(cos, $refId, $k)").as("top"))
 
@@ -968,10 +983,17 @@ object Similarity {
         active, "le", "lid", hierProbes)
       .select(col("vec_id"),
         explode(expr("transform(top, x -> x.id)")).as("grp"))
-    e.join(vGrp, "vec_id")
-      .join(broadcast(grouped.select(col("grp"), col("cent_id"), col("ce"))),
+    e.withColumn("vnrm0", sqrt(call_function("graft_dot",
+        col("embedding"), col("embedding"))))
+      .join(vGrp, "vec_id")
+      .join(broadcast(grouped
+        .select(col("grp"), col("cent_id"), col("ce"))
+        .withColumn("cnrm0",
+          sqrt(call_function("graft_dot", col("ce"), col("ce"))))),
         Seq("grp"))
-      .withColumn("cos", cosineHof(col("embedding"), col("ce")))
+      .withColumn("cos",
+        call_function("graft_dot", col("embedding"), col("ce")) /
+          (col("vnrm0") * col("cnrm0")))
       .groupBy(col("vec_id"))
       .agg(expr("graft_topk(cos, cent_id, 1)").as("top"))
       .select(col("vec_id"),
@@ -1067,7 +1089,7 @@ object Similarity {
     * former float→DECIMAL cast rounded differently in DuckDB for
     * half-boundary floats); cells that lose all members vanish.
     */
-  private[queries] def lloydRefit(e: DataFrame, assigned: DataFrame): DataFrame =
+  private[graft] def lloydRefit(e: DataFrame, assigned: DataFrame): DataFrame =
     assigned.join(e, "vec_id")
       .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "v")))
       .groupBy(col("cell"), col("pos"))
