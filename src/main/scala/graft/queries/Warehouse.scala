@@ -427,7 +427,120 @@ object Warehouse {
       |  SELECT cust_id, segment, bal + 1 AS bal, 2 AS version FROM m
       |) ORDER BY version, cust_id""".stripMargin
 
+  // ---- O14: constraint-gated write (write-audit-publish) -------------
+
+  /** O14 — expectation-gated ingestion, the Write-Audit-Publish shape
+    * (the public Iceberg/Netflix WAP pattern; Delta CHECK constraints +
+    * dead-letter queues are the same contract): every incoming row is
+    * evaluated against a named constraint set, valid rows and
+    * quarantined rows are STAGED to dot-prefixed dirs invisible to
+    * readers, the staged files themselves are audited (row conservation
+    * + the valid side re-checked from what was actually written, not
+    * from the in-memory frame), and only then are both dirs atomically
+    * published — a failed audit leaves nothing visible.
+    *
+    * The clean synthetic orders violate nothing, so violations are
+    * injected the data-reachable way (the c1b/d16 discipline):
+    * `o_orderkey % 97` negates the price, `% 101` corrupts the status,
+    * `% 103` re-points the customer FK at a key that cannot exist.
+    * Constraints: `chk_fk_customer` (custkey resolves),
+    * `chk_positive_price` (price > 0), `chk_valid_status`
+    * (status ∈ {O,F,P}). A row can fail several at once (key 97·101·103
+    * multiples would fail all three); `violations` carries the full
+    * comma-joined list in fixed declaration order.
+    *
+    * Scale shape: constraint predicates are scan-local codegen'd
+    * expressions — zero shuffle; the FK probe is the only join,
+    * broadcast here because the key set is dimension-sized (at
+    * fact-vs-fact scale it becomes j7's runtime Bloom pre-filter or a
+    * shuffle join — the constraint itself is unchanged). The
+    * gate-then-split is ONE materialization (`localCheckpoint`) feeding
+    * two filtered writes, so the source scans once however wide the
+    * table; the audit reads back only footers-worth of counts plus the
+    * valid side's re-check, and publish is two rename(2) calls — the
+    * o12/a13 atomicity discipline applied to ingestion.
+    */
+  def o14WriteConstraints(s: SparkSession, d: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val dir = Files.createTempDirectory("graft_o14_")
+    try {
+      val mut = orders(s, d).select(
+        col("o_orderkey"),
+        when(col("o_orderkey") % 103 === 0, -col("o_custkey") - lit(1))
+          .otherwise(col("o_custkey")).as("cust"),
+        when(col("o_orderkey") % 101 === 0, lit("X"))
+          .otherwise(col("o_orderstatus")).as("status"),
+        when(col("o_orderkey") % 97 === 0, -col("o_totalprice"))
+          .otherwise(col("o_totalprice")).as("price"))
+      val custKeys = customer(s, d)
+        .select(col("c_custkey").as("cust")).distinct()
+        .withColumn("fk_ok", lit(1))
+      def violationsOf(rows: DataFrame): DataFrame = rows
+        .join(broadcast(custKeys), Seq("cust"), "left")
+        .select(col("o_orderkey"), col("cust"), col("status"), col("price"),
+          concat_ws(",",
+            when(col("fk_ok").isNull, lit("chk_fk_customer")),
+            when(col("price") <= 0, lit("chk_positive_price")),
+            when(!col("status").isin("O", "F", "P"), lit("chk_valid_status")))
+            .as("violations"))
+      // one source materialization feeds both filtered writes
+      val checked = violationsOf(mut).localCheckpoint()
+      val stagedV = Paths.get(dir.toString, ".valid.staging")
+      val stagedQ = Paths.get(dir.toString, ".quarantine.staging")
+      checked.filter(col("violations") === "").drop("violations")
+        .write.parquet(stagedV.toString)
+      checked.filter(col("violations") =!= "")
+        .write.parquet(stagedQ.toString)
+      // audit the STAGED FILES: row conservation, then the valid side
+      // re-checked from what was actually written
+      val vBack = s.read.parquet(stagedV.toString)
+      val qBack = s.read.parquet(stagedQ.toString)
+      require(vBack.count() + qBack.count() == checked.count(),
+        "o14 audit: staged rows must conserve the input")
+      require(violationsOf(vBack).filter(col("violations") =!= "").isEmpty,
+        "o14 audit: a staged valid row re-failed its constraints")
+      // publish: atomic renames — readers see either nothing or all
+      val pubV = Paths.get(dir.toString, "valid")
+      val pubQ = Paths.get(dir.toString, "quarantine")
+      require(stagedV.toFile.renameTo(pubV.toFile) &&
+        stagedQ.toFile.renameTo(pubQ.toFile), "o14: publish rename failed")
+      s.read.parquet(pubV.toString)
+        .select(col("o_orderkey"), lit("valid").as("gate"),
+          lit("").as("violations"))
+        .unionByName(s.read.parquet(pubQ.toString)
+          .select(col("o_orderkey"), lit("quarantined").as("gate"),
+            col("violations")))
+        .orderBy("o_orderkey")
+        .localCheckpoint()
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+  }
+
+  val o14Sql: String =
+    """WITH mut AS (
+      |  SELECT o_orderkey,
+      |    CASE WHEN o_orderkey % 103 = 0 THEN -o_custkey - 1
+      |         ELSE o_custkey END AS cust,
+      |    CASE WHEN o_orderkey % 101 = 0 THEN 'X'
+      |         ELSE o_orderstatus END AS status,
+      |    CASE WHEN o_orderkey % 97 = 0 THEN -o_totalprice
+      |         ELSE o_totalprice END AS price
+      |  FROM orders),
+      |v AS (
+      |  SELECT m.o_orderkey,
+      |    concat_ws(',',
+      |      CASE WHEN c.c_custkey IS NULL THEN 'chk_fk_customer' END,
+      |      CASE WHEN m.price <= 0 THEN 'chk_positive_price' END,
+      |      CASE WHEN m.status NOT IN ('O', 'F', 'P')
+      |        THEN 'chk_valid_status' END) AS violations
+      |  FROM mut m LEFT JOIN customer c ON c.c_custkey = m.cust)
+      |SELECT o_orderkey,
+      |  CASE WHEN violations = '' THEN 'valid'
+      |       ELSE 'quarantined' END AS gate,
+      |  violations
+      |FROM v ORDER BY o_orderkey""".stripMargin
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "o14_write_constraints" -> o14WriteConstraints,
     "o9_scd2_history" -> o9Scd2History,
     "o10_merge_upsert" -> o10MergeUpsert,
     "o11_incremental_agg" -> o11IncrementalAgg,
@@ -436,6 +549,7 @@ object Warehouse {
   )
 
   val oracle: Map[String, String] = Map(
+    "o14_write_constraints" -> o14Sql,
     "o9_scd2_history" -> o9Sql,
     "o10_merge_upsert" -> o10Sql,
     "o11_incremental_agg" -> o11Sql,
