@@ -322,7 +322,117 @@ object Enrich {
       "row_idx")
   }
 
+  // ---- E7: blocked fuzzy join (entity resolution) --------------------
+
+  /** E7 — entity resolution by blocking + edit distance: dirty catalog
+    * strings are resolved back to a canonical entity dimension without
+    * ever scoring all pairs. The entity universe is the distinct
+    * (name, brand, type) combination (canonical id = its min partkey);
+    * the dirty feed is derived the data-reachable way (the c1b/d16/o14
+    * injection discipline): every 5th part's entity string gets ONE
+    * character replaced by `#` at position `partkey % len`.
+    *
+    * Blocking is the whole scale story: candidates come from equi-joins
+    * on redundant (length, affix) keys — `p:` first-4 and `s:` last-4 —
+    * and a single-substitution corruption preserves length and can
+    * corrupt at most one affix, so the true entity is in the candidate
+    * set BY CONSTRUCTION (guaranteed-recall blocking for edit-noise 1;
+    * heavier noise takes more redundant keys / q-gram blocking, same
+    * plan shape). Scoring `levenshtein ≤ 2` runs only inside blocks;
+    * the winner is the (dist, entity_id) struct-min — deterministic in
+    * any engine — and `n_best` reports how many entities tied at the
+    * best distance, the honest ambiguity signal a real ER pipeline
+    * carries ("Customer#…" digit flips make silent ties; reporting
+    * them beats guessing).
+    *
+    * Scale shape: both sides hash-partition by block key (no
+    * all-pairs, no broadcast needed — either side can be huge); block
+    * width is bounded by the affix-key cardinality, and a hot block
+    * (think "Smith") is the d2 df-cap story — cap and divert to a
+    * finer key. Two map-side-combined aggregations pick winner and
+    * ties.
+    */
+  def e7BlockedFuzzyJoin(s: SparkSession, d: String): DataFrame = {
+    val withEnt = part(s, d).select(col("p_partkey"),
+      concat_ws(" ", col("p_name"), col("p_brand"), col("p_type"))
+        .as("entity"))
+    val ent = withEnt.groupBy(col("entity"))
+      .agg(min(col("p_partkey")).as("entity_id"))
+    val qs = withEnt.filter(col("p_partkey") % 5 === 0)
+      .select(col("p_partkey").as("q_id"),
+        expr("concat(substring(entity, 1, cast(p_partkey % length(entity) as int)), '#', " +
+          "substring(entity, cast(p_partkey % length(entity) as int) + 2, length(entity)))")
+          .as("q"))
+    def blocked(f: DataFrame, c: String): DataFrame = f
+      .withColumn("bk", explode(array(
+        concat_ws(":", length(col(c)), lit("p"), expr(s"substring($c, 1, 4)")),
+        concat_ws(":", length(col(c)), lit("s"),
+          expr(s"substring($c, length($c) - 3, 4)")))))
+    val cand = blocked(qs, "q")
+      .join(blocked(ent, "entity"), "bk")
+      .select(col("q_id"), col("q"), col("entity"), col("entity_id"))
+      .distinct()
+    val scored = cand
+      .withColumn("dist", levenshtein(col("q"), col("entity")).cast("long"))
+      .filter(col("dist") <= 2)
+      .localCheckpoint() // feeds winner-pick AND tie-count
+    val best = scored.groupBy(col("q_id"))
+      .agg(min(struct(col("dist"), col("entity_id"), col("entity"))).as("b"))
+    scored.join(best, "q_id")
+      .filter(col("dist") === col("b.dist"))
+      .groupBy(col("q_id"))
+      .agg(count(lit(1)).as("n_best"), min(col("b")).as("b"))
+      .select(col("q_id").as("q_partkey"), col("b.entity_id").as("entity_id"),
+        col("b.entity").as("matched_entity"), col("b.dist").as("best_dist"),
+        col("n_best"))
+      .orderBy("q_partkey")
+  }
+
+  val e7Sql: String =
+    """WITH we AS (
+      |  SELECT p_partkey, p_name || ' ' || p_brand || ' ' || p_type AS entity
+      |  FROM part),
+      |ent AS (
+      |  SELECT entity, min(p_partkey) AS entity_id FROM we GROUP BY entity),
+      |q AS (
+      |  SELECT p_partkey AS q_id,
+      |    substring(entity, 1, CAST(p_partkey % length(entity) AS INT))
+      |      || '#' ||
+      |      substring(entity, CAST(p_partkey % length(entity) AS INT) + 2,
+      |        length(entity)) AS q
+      |  FROM we WHERE p_partkey % 5 = 0),
+      |qb AS (
+      |  SELECT q_id, q,
+      |    length(q) || ':p:' || substring(q, 1, 4) AS bk FROM q
+      |  UNION ALL
+      |  SELECT q_id, q,
+      |    length(q) || ':s:' || substring(q, length(q) - 3, 4) FROM q),
+      |eb AS (
+      |  SELECT entity, entity_id,
+      |    length(entity) || ':p:' || substring(entity, 1, 4) AS bk FROM ent
+      |  UNION ALL
+      |  SELECT entity, entity_id,
+      |    length(entity) || ':s:' || substring(entity, length(entity) - 3, 4)
+      |  FROM ent),
+      |cand AS (
+      |  SELECT DISTINCT q_id, q, entity, entity_id
+      |  FROM qb JOIN eb USING (bk)),
+      |scored AS (
+      |  SELECT q_id, entity, entity_id,
+      |    CAST(levenshtein(q, entity) AS BIGINT) AS dist
+      |  FROM cand WHERE levenshtein(q, entity) <= 2),
+      |agg AS (SELECT q_id, min(dist) AS best_dist FROM scored GROUP BY q_id)
+      |SELECT s.q_id AS q_partkey,
+      |  min(s.entity_id) AS entity_id,
+      |  arg_min(s.entity, s.entity_id) AS matched_entity,
+      |  min(s.dist) AS best_dist,
+      |  CAST(count(*) AS BIGINT) AS n_best
+      |FROM scored s JOIN agg a ON s.q_id = a.q_id AND s.dist = a.best_dist
+      |GROUP BY s.q_id
+      |ORDER BY q_partkey""".stripMargin
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e7_blocked_fuzzy_join" -> e7BlockedFuzzyJoin,
     "e1_alias_canonicalize" -> e1AliasCanonicalize,
     "e2_pivot_cube" -> e2PivotCube,
     "e3_json_extract" -> e3JsonExtract,
@@ -332,6 +442,7 @@ object Enrich {
   )
 
   val oracle: Map[String, String] = Map(
+    "e7_blocked_fuzzy_join" -> e7Sql,
     "e1_alias_canonicalize" -> e1Sql,
     "e2_pivot_cube" -> e2Sql,
     "e3_json_extract" -> e3Sql,
