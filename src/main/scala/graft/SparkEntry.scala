@@ -45,7 +45,8 @@ object SparkEntry {
       _root_.graft.streaming.StreamDedup.defs ++
       _root_.graft.streaming.StreamNearDup.defs ++
       _root_.graft.streaming.CdcMerge.defs ++
-      _root_.graft.streaming.GapDetect.defs
+      _root_.graft.streaming.GapDetect.defs ++
+      _root_.graft.streaming.FunnelDetect.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -73,5 +74,6 @@ object SparkEntry {
       _root_.graft.streaming.StreamDedup.oracle ++
       _root_.graft.streaming.StreamNearDup.oracle ++
       _root_.graft.streaming.CdcMerge.oracle ++
-      _root_.graft.streaming.GapDetect.oracle
+      _root_.graft.streaming.GapDetect.oracle ++
+      _root_.graft.streaming.FunnelDetect.oracle
 }
