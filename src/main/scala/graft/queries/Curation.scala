@@ -764,9 +764,109 @@ object Curation {
       |ORDER BY rank DESC, source""".stripMargin
   }
 
+  // ---- C10: temperature-reweighted domain mixture --------------------
+
+  /** C10 — α-temperature domain mixing, the multilingual/multi-domain
+    * sampling rule (mT5/XLM-R shape: q_s ∝ p_s^α flattens the domain
+    * distribution so head domains stop drowning the tail): per-source
+    * sampling rates are DERIVED FROM THE DATA — corpus share p_s from a
+    * token census (n_chars as the token proxy), re-weighted at
+    * α = 0.5 and re-normalized, then realized as budget-conserving
+    * fractional resampling (the c6 copy/draw machinery, which c6 runs
+    * with FIXED hand-set weights — c10's weights are the two-phase
+    * census → broadcast → resample pipeline a real mixer runs).
+    *
+    * α = 0.5 is deliberate: q_s ∝ √p_s makes the re-weight an IEEE
+    * sqrt — correctly rounded in every engine, so the oracle replays
+    * the rates bit-for-bit. A general α needs pow(), which is NOT
+    * correctly rounded cross-engine; production would fix the rate
+    * table on the driver and broadcast it (the census is
+    * domain-cardinality-sized), making engine-exactness a non-issue —
+    * here the whole derivation stays in-plan to keep it certified.
+    * Every intermediate is either an exact BIGINT (census sums, the
+    * √-micro-unit table) or a single IEEE double op in a pinned order,
+    * with one [[graft.Tables.r6]] at the rate boundary.
+    *
+    * Scale shape: phase 1 is a map-side-combined census (one shuffle,
+    * domain-sized output); phase 2 broadcasts the rate table back onto
+    * the corpus — a dimension-sized broadcast however big the fact
+    * side — and the copy explosion is bounded by ⌈max rate⌉ per row.
+    * Expected output tokens = B by construction (the budget is
+    * conserved in expectation, the property a training-data mixer must
+    * hold); `epochs` per source is the rate itself, the
+    * repeat-vs-unique dial of data-constrained scaling.
+    */
+  def c10TemperatureMix(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d).select(col("doc_id"), col("source"),
+      col("n_chars"))
+    val census = docs.groupBy(col("source"))
+      .agg(sum(col("n_chars")).as("tok"), count(lit(1)).as("n_docs"))
+    // √-micro-units: s_u exact BIGINT, denominators exact BIGINT sums
+    val su = census.withColumn("s_u",
+      floor(sqrt(col("tok")) * lit(1000000.0) + lit(0.5)).cast("long"))
+    val tot = su.agg(sum(col("tok")).as("b"), sum(col("s_u")).as("denom"))
+    val rates = su.crossJoin(broadcast(tot))
+      .select(col("source"), col("tok"), col("n_docs"),
+        r6(col("s_u").cast("double") / col("denom") * col("b") / col("tok"))
+          .as("rate"))
+    val mixed = docs.join(broadcast(rates), "source")
+      .withColumn("copy",
+        explode(expr("sequence(0, CAST(ceil(rate) AS INT) - 1)")))
+      .withColumn("draw",
+        pmod(md5Hash32(concat(lit("tmix:"), col("doc_id"), lit(":"),
+          col("copy"))), lit(10000)))
+      .filter(col("copy") < floor(col("rate")) ||
+        col("draw") < (col("rate") - floor(col("rate"))) * 10000)
+    val out = mixed.groupBy(col("source"), col("tok"), col("n_docs"),
+        col("rate"))
+      .agg(count(lit(1)).as("n_mixed"),
+        sum(col("n_chars")).as("mixed_tok"))
+    out.select(col("source"), col("tok"), col("n_docs"),
+        col("rate"), col("rate").as("epochs"), col("n_mixed"),
+        col("mixed_tok"))
+      .orderBy("source")
+  }
+
+  val c10Sql: String =
+    """WITH census AS (
+      |  SELECT source, CAST(sum(n_chars) AS BIGINT) AS tok,
+      |    CAST(count(*) AS BIGINT) AS n_docs
+      |  FROM documents GROUP BY source),
+      |su AS (
+      |  SELECT source, tok, n_docs,
+      |    CAST(floor(sqrt(tok) * 1000000.0 + 0.5) AS BIGINT) AS s_u
+      |  FROM census),
+      |tot AS (
+      |  SELECT CAST(sum(tok) AS BIGINT) AS b,
+      |    CAST(sum(s_u) AS BIGINT) AS denom
+      |  FROM su),
+      |rates AS (
+      |  SELECT source, tok, n_docs,
+      |    floor(CAST(s_u AS DOUBLE) / denom * b / tok * 1000000.0 + 0.5)
+      |      / 1000000.0 AS rate
+      |  FROM su CROSS JOIN tot),
+      |mixed AS (
+      |  SELECT d.doc_id, d.source, d.n_chars, r.tok, r.n_docs, r.rate,
+      |    c AS copy,
+      |    ('0x' || substr(md5('tmix:' || d.doc_id || ':' || c), 1, 8))::BIGINT
+      |      % 10000 AS draw
+      |  FROM documents d JOIN rates r USING (source),
+      |    LATERAL (SELECT unnest(range(0, CAST(ceil(r.rate) AS BIGINT)))
+      |      AS c) t
+      |  WHERE c < floor(r.rate) OR
+      |    ('0x' || substr(md5('tmix:' || d.doc_id || ':' || c), 1, 8))::BIGINT
+      |      % 10000 < (r.rate - floor(r.rate)) * 10000)
+      |SELECT source, tok, n_docs, rate, rate AS epochs,
+      |  CAST(count(*) AS BIGINT) AS n_mixed,
+      |  CAST(sum(n_chars) AS BIGINT) AS mixed_tok
+      |FROM mixed
+      |GROUP BY source, tok, n_docs, rate
+      |ORDER BY source""".stripMargin
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c9_dedup_weighted_sample" -> c9DedupWeightedSample,
     "c8_domain_pagerank" -> c8DomainPagerank,
+    "c10_temperature_mix" -> c10TemperatureMix,
     "c7_relative_gate" -> c7RelativeGate,
     "c1_curation_decision" -> c1CurationDecision,
     "c1b_curation_dupinject" -> c1DupInject,
@@ -778,6 +878,7 @@ object Curation {
   )
 
   val oracle: Map[String, String] = Map(
+    "c10_temperature_mix" -> c10Sql,
     "c9_dedup_weighted_sample" -> c9Sql,
     "c8_domain_pagerank" -> c8Sql,
     "c7_relative_gate" -> c7Sql,
