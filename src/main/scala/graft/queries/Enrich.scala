@@ -346,32 +346,74 @@ object Enrich {
     * them beats guessing).
     *
     * Scale shape: both sides hash-partition by block key (no
-    * all-pairs, no broadcast needed — either side can be huge); block
-    * width is bounded by the affix-key cardinality, and a hot block
-    * (think "Smith") is the d2 df-cap story — cap and divert to a
-    * finer key. Two map-side-combined aggregations pick winner and
-    * ties.
+    * all-pairs, no broadcast needed — either side can be huge), and
+    * hot blocks (think "Smith", or the type-suffix "…ECONOMY" whose
+    * width grows WITH the corpus) go through capped escalation: any
+    * affix-4 block wider than [[E7Cap]] re-keys its members to their
+    * affix-8, with queries probing both granularities — see the
+    * in-line contract on [[e7Of]]. Before the escalation existed this
+    * operator measured 26.8× cost for 10× data (the suffix family's
+    * width is corpus-linear at fixed key cardinality — a genuinely
+    * quadratic term); with it, block width is capped or
+    * near-duplicate-dense by acceptance and the measured growth is
+    * linear. Two map-side-combined aggregations pick winner and ties.
     */
-  def e7BlockedFuzzyJoin(s: SparkSession, d: String): DataFrame = {
-    val withEnt = part(s, d).select(col("p_partkey"),
+  def e7BlockedFuzzyJoin(s: SparkSession, d: String): DataFrame =
+    e7Of(part(s, d).select(col("p_partkey"),
       concat_ws(" ", col("p_name"), col("p_brand"), col("p_type"))
-        .as("entity"))
+        .as("entity")))
+
+  /** The e7 core over any (p_partkey, entity) frame — also the
+    * scale-headroom entry point. */
+  /** Entities per block above which the block escalates to the longer
+    * affix. The cap is what keeps candidate generation LINEAR in the
+    * limit: a fixed-cardinality affix key ("…ECONOMY") otherwise grows
+    * its block width with the corpus, and width × queries is a
+    * quadratic term — the d12-class scale-killer, measured at 26.8×
+    * for 10× data before the escalation existed. */
+  private[queries] val E7Cap = 64
+
+  def e7Of(withEnt: DataFrame): DataFrame = {
     val ent = withEnt.groupBy(col("entity"))
       .agg(min(col("p_partkey")).as("entity_id"))
+      .localCheckpoint() // feeds both families' hot-split + keying
     val qs = withEnt.filter(col("p_partkey") % 5 === 0)
       .select(col("p_partkey").as("q_id"),
         expr("concat(substring(entity, 1, cast(p_partkey % length(entity) as int)), '#', " +
           "substring(entity, cast(p_partkey % length(entity) as int) + 2, length(entity)))")
           .as("q"))
-    def blocked(f: DataFrame, c: String): DataFrame = f
-      .withColumn("bk", explode(array(
-        concat_ws(":", length(col(c)), lit("p"), expr(s"substring($c, 1, 4)")),
-        concat_ws(":", length(col(c)), lit("s"),
-          expr(s"substring($c, length($c) - 3, 4)")))))
-    val cand = blocked(qs, "q")
-      .join(blocked(ent, "entity"), "bk")
-      .select(col("q_id"), col("q"), col("entity"), col("entity_id"))
-      .distinct()
+      .localCheckpoint()
+    def keyed(f: DataFrame, c: String, fam: String, k: Int): DataFrame =
+      f.withColumn("bk", expr(
+        if (fam == "p")
+          s"concat(length($c), ':p$k:', substring($c, 1, $k))"
+        else
+          s"concat(length($c), ':s$k:', " +
+            s"substring($c, length($c) - ${k - 1}, $k))"))
+    // Capped block escalation, per affix family: entities sit under
+    // their affix-4 key if the block is within cap, else under their
+    // affix-8 key; queries always probe BOTH granularities (they can't
+    // know their block's temperature). Each entity lives under exactly
+    // one key per family, and equal affix-8 implies equal affix-4, so
+    // a probe never crosses blocks. Recall: a single-char corruption
+    // lies in the first 8 or the last 8 chars, never both (lengths
+    // here ≥ 16), so at least one family keeps BOTH its granularities
+    // intact and hits whichever level the entity sits at. An affix-8
+    // block still above cap stays wide by acceptance: its members are
+    // near-identical strings a resolver SHOULD be pairing.
+    def famCand(fam: String): DataFrame = {
+      val e4 = keyed(ent, "entity", fam, 4)
+      val hot = e4.groupBy(col("bk")).agg(count(lit(1)).as("n"))
+        .filter(col("n") > E7Cap).select(col("bk"))
+      val eFinal = e4.join(hot, Seq("bk"), "left_anti")
+        .unionByName(
+          keyed(e4.join(hot, Seq("bk"), "left_semi").drop("bk"),
+            "entity", fam, 8))
+      keyed(qs, "q", fam, 4).unionByName(keyed(qs, "q", fam, 8))
+        .join(eFinal, "bk")
+        .select(col("q_id"), col("q"), col("entity"), col("entity_id"))
+    }
+    val cand = famCand("p").unionByName(famCand("s")).distinct()
     val scored = cand
       .withColumn("dist", levenshtein(col("q"), col("entity")).cast("long"))
       .filter(col("dist") <= 2)
@@ -389,7 +431,7 @@ object Enrich {
   }
 
   val e7Sql: String =
-    """WITH we AS (
+    s"""WITH we AS (
       |  SELECT p_partkey, p_name || ' ' || p_brand || ' ' || p_type AS entity
       |  FROM part),
       |ent AS (
@@ -401,22 +443,49 @@ object Enrich {
       |      substring(entity, CAST(p_partkey % length(entity) AS INT) + 2,
       |        length(entity)) AS q
       |  FROM we WHERE p_partkey % 5 = 0),
-      |qb AS (
-      |  SELECT q_id, q,
-      |    length(q) || ':p:' || substring(q, 1, 4) AS bk FROM q
-      |  UNION ALL
-      |  SELECT q_id, q,
-      |    length(q) || ':s:' || substring(q, length(q) - 3, 4) FROM q),
-      |eb AS (
+      |ep4 AS (
       |  SELECT entity, entity_id,
-      |    length(entity) || ':p:' || substring(entity, 1, 4) AS bk FROM ent
+      |    length(entity) || ':p4:' || substring(entity, 1, 4) AS bk FROM ent),
+      |php AS (SELECT bk FROM ep4 GROUP BY bk HAVING count(*) > $E7Cap),
+      |epf AS (
+      |  SELECT entity, entity_id, bk FROM ep4
+      |  WHERE bk NOT IN (SELECT bk FROM php)
       |  UNION ALL
       |  SELECT entity, entity_id,
-      |    length(entity) || ':s:' || substring(entity, length(entity) - 3, 4)
-      |  FROM ent),
+      |    length(entity) || ':p8:' || substring(entity, 1, 8) AS bk
+      |  FROM ep4 WHERE bk IN (SELECT bk FROM php)),
+      |es4 AS (
+      |  SELECT entity, entity_id,
+      |    length(entity) || ':s4:' ||
+      |      substring(entity, length(entity) - 3, 4) AS bk FROM ent),
+      |shs AS (SELECT bk FROM es4 GROUP BY bk HAVING count(*) > $E7Cap),
+      |esf AS (
+      |  SELECT entity, entity_id, bk FROM es4
+      |  WHERE bk NOT IN (SELECT bk FROM shs)
+      |  UNION ALL
+      |  SELECT entity, entity_id,
+      |    length(entity) || ':s8:' ||
+      |      substring(entity, length(entity) - 7, 8) AS bk
+      |  FROM es4 WHERE bk IN (SELECT bk FROM shs)),
+      |qp AS (
+      |  SELECT q_id, q,
+      |    length(q) || ':p4:' || substring(q, 1, 4) AS bk FROM q
+      |  UNION ALL
+      |  SELECT q_id, q,
+      |    length(q) || ':p8:' || substring(q, 1, 8) FROM q),
+      |qs AS (
+      |  SELECT q_id, q,
+      |    length(q) || ':s4:' || substring(q, length(q) - 3, 4) AS bk FROM q
+      |  UNION ALL
+      |  SELECT q_id, q,
+      |    length(q) || ':s8:' || substring(q, length(q) - 7, 8) FROM q),
       |cand AS (
-      |  SELECT DISTINCT q_id, q, entity, entity_id
-      |  FROM qb JOIN eb USING (bk)),
+      |  SELECT DISTINCT q_id, q, entity, entity_id FROM (
+      |    SELECT qp.q_id, qp.q, epf.entity, epf.entity_id
+      |    FROM qp JOIN epf USING (bk)
+      |    UNION ALL
+      |    SELECT qs.q_id, qs.q, esf.entity, esf.entity_id
+      |    FROM qs JOIN esf USING (bk))),
       |scored AS (
       |  SELECT q_id, entity, entity_id,
       |    CAST(levenshtein(q, entity) AS BIGINT) AS dist

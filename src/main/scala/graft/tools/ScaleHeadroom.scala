@@ -293,6 +293,27 @@ object ScaleHeadroom {
       // or each other, so grams/postings/pairs all grow linearly; the
       // df cap bounds every posting list exactly as in d2
       "d14_substring_dedup" -> (n => Dedup.d14Of(docsAt(n))),
+      // paragraph dedup: tagged copies share no 8-word segments, so
+      // the segment relation and the first-occurrence groupBy-min both
+      // grow linearly; no window anywhere, so a hot segment is a
+      // map-side-combined min, not a sort partition
+      "d16_paragraph_dedup" -> (n => Dedup.d16Of(docsAt(n))),
+      // blocked fuzzy join: copy-tagged entity strings mint NEW affix
+      // blocks per copy (the tag lands inside prefix-4), so block
+      // COUNT grows linearly while block width stays flat - candidate
+      // pairs, the quadratic risk, stay linear by construction
+      "e7_blocked_fuzzy" -> { n =>
+        val base = Tables.part(spark, sfDir).select(col("p_partkey"),
+          concat_ws(" ", col("p_name"), col("p_brand"), col("p_type"))
+            .as("entity"))
+        val ents = (0 until n).map { i =>
+          if (i == 0) base
+          else base.select(
+            (col("p_partkey") + lit(i * 1000000L)).as("p_partkey"),
+            regexp_replace(col("entity"), "(\\S+)", s"c$i$$1").as("entity"))
+        }.reduce(_ unionByName _).repartition(par, col("p_partkey"))
+        graft.queries.Enrich.e7Of(ents)
+      },
       // BPE train→apply: the measured cost includes training (the t10
       // dictionary rounds — tagged copies grow the dictionary ~n×) plus
       // the apply joins; apply itself is one corpus shuffle + a
