@@ -56,7 +56,8 @@ class AntiPatternSweepSpec extends SparkSpecBase {
     "d12_semantic_dedup",     // broadcast of 8 centroid rows (flat path, k <= HierThreshold)
     "d15_semantic_pq",        // broadcast 8 centroids + m*ksub^2 code-pair table
     "s23_hier_assign",        // broadcast ⌈√k⌉ refit leaders + k grouped centroids (hierAssign)
-    "t12_source_drift")       // 1-row corpus-total envelope, broadcast
+    "t12_source_drift",       // 1-row corpus-total envelope, broadcast
+    "c10_temperature_mix")    // 1-row budget/denominator census envelope, broadcast
 
   /** Checkpoint-truncated queries → where the real plan shape IS
     * audited instead (inner-transform test below, a batch twin, or a
@@ -107,7 +108,15 @@ class AntiPatternSweepSpec extends SparkSpecBase {
         "result is a scratch scan"),
     "i8_html_page_prune" ->
       ("DSv2 scan of staged fixture pages (one partition per page, " +
-        "pruning pinned in HtmlTableSourceSpec); result is a scratch scan"))
+        "pruning pinned in HtmlTableSourceSpec); result is a scratch scan"),
+    "st20_funnel_detect" ->
+      ("flatMapGroupsWithState CEP pass; state bounds + semantics in " +
+        "FunnelDetectSpec, relational twin is the st20 oracle itself " +
+        "(two windowed max-joins)"),
+    "o14_write_constraints" ->
+      ("WAP staging/audit/publish harness (scratch writes); gate " +
+        "predicates are scan-local expressions + one dim FK join, " +
+        "reconciled row-by-row in WriteConstraintsSpec"))
 
   private def sweep(name: String, df: => DataFrame,
       failures: scala.collection.mutable.ArrayBuffer[String]): Unit = {
