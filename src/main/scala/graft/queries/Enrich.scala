@@ -332,31 +332,33 @@ object Enrich {
     * injection discipline): every 5th part's entity string gets ONE
     * character replaced by `#` at position `partkey % len`.
     *
-    * Blocking is the whole scale story: candidates come from equi-joins
-    * on redundant (length, affix) keys — `p:` first-4 and `s:` last-4 —
-    * and a single-substitution corruption preserves length and can
-    * corrupt at most one affix, so the true entity is in the candidate
-    * set BY CONSTRUCTION (guaranteed-recall blocking for edit-noise 1;
-    * heavier noise takes more redundant keys / q-gram blocking, same
-    * plan shape). Scoring `levenshtein ≤ 2` runs only inside blocks;
-    * the winner is the (dist, entity_id) struct-min — deterministic in
-    * any engine — and `n_best` reports how many entities tied at the
-    * best distance, the honest ambiguity signal a real ER pipeline
-    * carries ("Customer#…" digit flips make silent ties; reporting
-    * them beats guessing).
+    * Blocking is the whole scale story, and it is the Wu–Manber
+    * k+1-piece partitioning rule at k=1: each string splits into its
+    * two HALVES, keyed (length, half-id, content). One substitution
+    * preserves length and cannot touch both halves, so the true
+    * entity shares the intact half's block with its corruption BY
+    * CONSTRUCTION — guaranteed recall with exactly two probes per
+    * side (edit distance k takes k+1 pieces, same plan shape).
+    * Scoring `levenshtein ≤ 2` runs only inside blocks; the winner is
+    * the (dist, entity_id) struct-min — deterministic in any engine —
+    * and `n_best` reports how many entities tied at the best
+    * distance, the honest ambiguity signal a real ER pipeline carries
+    * ("Customer#…" digit flips make silent ties; reporting them beats
+    * guessing).
     *
     * Scale shape: both sides hash-partition by block key (no
-    * all-pairs, no broadcast needed — either side can be huge), and
-    * hot blocks (think "Smith", or the type-suffix "…ECONOMY" whose
-    * width grows WITH the corpus) go through capped escalation: any
-    * affix-4 block wider than [[E7Cap]] re-keys its members to their
-    * affix-8, with queries probing both granularities — see the
-    * in-line contract on [[e7Of]]. Before the escalation existed this
-    * operator measured 26.8× cost for 10× data (the suffix family's
-    * width is corpus-linear at fixed key cardinality — a genuinely
-    * quadratic term); with it, block width is capped or
-    * near-duplicate-dense by acceptance and the measured growth is
-    * linear. Two map-side-combined aggregations pick winner and ties.
+    * all-pairs, no broadcast — either side can be huge), and block
+    * width is "entities sharing a verbatim half-string" — a
+    * catalog-combinatorial quantity. This design was MEASURED into
+    * existence: (length, affix-4) keys put the whole corpus-linear
+    * weight of the low-entropy type suffix ("…ECONOMY") into single
+    * blocks — 26.8× cost at 10× data, the d12-class quadratic — and
+    * a capped affix-4→8 escalation (6.4× at 10×) still left
+    * wide-by-acceptance blocks at 100×; half-partitioning removes the
+    * low-entropy key entirely instead of patching its heat. A
+    * pathologically shared half would take d2's cap-and-forfeit
+    * discipline. Two map-side-combined aggregations pick winner and
+    * ties.
     */
   def e7BlockedFuzzyJoin(s: SparkSession, d: String): DataFrame =
     e7Of(part(s, d).select(col("p_partkey"),
@@ -371,49 +373,37 @@ object Enrich {
     * its block width with the corpus, and width × queries is a
     * quadratic term — the d12-class scale-killer, measured at 26.8×
     * for 10× data before the escalation existed. */
-  private[queries] val E7Cap = 64
-
   def e7Of(withEnt: DataFrame): DataFrame = {
     val ent = withEnt.groupBy(col("entity"))
       .agg(min(col("p_partkey")).as("entity_id"))
-      .localCheckpoint() // feeds both families' hot-split + keying
     val qs = withEnt.filter(col("p_partkey") % 5 === 0)
       .select(col("p_partkey").as("q_id"),
         expr("concat(substring(entity, 1, cast(p_partkey % length(entity) as int)), '#', " +
           "substring(entity, cast(p_partkey % length(entity) as int) + 2, length(entity)))")
           .as("q"))
-      .localCheckpoint()
-    def keyed(f: DataFrame, c: String, fam: String, k: Int): DataFrame =
-      f.withColumn("bk", expr(
-        if (fam == "p")
-          s"concat(length($c), ':p$k:', substring($c, 1, $k))"
-        else
-          s"concat(length($c), ':s$k:', " +
-            s"substring($c, length($c) - ${k - 1}, $k))"))
-    // Capped block escalation, per affix family: entities sit under
-    // their affix-4 key if the block is within cap, else under their
-    // affix-8 key; queries always probe BOTH granularities (they can't
-    // know their block's temperature). Each entity lives under exactly
-    // one key per family, and equal affix-8 implies equal affix-4, so
-    // a probe never crosses blocks. Recall: a single-char corruption
-    // lies in the first 8 or the last 8 chars, never both (lengths
-    // here ≥ 16), so at least one family keeps BOTH its granularities
-    // intact and hits whichever level the entity sits at. An affix-8
-    // block still above cap stays wide by acceptance: its members are
-    // near-identical strings a resolver SHOULD be pairing.
-    def famCand(fam: String): DataFrame = {
-      val e4 = keyed(ent, "entity", fam, 4)
-      val hot = e4.groupBy(col("bk")).agg(count(lit(1)).as("n"))
-        .filter(col("n") > E7Cap).select(col("bk"))
-      val eFinal = e4.join(hot, Seq("bk"), "left_anti")
-        .unionByName(
-          keyed(e4.join(hot, Seq("bk"), "left_semi").drop("bk"),
-            "entity", fam, 8))
-      keyed(qs, "q", fam, 4).unionByName(keyed(qs, "q", fam, 8))
-        .join(eFinal, "bk")
-        .select(col("q_id"), col("q"), col("entity"), col("entity_id"))
-    }
-    val cand = famCand("p").unionByName(famCand("s")).distinct()
+    // Partition blocking (the Wu–Manber k+1-piece rule at k=1): split
+    // every string into its two HALVES; one substitution cannot touch
+    // both, so the intact half's (length, half-id, content) key is a
+    // guaranteed-recall block. An entire half-string is also maximally
+    // discriminating for a two-key scheme: block width is bounded by
+    // "entities sharing a verbatim half" — a CATALOG-combinatorial
+    // quantity, not the corpus-linear width of a short low-entropy
+    // affix ("…ECONOMY"), which is what made the first two designs
+    // superlinear under enlargement (affix-4: 26.8× at 10×; affix-4→8
+    // capped escalation: 6.4× at 10× but wide-by-acceptance digit
+    // blocks at 100×). A pathologically shared half would take d2's
+    // cap-and-forfeit discipline; nothing in this catalog (or its
+    // tagged enlargement) approaches it.
+    def blocked(f: DataFrame, c: String): DataFrame = f
+      .withColumn("bk", explode(array(
+        expr(s"concat(length($c), ':h1:', " +
+          s"substring($c, 1, (length($c) + 1) div 2))"),
+        expr(s"concat(length($c), ':h2:', " +
+          s"substring($c, (length($c) + 1) div 2 + 1, length($c)))"))))
+    val cand = blocked(qs, "q")
+      .join(blocked(ent, "entity"), "bk")
+      .select(col("q_id"), col("q"), col("entity"), col("entity_id"))
+      .distinct()
     val scored = cand
       .withColumn("dist", levenshtein(col("q"), col("entity")).cast("long"))
       .filter(col("dist") <= 2)
@@ -443,49 +433,26 @@ object Enrich {
       |      substring(entity, CAST(p_partkey % length(entity) AS INT) + 2,
       |        length(entity)) AS q
       |  FROM we WHERE p_partkey % 5 = 0),
-      |ep4 AS (
+      |eb AS (
       |  SELECT entity, entity_id,
-      |    length(entity) || ':p4:' || substring(entity, 1, 4) AS bk FROM ent),
-      |php AS (SELECT bk FROM ep4 GROUP BY bk HAVING count(*) > $E7Cap),
-      |epf AS (
-      |  SELECT entity, entity_id, bk FROM ep4
-      |  WHERE bk NOT IN (SELECT bk FROM php)
+      |    length(entity) || ':h1:' ||
+      |      substring(entity, 1, (length(entity) + 1) // 2) AS bk FROM ent
       |  UNION ALL
       |  SELECT entity, entity_id,
-      |    length(entity) || ':p8:' || substring(entity, 1, 8) AS bk
-      |  FROM ep4 WHERE bk IN (SELECT bk FROM php)),
-      |es4 AS (
-      |  SELECT entity, entity_id,
-      |    length(entity) || ':s4:' ||
-      |      substring(entity, length(entity) - 3, 4) AS bk FROM ent),
-      |shs AS (SELECT bk FROM es4 GROUP BY bk HAVING count(*) > $E7Cap),
-      |esf AS (
-      |  SELECT entity, entity_id, bk FROM es4
-      |  WHERE bk NOT IN (SELECT bk FROM shs)
-      |  UNION ALL
-      |  SELECT entity, entity_id,
-      |    length(entity) || ':s8:' ||
-      |      substring(entity, length(entity) - 7, 8) AS bk
-      |  FROM es4 WHERE bk IN (SELECT bk FROM shs)),
-      |qp AS (
+      |    length(entity) || ':h2:' ||
+      |      substring(entity, (length(entity) + 1) // 2 + 1, length(entity))
+      |  FROM ent),
+      |qb AS (
       |  SELECT q_id, q,
-      |    length(q) || ':p4:' || substring(q, 1, 4) AS bk FROM q
+      |    length(q) || ':h1:' ||
+      |      substring(q, 1, (length(q) + 1) // 2) AS bk FROM q
       |  UNION ALL
       |  SELECT q_id, q,
-      |    length(q) || ':p8:' || substring(q, 1, 8) FROM q),
-      |qs AS (
-      |  SELECT q_id, q,
-      |    length(q) || ':s4:' || substring(q, length(q) - 3, 4) AS bk FROM q
-      |  UNION ALL
-      |  SELECT q_id, q,
-      |    length(q) || ':s8:' || substring(q, length(q) - 7, 8) FROM q),
+      |    length(q) || ':h2:' ||
+      |      substring(q, (length(q) + 1) // 2 + 1, length(q)) FROM q),
       |cand AS (
-      |  SELECT DISTINCT q_id, q, entity, entity_id FROM (
-      |    SELECT qp.q_id, qp.q, epf.entity, epf.entity_id
-      |    FROM qp JOIN epf USING (bk)
-      |    UNION ALL
-      |    SELECT qs.q_id, qs.q, esf.entity, esf.entity_id
-      |    FROM qs JOIN esf USING (bk))),
+      |  SELECT DISTINCT q_id, q, entity, entity_id
+      |  FROM qb JOIN eb USING (bk)),
       |scored AS (
       |  SELECT q_id, entity, entity_id,
       |    CAST(levenshtein(q, entity) AS BIGINT) AS dist

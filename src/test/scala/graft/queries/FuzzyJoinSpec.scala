@@ -5,9 +5,10 @@ import graft.Tables
 import org.apache.spark.sql.functions._
 
 /** e7 blocked fuzzy join: every corrupted string resolves to its true
-  * entity (the guaranteed-recall blocking contract for single-char
-  * noise, including corruptions landing INSIDE an affix), and the
-  * winner/ambiguity fields are internally consistent.
+  * entity (the Wu-Manber partitioning guarantee - one substitution
+  * cannot break both halves, so corruptions in EITHER half must
+  * resolve through the other), and the winner/ambiguity fields are
+  * internally consistent.
   */
 class FuzzyJoinSpec extends SparkSpecBase {
 
@@ -22,13 +23,13 @@ class FuzzyJoinSpec extends SparkSpecBase {
     val got = Enrich.e7BlockedFuzzyJoin(spark, sf).collect()
     val queries = truth.keys.filter(_ % 5 == 0)
     assert(got.length === queries.size, "every dirty row must resolve")
-    var affixCorruptions = 0
+    var h1Corruptions, h2Corruptions = 0
     got.foreach { r =>
       val (qk, entId, ent, dist, nBest) = (r.getLong(0), r.getLong(1),
         r.getString(2), r.getLong(3), r.getLong(4))
       val e = truth(qk)
       val pos = (qk % e.length).toInt
-      if (pos < 4 || pos >= e.length - 4) affixCorruptions += 1
+      if (pos < (e.length + 1) / 2) h1Corruptions += 1 else h2Corruptions += 1
       assert(dist <= 1L, s"true entity is at distance <= 1: $r")
       if (nBest == 1L)
         assert(ent === e && entId === canonical(e),
@@ -39,9 +40,9 @@ class FuzzyJoinSpec extends SparkSpecBase {
         // truth's
         assert(dist <= distance(q = corrupt(e, pos), e), s"tie sanity: $r")
     }
-    assert(affixCorruptions > 0,
-      "the corpus must exercise corruptions inside a blocking affix - " +
-        "the case the redundant-key design exists for")
+    assert(h1Corruptions > 0 && h2Corruptions > 0,
+      "the corpus must exercise corruptions in BOTH halves - each must " +
+        s"resolve through the other's block ($h1Corruptions/$h2Corruptions)")
   }
 
   private def corrupt(e: String, pos: Int): String =
