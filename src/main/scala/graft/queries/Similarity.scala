@@ -1409,6 +1409,248 @@ object Similarity {
       .localCheckpoint()
   }
 
+  // ---- S24: k-means‖ oversampled seeding -----------------------------
+
+  /** Oversampling factor l and round count for [[kmparCandidateIds]].
+    * Bahmani et al. 2012 take l ≈ Θ(k) and O(log φ) rounds; l=16 over
+    * 2 rounds yields ~30 expected candidates for k=8 on this corpus —
+    * comfortably the paper's ≥2k regime. */
+  private[graft] val S24L = 16L
+  private[graft] val S24Rounds = 2
+
+  /** k-means‖ candidate selection (Bahmani et al. 2012, "Scalable
+    * k-means++" — the seeding algorithm DESIGNED for this execution
+    * model): instead of k sequential maximin/D² passes, each of
+    * [[S24Rounds]] rounds samples every point INDEPENDENTLY with
+    * probability min(1, l·cost(x)/φ) where cost(x) = angular distance
+    * to the current candidate set and φ = Σ cost — one corpus scan per
+    * round, all sampling decisions in parallel. RNG-free engine
+    * contract: the Bernoulli draw is an md5 hash of (round, vec_id)
+    * against an EXACT integer threshold — `draw·φᵤ < l·costᵤ·10⁶` with
+    * costᵤ the micro-unit rounded distance and φᵤ its exact BIGINT sum
+    * — so the candidate set is a deterministic function of the data,
+    * replayable in the oracle CTE-for-CTE. Already-chosen candidates
+    * have costᵤ = 0 and can never re-sample.
+    *
+    * Scale shape vs [[maximinSeedIds]]: maximin is k−1 sequential
+    * corpus scans (fine for k=8, hopeless for k=10⁴); k-means‖ is
+    * O(rounds) scans REGARDLESS of k, each a broadcast-candidates +
+    * map-side-combined max — the reason the paper exists. Driver state
+    * is the candidate id list, bounded by 1 + rounds·l in expectation.
+    */
+  private[graft] def kmparCandidateIds(e: DataFrame,
+      l: Long = S24L, rounds: Int = S24Rounds): Seq[Long] = {
+    val first = e.agg(min(col("vec_id"))).head().getAs[Number](0).longValue
+    var cand = Vector(first)
+    for (r <- 1 to rounds) {
+      val cents = e.filter(col("vec_id").isin(cand: _*))
+        .select(col("embedding").as("ce"))
+      val costs = e.crossJoin(broadcast(cents))
+        .withColumn("cos", cosineHof(col("embedding"), col("ce")))
+        .groupBy(col("vec_id")).agg(max(col("cos")).as("maxcos"))
+        .withColumn("cost_u",
+          floor((lit(1.0) - col("maxcos")) * lit(1000000.0) + lit(0.5))
+            .cast("long"))
+      val phi = costs.agg(sum(col("cost_u"))).head().getLong(0)
+      val fresh = costs
+        .withColumn("draw", pmod(md5Hash32(
+          concat(lit(s"kmp:$r:"), col("vec_id"))), lit(1000000L)))
+        .filter(col("draw") * lit(phi) <
+          lit(l) * col("cost_u") * lit(1000000L))
+        .select(col("vec_id")).collect().map(_.getLong(0)).toSeq
+      cand = (cand ++ fresh).distinct.sorted
+    }
+    cand
+  }
+
+  /** Candidates → k seed ids: weight by corpus assignment counts, then
+    * deterministic weighted farthest-first (see [[s24KmeansParallel]]).
+    */
+  private[graft] def kmparChosenIds(e: DataFrame, k: Int,
+      l: Long = S24L, rounds: Int = S24Rounds): Seq[Long] = {
+    val cand = kmparCandidateIds(e, l, rounds)
+    require(cand.size >= k,
+      s"kmpar: candidate set must cover k=$k (got ${cand.size})")
+    val candCent = e.filter(col("vec_id").isin(cand: _*))
+      .select(col("vec_id").as("cent_id"),
+        transform(col("embedding"), x => x.cast("double")).as("ce"))
+      .localCheckpoint() // feeds weights + every greedy round
+    val w = lloydAssign(e, candCent)
+      .groupBy(col("cell")).agg(count(lit(1)).as("w"))
+      .select(col("cell").as("cent_id"), col("w"))
+    val weighted = candCent.join(w, Seq("cent_id")) // zero-weight drop
+      .localCheckpoint()
+    var chosen = Vector(weighted
+      .orderBy(col("w").desc, col("cent_id").asc)
+      .select(col("cent_id")).head().getLong(0))
+    while (chosen.size < k) {
+      val cs = weighted.filter(col("cent_id").isin(chosen: _*))
+        .select(col("ce").as("che"))
+      val next = weighted.filter(!col("cent_id").isin(chosen: _*))
+        .crossJoin(broadcast(cs))
+        .withColumn("cos", cosineHof(col("ce"), col("che")))
+        .groupBy(col("cent_id"), col("w"))
+        .agg(max(col("cos")).as("maxcos"))
+        .withColumn("score", col("w") *
+          (lit(1000000L) -
+            floor(col("maxcos") * lit(1000000.0) + lit(0.5)).cast("long")))
+        .orderBy(col("score").desc, col("cent_id").asc)
+        .select(col("cent_id")).head().getLong(0)
+      chosen = chosen :+ next
+    }
+    chosen
+  }
+
+  /** k-means‖-seeded, `rounds`-times-Lloyd-refined centroids shaped
+    * for [[ivfPqProbeOf]] — the spec-path twin of [[refinedCentroids]]
+    * with the sequential maximin seeding replaced by the oversampled
+    * selection (l = 2·nlist over 3 sampling rounds, the paper's
+    * l ≈ Θ(k) regime). */
+  private[graft] def kmparCentroids(e: DataFrame, nlist: Int,
+      rounds: Int): DataFrame = {
+    val base = e.select(col("vec_id"), col("embedding"))
+    val ids = kmparChosenIds(base, nlist, l = 2L * nlist, rounds = 3)
+    var cent = base.filter(col("vec_id").isin(ids: _*))
+      .select(col("vec_id").as("cent_id"),
+        transform(col("embedding"), x => x.cast("double")).as("ce"))
+    for (_ <- 1 to rounds)
+      cent = lloydRefit(base, lloydAssign(base, cent))
+    cent.select(col("cent_id"),
+        transform(col("ce"), x => x.cast("float")).as("ce"))
+      .withColumn("cnrm", sqrt(expr("graft_dot(ce, ce)")))
+      .localCheckpoint()
+  }
+
+  /** S24 — the k-means‖ BUILD path end-to-end under the oracle:
+    * oversampled candidates ([[kmparCandidateIds]]), candidate weights
+    * by corpus assignment counts, reduction to nlist=8 centroids via
+    * deterministic WEIGHTED farthest-first (start at the heaviest
+    * candidate; repeatedly add the unchosen candidate maximizing
+    * weight·(10⁶ − maxcosᵤ) — the RNG-free stand-in for the paper's
+    * weighted k-means++ recluster, exact integer scores, ties by id),
+    * then the s21 discipline: assign → refit → assign → refit →
+    * assign. Output certifies the seed assignment and both Lloyd
+    * updates; any divergence anywhere in the sampling, weighting,
+    * greedy or refit chain flips cells.
+    *
+    * Why next to s21: maximin lifted recall by spreading seeds but
+    * costs k sequential scans; k-means‖ is the PRODUCTION seeding at
+    * large k (rounds-bounded scans, embarrassingly parallel sampling).
+    * `PqRecallSpec` pins the composed probe's recall with these
+    * centroids on the same candidate budget as the maximin point.
+    */
+  def s24KmeansParallel(s: SparkSession, d: String): DataFrame = {
+    val e = withNorm(s, d).filter(col("vec_id") < s3Cap)
+      .select(col("vec_id"), col("embedding"))
+    val chosen = kmparChosenIds(e, 8)
+    val cent0 = e.filter(col("vec_id").isin(chosen: _*))
+      .select(col("vec_id").as("cent_id"),
+        transform(col("embedding"), x => x.cast("double")).as("ce"))
+    val a1 = lloydAssign(e, cent0)
+    val a2 = lloydAssign(e, lloydRefit(e, a1))
+    val a3 = lloydAssign(e, lloydRefit(e, a2))
+    a1.select(col("vec_id"), col("cell").as("cell_seed"))
+      .join(a2.select(col("vec_id"), col("cell").as("cell_iter1")),
+        Seq("vec_id"))
+      .join(a3.select(col("vec_id"), col("cell").as("cell_iter2")),
+        Seq("vec_id"))
+      .orderBy("vec_id")
+  }
+
+  val s24Sql: String = {
+    def cos(a: String, b: String) = cosineSql(a, b)
+    def draw(r: Int) =
+      s"('0x' || substr(md5('kmp:$r:' || vec_id), 1, 8))::BIGINT % 1000000"
+    def costCte(candSel: String, n: Int) =
+      s"""cost$n AS MATERIALIZED (
+        |  SELECT t.vec_id,
+        |    CAST(floor((1.0 - t.mc) * 1000000.0 + 0.5) AS BIGINT) AS cost_u
+        |  FROM (
+        |    SELECT e.vec_id, max(${cos("e.embedding", "c.embedding")}) AS mc
+        |    FROM e CROSS JOIN e c
+        |    WHERE c.vec_id IN ($candSel)
+        |    GROUP BY e.vec_id) t),
+        |phi$n AS (SELECT CAST(sum(cost_u) AS BIGINT) AS phi FROM cost$n),
+        |samp$n AS (
+        |  SELECT vec_id FROM cost$n, phi$n
+        |  WHERE (${draw(n)}) * phi < $S24L * cost_u * 1000000)"""
+        .stripMargin
+    val greedyCtes = (1 until 8).map { i =>
+      val prev = (0 until i).map(j => s"SELECT cent_id FROM g$j")
+        .mkString(" UNION ALL ")
+      s"""g$i AS (
+        |  SELECT cent_id FROM (
+        |    SELECT t.cent_id, row_number() OVER
+        |      (ORDER BY t.w * (1000000 - t.mcu) DESC, t.cent_id ASC) AS rn
+        |    FROM (
+        |      SELECT wc.cent_id, wc.w,
+        |        CAST(floor(max(${cos("wc.ce", "ch.ce")}) * 1000000.0 + 0.5)
+        |          AS BIGINT) AS mcu
+        |      FROM weighted wc
+        |      CROSS JOIN (SELECT ce FROM weighted
+        |                  WHERE cent_id IN ($prev)) ch
+        |      WHERE wc.cent_id NOT IN ($prev)
+        |      GROUP BY wc.cent_id, wc.w) t)
+        |  WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    val allChosen = (0 until 8).map(j => s"SELECT cent_id FROM g$j")
+      .mkString(" UNION ALL ")
+    def assignCte(cent: String, out: String) =
+      s"""$out AS MATERIALIZED (
+        |  SELECT vec_id, cent_id AS cell FROM (
+        |    SELECT e.vec_id, c.cent_id,
+        |      row_number() OVER (PARTITION BY e.vec_id
+        |        ORDER BY ${cos("e.embedding", "c.ce")} DESC, c.cent_id) AS rn
+        |    FROM e CROSS JOIN $cent c) t
+        |  WHERE rn = 1)""".stripMargin
+    def refitCte(assigned: String, out: String) =
+      s"""dims_$out AS MATERIALIZED (
+        |  SELECT $assigned.cell, i - 1 AS pos,
+        |    CAST(floor(e.embedding[i]::DOUBLE * 1000000.0 + 0.5) AS BIGINT) AS v
+        |  FROM $assigned JOIN e USING (vec_id),
+        |    LATERAL (SELECT unnest(range(1, len(e.embedding) + 1)) AS i)),
+        |$out AS (
+        |  SELECT cell AS cent_id, list(m ORDER BY pos) AS ce FROM (
+        |    SELECT cell, pos, CAST(sum(v) AS DOUBLE) / count(*) / 1000000.0 AS m
+        |    FROM dims_$out GROUP BY cell, pos)
+        |  GROUP BY cell)""".stripMargin
+    s"""WITH e AS MATERIALIZED (
+      |  SELECT vec_id, embedding FROM embeddings WHERE vec_id < $s3Cap),
+      |c0 AS (SELECT min(vec_id) AS vec_id FROM e),
+      |${costCte("SELECT vec_id FROM c0", 1)},
+      |cand1 AS MATERIALIZED (
+      |  SELECT vec_id FROM c0 UNION SELECT vec_id FROM samp1),
+      |${costCte("SELECT vec_id FROM cand1", 2)},
+      |cand AS MATERIALIZED (
+      |  SELECT vec_id FROM cand1 UNION SELECT vec_id FROM samp2),
+      |candc AS MATERIALIZED (
+      |  SELECT e.vec_id AS cent_id,
+      |    list_transform(e.embedding, x -> x::DOUBLE) AS ce
+      |  FROM e JOIN cand USING (vec_id)),
+      |${assignCte("candc", "aw")},
+      |w AS (SELECT cell AS cent_id, CAST(count(*) AS BIGINT) AS w
+      |      FROM aw GROUP BY cell),
+      |weighted AS MATERIALIZED (
+      |  SELECT c.cent_id, c.ce, w.w FROM candc c JOIN w USING (cent_id)),
+      |g0 AS (
+      |  SELECT cent_id FROM (
+      |    SELECT cent_id, row_number() OVER (ORDER BY w DESC, cent_id ASC)
+      |      AS rn FROM weighted)
+      |  WHERE rn = 1),
+      |$greedyCtes,
+      |cent0 AS MATERIALIZED (
+      |  SELECT cent_id, ce FROM candc WHERE cent_id IN ($allChosen)),
+      |${assignCte("cent0", "a1")},
+      |${refitCte("a1", "cent1")},
+      |${assignCte("cent1", "a2")},
+      |${refitCte("a2", "cent2")},
+      |${assignCte("cent2", "a3")}
+      |SELECT a1.vec_id, a1.cell AS cell_seed, a2.cell AS cell_iter1,
+      |  a3.cell AS cell_iter2
+      |FROM a1 JOIN a2 USING (vec_id) JOIN a3 USING (vec_id)
+      |ORDER BY vec_id""".stripMargin
+  }
+
   /** The (nlist, nprobe) configurations s15 compares: equal candidate
     * budget — nlist=32 cells are ~4× smaller than nlist=8 cells, so
     * probing 4× the cells scans about the same number of candidates.
@@ -2249,6 +2491,7 @@ object Similarity {
     "s10_ivf_multiprobe" -> s10IvfMultiprobe,
     "s14_kmeans_refine" -> s14KmeansRefine,
     "s21_maximin_refine" -> s21MaximinRefine,
+    "s24_kmeans_parallel" -> s24KmeansParallel,
     "s15_scaled_nlist" -> s15ScaledNlist,
     "s16_spherical_refine" -> s16SphericalRefine,
     "s6_quantize_int8" -> s6QuantizeInt8,
@@ -2271,6 +2514,7 @@ object Similarity {
     "s10_ivf_multiprobe" -> s10Sql,
     "s14_kmeans_refine" -> s14Sql,
     "s21_maximin_refine" -> s21Sql,
+    "s24_kmeans_parallel" -> s24Sql,
     "s15_scaled_nlist" -> s15Sql,
     "s16_spherical_refine" -> s16Sql,
     "s6_quantize_int8" -> s6Sql,

@@ -303,6 +303,72 @@ class PqRecallSpec extends SparkSpecBase {
     * ADC top-5 (otherwise the re-rank stage certifies nothing the ADC
     * cut didn't already give).
     */
+  /** The k-means‖ point on the same harness (the other half of the
+    * r13 verdict's seeding lever, next to s21's maximin): oversampled
+    * candidate selection + weighted farthest-first reduction + six
+    * Lloyd rounds, probed at the s21 budget (nlist=32, nprobe=8,
+    * 50-deep shortlist, exact re-rank). k-means‖ is the seeding that
+    * SCALES (O(rounds) corpus scans regardless of k vs maximin's k
+    * sequential scans), so the pin certifies the scalable path does
+    * not give up the recall the sequential one bought.
+    */
+  test("s24 k-means|| centroids hold the maximin-class recall at the same budget (sf0.1)") {
+    val big = "/root/testdata/sf0.1"
+    assume(new java.io.File(s"$big/embeddings.parquet").exists,
+      "sf0.1 testdata absent")
+    val e = Similarity.withNorm(spark, big)
+
+    def recallAndCands(cent: Option[org.apache.spark.sql.DataFrame])
+        : (Double, Long) = {
+      val probe = Similarity.ivfPqProbeOf(e, nlist = 32, nprobe = 8,
+        shortK = 50, centroids = cent).cache()
+      try {
+        val cands = probe.groupBy("query_id").agg(first("n_cand").as("nc"))
+          .agg(sum("nc")).head.getLong(0)
+        val q = e.filter(col("vec_id") >= 32 && col("vec_id") < 37)
+          .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+            col("nrm").as("qn"))
+        val n = e.select(col("vec_id").as("neighbor_id"),
+          col("embedding").as("ne"), col("nrm").as("nn"))
+        val rer = probe.select(col("query_id"), col("neighbor_id"))
+          .join(n, "neighbor_id").join(broadcast(q), "query_id")
+          .withColumn("cos",
+            expr("graft_dot(qe, ne)") / (col("qn") * col("nn")))
+          .groupBy("query_id")
+          .agg(expr("graft_topk(cos, neighbor_id, 5)").as("top"))
+          .select(col("query_id"),
+            explode(expr("transform(top, x -> x.id)")).as("neighbor_id"))
+        val exact = e.join(broadcast(q), col("vec_id") =!= col("query_id"))
+          .withColumn("cos",
+            expr("graft_dot(qe, embedding)") / (col("qn") * col("nrm")))
+          .groupBy("query_id")
+          .agg(expr("graft_topk(cos, vec_id, 5)").as("top"))
+          .select(col("query_id"),
+            explode(expr("transform(top, x -> x.id)")).as("neighbor_id"),
+            lit(1).as("hit"))
+        val rec = rer.join(exact, Seq("query_id", "neighbor_id"), "left")
+          .groupBy("query_id")
+          .agg((sum(coalesce(col("hit"), lit(0))) / lit(5.0)).as("r"))
+          .collect().map(_.getDouble(1))
+        (rec.sum / rec.length, cands)
+      } finally probe.unpersist()
+    }
+
+    val (baseMean, baseCands) = recallAndCands(None)
+    val cent = Similarity.kmparCentroids(e, nlist = 32, rounds = 6)
+    val (kmMean, kmCands) = recallAndCands(Some(cent))
+    info(f"first-n=$baseMean%.3f kmpar=$kmMean%.3f cands=$baseCands/$kmCands")
+    assert(kmMean > baseMean,
+      f"k-means|| centroids did not improve on first-n: " +
+        f"$baseMean%.3f -> $kmMean%.3f")
+    assert(kmMean >= 0.55,
+      f"k-means|| recall floor broken: $kmMean%.3f (measured 0.640 at " +
+        "capture - ABOVE the six-round maximin capture of 0.560, at the " +
+        "same candidate budget)")
+    assert(kmCands <= baseCands * 2 && baseCands <= kmCands * 2,
+      s"probe budgets diverged: first-n=$baseCands kmpar=$kmCands")
+  }
+
   test("s20 exact re-rank recovers recall over the pure ADC ranking") {
     def meanRecall(df: org.apache.spark.sql.DataFrame): Double = {
       val per = df.groupBy("query_id").agg(first("recall_at_5").as("r"))
