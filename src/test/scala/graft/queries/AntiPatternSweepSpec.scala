@@ -57,7 +57,8 @@ class AntiPatternSweepSpec extends SparkSpecBase {
     "d15_semantic_pq",        // broadcast 8 centroids + m*ksub^2 code-pair table
     "s23_hier_assign",        // broadcast ⌈√k⌉ refit leaders + k grouped centroids (hierAssign)
     "t12_source_drift",       // 1-row corpus-total envelope, broadcast
-    "c10_temperature_mix")    // 1-row budget/denominator census envelope, broadcast
+    "c10_temperature_mix",    // 1-row budget/denominator census envelope, broadcast
+    "s24_kmeans_parallel")    // broadcast 8 chosen-centroid rows (lloydAssign)
 
   /** Checkpoint-truncated queries → where the real plan shape IS
     * audited instead (inner-transform test below, a batch twin, or a
