@@ -881,7 +881,154 @@ object TextAnalysis {
       |    // greatest((2 * t_s * t_all) // 1000000, 1) AS drift_ppm
       |FROM per ORDER BY source""".stripMargin
 
+  // ---- T14: reference-LM quality filter (CCNet shape) ----------------
+
+  /** Histogram resolution for the t14 tercile cut (the c7 discipline:
+    * percentile cuts at bin resolution, never a global per-doc rank). */
+  private[queries] val T14Bins = 128
+
+  /** T14 — reference-LM perplexity bucketing, the CCNet shape (Wenzek
+    * et al. 2020: score every document under a language model trained
+    * on a TRUSTED reference corpus, then split the crawl into
+    * head/middle/tail perplexity terciles — the quality signal
+    * LLM-data pipelines filter and mix on). The reference here is the
+    * `lang = 'en'` slice (the corpus's "wikipedia" stand-in); the
+    * model is an add-one-smoothed BIGRAM LM over it — t8 scores
+    * against the corpus's OWN unigram stats, t14 scores everything
+    * against a FOREIGN trusted model with context, which is why
+    * non-reference-like documents land in the tail.
+    *
+    * Cross-engine exactness (the t8 discipline, extended): per-token
+    * surprisal −log₂ p̂(w|prev) = log₂(c(prev)+V) − log₂(c(prev,w)+1)
+    * is taken at INTEGER floor-log₂ resolution via bit length
+    * (`length(bin(x)) − 1`) — smoothed counts are exact BIGINTs, so
+    * the whole score is integer arithmetic that replays bit-for-bit
+    * (a float log differs in last-ulp across libm implementations;
+    * the quantization costs resolution, not correctness, and the
+    * tercile cut is bin-resolution anyway). The tercile cut reuses
+    * c7's envelope → 128-bin histogram → cumulative-cut machinery
+    * (driver state: 128 rows) — never a partition-less rank window.
+    *
+    * Scale shape: training is two map-side-combined counts over the
+    * reference; scoring is a lag window PARTITIONED by doc plus two
+    * vocabulary-keyed joins (broadcast at dictionary scale, shuffle
+    * otherwise — the t8 ceiling rule); the cut is fixed 128-row state
+    * at any corpus size.
+    */
+  def t14LmQualityFilter(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = documentsSpread(s, d).select(col("doc_id"), col("lang"),
+      col("text"))
+    def pairs(f: DataFrame): DataFrame = {
+      val toks = f
+        .select(col("doc_id"), col("lang"),
+          posexplode(split(trim(col("text")), "\\s+")).as(Seq("pos", "word")))
+        .filter(length(col("word")) > 0)
+      toks.withColumn("prev",
+          lag(col("word"), 1).over(
+            Window.partitionBy(col("doc_id")).orderBy(col("pos"))))
+        .filter(col("prev").isNotNull)
+    }
+    val refPairs = pairs(docs.filter(col("lang") === "en"))
+      .localCheckpoint() // trains cab, ca and V from ONE materialization
+    val cab = refPairs.groupBy(col("prev"), col("word"))
+      .agg(count(lit(1)).as("cab"))
+    val ca = cab.groupBy(col("prev")).agg(sum(col("cab")).as("ca"))
+    val v = refPairs.select(col("word"))
+      .union(refPairs.select(col("prev")))
+      .distinct().count()
+    val scored = pairs(docs)
+      .join(cab, Seq("prev", "word"), "left")
+      .join(ca, Seq("prev"), "left")
+      .withColumn("bits",
+        (length(expr(s"bin(coalesce(ca, 0) + $v)")) - lit(1)).cast("long") -
+          (length(expr("bin(coalesce(cab, 0) + 1)")) - lit(1)).cast("long"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("bits")).as("total_bits"))
+      .withColumn("mean_bits", r6(col("total_bits") / col("n_pairs")))
+      .localCheckpoint() // envelope, histogram and labeling scan this
+    val env = scored.agg(min(col("mean_bits")), max(col("mean_bits")),
+      count(lit(1))).head()
+    val (qmin, qmax, n) = (env.getDouble(0), env.getDouble(1), env.getLong(2))
+    val width = math.max(qmax - qmin, 1e-9) / T14Bins
+    val binned = scored.withColumn("bin",
+      least(lit(T14Bins - 1),
+        floor((col("mean_bits") - lit(qmin)) / lit(width)).cast("int")))
+    val hist = binned.groupBy(col("bin")).agg(count(lit(1)).as("cnt"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val cum = hist.scanLeft((0, 0L)) { case ((_, c), (b, cnt)) =>
+      (b, c + cnt) }.drop(1)
+    def cutFor(target: Long): Int =
+      cum.find(_._2 >= target).map(_._1).getOrElse(T14Bins - 1)
+    val cut1 = cutFor(math.ceil(n / 3.0).toLong)
+    val cut2 = cutFor(math.ceil(2.0 * n / 3.0).toLong)
+    binned.withColumn("bucket",
+        when(col("bin") <= lit(cut1), lit("head"))
+          .when(col("bin") <= lit(cut2), lit("middle"))
+          .otherwise(lit("tail")))
+      .select(col("doc_id"), col("lang"), col("n_pairs"),
+        col("total_bits"), col("mean_bits"), col("bucket"))
+      .orderBy("doc_id")
+  }
+
+  val t14Sql: String =
+    s"""WITH toks AS (
+      |  SELECT doc_id, lang, i AS pos, w[i] AS word
+      |  FROM (SELECT doc_id, lang,
+      |          string_split_regex(trim(text), '\\s+') AS w
+      |        FROM documents),
+      |    LATERAL (SELECT unnest(range(1, len(w) + 1)) AS i) t
+      |  WHERE len(w[i]) > 0),
+      |prs AS (
+      |  SELECT doc_id, lang, word,
+      |    lag(word) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+      |  FROM toks),
+      |pairs AS (SELECT doc_id, lang, prev, word FROM prs
+      |          WHERE prev IS NOT NULL),
+      |ref AS (SELECT prev, word FROM pairs WHERE lang = 'en'),
+      |cab AS (SELECT prev, word, CAST(count(*) AS BIGINT) AS cab
+      |        FROM ref GROUP BY 1, 2),
+      |ca AS (SELECT prev, CAST(sum(cab) AS BIGINT) AS ca
+      |       FROM cab GROUP BY 1),
+      |v AS (SELECT CAST(count(*) AS BIGINT) AS v FROM (
+      |        SELECT word FROM ref UNION SELECT prev FROM ref)),
+      |scored AS (
+      |  SELECT p.doc_id, p.lang,
+      |    CAST(count(*) AS BIGINT) AS n_pairs,
+      |    CAST(sum(
+      |      (len(bin(coalesce(a.ca, 0) + v.v)) - 1) -
+      |      (len(bin(coalesce(c.cab, 0) + 1)) - 1)) AS BIGINT) AS total_bits
+      |  FROM pairs p
+      |  LEFT JOIN cab c ON c.prev = p.prev AND c.word = p.word
+      |  LEFT JOIN ca a ON a.prev = p.prev
+      |  CROSS JOIN v
+      |  GROUP BY p.doc_id, p.lang),
+      |sc AS (
+      |  SELECT doc_id, lang, n_pairs, total_bits,
+      |    ${r6Sql("CAST(total_bits AS DOUBLE) / n_pairs")} AS mean_bits
+      |  FROM scored),
+      |r AS (SELECT min(mean_bits) AS qmin, max(mean_bits) AS qmax,
+      |      count(*) AS n FROM sc),
+      |b AS (
+      |  SELECT sc.*, LEAST(${T14Bins - 1}, CAST(floor((mean_bits - qmin) /
+      |    (GREATEST(qmax - qmin, 1e-9) / $T14Bins.0)) AS INT)) AS bin
+      |  FROM sc CROSS JOIN r),
+      |hist AS (SELECT bin, count(*) AS cnt FROM b GROUP BY bin),
+      |cum AS (
+      |  SELECT a.bin, CAST(sum(c.cnt) AS BIGINT) AS cum
+      |  FROM hist a JOIN hist c ON c.bin <= a.bin GROUP BY a.bin),
+      |cut1 AS (SELECT min(bin) AS c FROM cum CROSS JOIN r
+      |         WHERE cum >= CAST(ceil(n / 3.0) AS BIGINT)),
+      |cut2 AS (SELECT min(bin) AS c FROM cum CROSS JOIN r
+      |         WHERE cum >= CAST(ceil(2.0 * n / 3.0) AS BIGINT))
+      |SELECT doc_id, lang, n_pairs, total_bits, mean_bits,
+      |  CASE WHEN bin <= (SELECT c FROM cut1) THEN 'head'
+      |       WHEN bin <= (SELECT c FROM cut2) THEN 'middle'
+      |       ELSE 'tail' END AS bucket
+      |FROM b ORDER BY doc_id""".stripMargin
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t14_lm_quality_filter" -> t14LmQualityFilter,
     "t12_source_drift" -> t12SourceDrift,
     "t1_lang_id" -> t1LangId,
     "t10_bpe_train" -> t10BpeTrain,
@@ -898,6 +1045,7 @@ object TextAnalysis {
   )
 
   val oracle: Map[String, String] = Map(
+    "t14_lm_quality_filter" -> t14Sql,
     "t12_source_drift" -> t12Sql,
     "t1_lang_id" -> t1Sql,
     "t10_bpe_train" -> t10Sql,
