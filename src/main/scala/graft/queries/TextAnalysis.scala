@@ -915,10 +915,14 @@ object TextAnalysis {
     * otherwise — the t8 ceiling rule); the cut is fixed 128-row state
     * at any corpus size.
     */
-  def t14LmQualityFilter(s: SparkSession, d: String): DataFrame = {
+  def t14LmQualityFilter(s: SparkSession, d: String): DataFrame =
+    t14Of(documentsSpread(s, d).select(col("doc_id"), col("lang"),
+      col("text")))
+
+  /** The t14 core over any (doc_id, lang, text) corpus — also the
+    * scale-headroom entry point (reference slice = `lang = 'en'`). */
+  private[graft] def t14Of(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val docs = documentsSpread(s, d).select(col("doc_id"), col("lang"),
-      col("text"))
     def pairs(f: DataFrame): DataFrame = {
       val toks = f
         .select(col("doc_id"), col("lang"),

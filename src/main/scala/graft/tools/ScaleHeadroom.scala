@@ -293,6 +293,23 @@ object ScaleHeadroom {
       // or each other, so grams/postings/pairs all grow linearly; the
       // df cap bounds every posting list exactly as in d2
       "d14_substring_dedup" -> (n => Dedup.d14Of(docsAt(n))),
+      // reference-LM quality: copies keep their lang labels, so the
+      // 'en' reference (and its bigram/unigram model tables) grows
+      // linearly with the corpus; scoring is a doc-partitioned lag
+      // window + two vocabulary-keyed joins, the cut fixed 128-bin
+      // state at any scale
+      "t14_lm_quality" -> { n =>
+        val base = Tables.documents(spark, sfDir)
+          .select("doc_id", "text", "lang")
+        val docs = (0 until n).map { i =>
+          if (i == 0) base
+          else base.select((col("doc_id") + lit(i * 1000000L)).as("doc_id"),
+            regexp_replace(col("text"), "(\\S+)", s"c$i$$1").as("text"),
+            col("lang"))
+        }.reduce(_ unionByName _).repartition(par, col("doc_id"))
+        graft.queries.TextAnalysis.t14Of(
+          docs.select(col("doc_id"), col("lang"), col("text")))
+      },
       // paragraph dedup: tagged copies share no 8-word segments, so
       // the segment relation and the first-occurrence groupBy-min both
       // grow linearly; no window anywhere, so a hot segment is a
