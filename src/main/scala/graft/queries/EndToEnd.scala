@@ -331,13 +331,173 @@ object EndToEnd {
       |LEFT JOIN chg c ON c.cust_id = m.cust_id
       |ORDER BY m.cust_id""".stripMargin
 
+  // ---- E2E dedup: the three-granularity dedup cascade ---------------
+
+  /** est-Jaccard bar for the chain's doc-level near-dup stage. 0.75
+    * (12 of 16 minhashes) leaves a robust quantization margin on BOTH
+    * sides: injected near-clones estimate ~15/16, injected quotes ≤
+    * ~0.6 — d3's default 0.5 bar sits inside the thin-quote band and a
+    * 1/16-step estimate would flip verdicts doc-by-doc. */
+  private[queries] val E2eDedupTau = 0.75
+
+  /** E2E — the training-data dedup cascade at its three granularities
+    * chained over ONE corpus, the way a crawl pipeline actually runs
+    * them: (1) d1's exact content-hash dedup, (2) d3's MinHash-LSH
+    * doc-level near-dup (keep-lowest-id), (3) d16's paragraph-level
+    * edit, with documents reduced below half their words declared
+    * `paragraph_thin`. Every stage is individually oracle-green
+    * elsewhere; this row certifies the HANDOFFS — stage 2 fingerprints
+    * exactly the stage-1 survivors, stage 3 edits exactly the stage-2
+    * survivors, and one hash covers every document's verdict.
+    *
+    * All four verdict classes are data-reachable via the established
+    * injection discipline, each derived to be invisible to the OTHER
+    * stages: exact clones (%13) differ in nothing; near-clones (%17)
+    * append one unique token (hash differs, est-Jaccard ~15/16);
+    * partial re-posts (%19, ≥48 words) quote two grid-aligned
+    * segments inside mostly-novel text (reversed-tail filler shares
+    * words but no 3-grams, so stage-2 Jaccard stays far under
+    * [[E2eDedupTau]]) and survive EDITED; thin re-posts (%23, ≥24
+    * words) are a header plus three quoted segments — stage 2 still
+    * misses them (J ≈ 0.5 < 0.75) but stage 3 strips them below the
+    * half-words bar. `DedupChainSpec` pins class-by-class outcomes.
+    *
+    * Scale shape: the union of the three stages' own shapes — a
+    * content-hash groupBy, the banded signature self-join, and the
+    * segment-hash groupBy-min — each map-side combined, plus
+    * id-keyed survivor anti-joins between stages.
+    */
+  def e2eDedupPipeline(s: SparkSession, d: String): DataFrame = {
+    val base = documents(s, d).select(col("doc_id"), col("text"))
+    val withW = base.withColumn("w", split(trim(col("text")), "\\s+"))
+    val ec = base.filter(col("doc_id") % 13 === 0)
+      .select((col("doc_id") + lit(4000000L)).as("doc_id"), col("text"))
+    val nc = base.filter(col("doc_id") % 17 === 0)
+      .select((col("doc_id") + lit(5000000L)).as("doc_id"),
+        concat(col("text"), lit(" zz"), col("doc_id")).as("text"))
+    val pq = withW.filter(col("doc_id") % 19 === 0 && size(col("w")) >= 48)
+      .select((col("doc_id") + lit(6000000L)).as("doc_id"),
+        concat_ws(" ", concat(lit("rs"), col("doc_id")),
+          lit("share forward copy via feed link post"),
+          array_join(slice(col("w"), 1, 16), " "),
+          array_join(reverse(expr("slice(w, size(w) - 23, 24)")), " "))
+          .as("text"))
+    val tq = withW.filter(col("doc_id") % 23 === 0 && size(col("w")) >= 24)
+      .select((col("doc_id") + lit(7000000L)).as("doc_id"),
+        concat_ws(" ", concat(lit("rt"), col("doc_id")),
+          lit("share forward copy via feed link post"),
+          array_join(slice(col("w"), 1, 24), " ")).as("text"))
+    val corpus = base.unionByName(ec).unionByName(nc).unionByName(pq)
+      .unionByName(tq)
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      .localCheckpoint() // feeds all three stages + the final assembly
+    // stage 1: exact
+    val keep1 = corpus.groupBy(md5(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("keeper"))
+    val st1 = corpus.withColumn("h", md5(col("text"))).join(keep1, "h")
+    val exactDups = st1.filter(col("doc_id") =!= col("keeper"))
+      .select(col("doc_id"), col("keeper").as("e_dup"))
+    val surv1 = st1.filter(col("doc_id") === col("keeper"))
+      .select(col("doc_id"), col("text"))
+    // stage 2: doc-level near-dup over stage-1 survivors
+    val nearDups = Dedup
+      .minhashLsh(Dedup.shingleSetsPlain(surv1).localCheckpoint())
+      .filter(col("est_jaccard") >= E2eDedupTau)
+      .groupBy(col("doc_b").as("doc_id")).agg(min(col("doc_a")).as("n_dup"))
+    val surv2 = surv1.join(nearDups.select(col("doc_id")),
+      Seq("doc_id"), "left_anti")
+    // stage 3: paragraph-level edit over stage-2 survivors
+    val stats = Dedup.d16Of(surv2)
+      .select(col("doc_id"), col("kept_words"))
+    corpus
+      .select(col("doc_id"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n_words"))
+      .join(exactDups, Seq("doc_id"), "left")
+      .join(nearDups, Seq("doc_id"), "left")
+      .join(stats, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_words"),
+        when(col("e_dup").isNotNull, lit("exact_dup"))
+          .when(col("n_dup").isNotNull, lit("near_dup"))
+          .when(col("kept_words") * 2 < col("n_words"),
+            lit("paragraph_thin"))
+          .otherwise(lit("kept")).as("verdict"),
+        coalesce(col("e_dup"), col("n_dup"), lit(-1L)).as("dup_of"),
+        coalesce(col("kept_words"), lit(-1L)).as("kept_words"))
+      .orderBy("doc_id")
+  }
+
+  val e2eDedupSql: String =
+    s"""WITH base AS (SELECT doc_id, text FROM documents),
+      |ww AS (SELECT doc_id, text,
+      |       string_split_regex(trim(text), '\\s+') AS w FROM base),
+      |ec AS (SELECT doc_id + 4000000 AS doc_id, text FROM base
+      |       WHERE doc_id % 13 = 0),
+      |nc AS (SELECT doc_id + 5000000 AS doc_id,
+      |         text || ' zz' || CAST(doc_id AS VARCHAR) AS text
+      |       FROM base WHERE doc_id % 17 = 0),
+      |pq AS (SELECT doc_id + 6000000 AS doc_id,
+      |         'rs' || CAST(doc_id AS VARCHAR) ||
+      |         ' share forward copy via feed link post ' ||
+      |         array_to_string(list_slice(w, 1, 16), ' ') || ' ' ||
+      |         array_to_string(
+      |           list_reverse(list_slice(w, len(w) - 23, len(w))), ' ')
+      |           AS text
+      |       FROM ww WHERE doc_id % 19 = 0 AND len(w) >= 48),
+      |tq AS (SELECT doc_id + 7000000 AS doc_id,
+      |         'rt' || CAST(doc_id AS VARCHAR) ||
+      |         ' share forward copy via feed link post ' ||
+      |         array_to_string(list_slice(w, 1, 24), ' ') AS text
+      |       FROM ww WHERE doc_id % 23 = 0 AND len(w) >= 24),
+      |corpus AS MATERIALIZED (
+      |  SELECT doc_id, text FROM base
+      |  UNION ALL SELECT doc_id, text FROM ec
+      |  UNION ALL SELECT doc_id, text FROM nc
+      |  UNION ALL SELECT doc_id, text FROM pq
+      |  UNION ALL SELECT doc_id, text FROM tq),
+      |keep1 AS (SELECT md5(text) AS h, min(doc_id) AS keeper
+      |          FROM corpus GROUP BY md5(text)),
+      |st1 AS MATERIALIZED (
+      |  SELECT c.doc_id, c.text, k.keeper
+      |  FROM corpus c JOIN keep1 k ON md5(c.text) = k.h),
+      |edups AS (SELECT doc_id, keeper AS e_dup FROM st1
+      |          WHERE doc_id <> keeper),
+      |surv1 AS MATERIALIZED (
+      |  SELECT doc_id, text FROM st1 WHERE doc_id = keeper),
+      |${Dedup.d3PairsSqlOver("surv1")},
+      |ndups AS MATERIALIZED (
+      |  SELECT doc_b AS doc_id, min(doc_a) AS n_dup
+      |  FROM pairs3 WHERE est_jaccard >= $E2eDedupTau
+      |  GROUP BY doc_b),
+      |surv2 AS MATERIALIZED (
+      |  SELECT s.doc_id, s.text FROM surv1 s
+      |  WHERE s.doc_id NOT IN (SELECT doc_id FROM ndups)),
+      |${Dedup.d16StatsSqlOver("surv2")}
+      |SELECT c.doc_id,
+      |  CAST(len(string_split_regex(trim(c.text), '\\s+')) AS BIGINT)
+      |    AS n_words,
+      |  CASE WHEN e.e_dup IS NOT NULL THEN 'exact_dup'
+      |       WHEN n.n_dup IS NOT NULL THEN 'near_dup'
+      |       WHEN p.kept_words * 2 <
+      |         len(string_split_regex(trim(c.text), '\\s+'))
+      |         THEN 'paragraph_thin'
+      |       ELSE 'kept' END AS verdict,
+      |  coalesce(e.e_dup, n.n_dup, -1) AS dup_of,
+      |  coalesce(p.kept_words, -1) AS kept_words
+      |FROM corpus c
+      |LEFT JOIN edups e USING (doc_id)
+      |LEFT JOIN ndups n USING (doc_id)
+      |LEFT JOIN pstats16 p USING (doc_id)
+      |ORDER BY c.doc_id""".stripMargin
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e2e_dedup_pipeline" -> e2eDedupPipeline,
     "e2e_dvp_pipeline" -> e2eDvpPipeline,
     "e2e_curation_pipeline" -> e2eCurationPipeline,
     "e2e_warehouse_pipeline" -> e2eWarehousePipeline,
   )
 
   val oracle: Map[String, String] = Map(
+    "e2e_dedup_pipeline" -> e2eDedupSql,
     "e2e_dvp_pipeline" -> e2eSql,
     "e2e_curation_pipeline" -> e2eCurSql,
     "e2e_warehouse_pipeline" -> e2eWhSql,
