@@ -681,6 +681,7 @@ object TextAnalysis {
       .select(explode(split(col("text"), " ")).as("word"))
       .filter(length(col("word")) > 0)
       .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      .localCheckpoint() // one corpus scan feeds train AND apply dict
     val rules = bpeTrainOver(s, words, BpeRounds)
       .orderBy("round").collect()
       .map(r => (r.getString(1), r.getString(2)))
