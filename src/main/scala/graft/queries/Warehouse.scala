@@ -248,14 +248,49 @@ object Warehouse {
     else Seq.empty
   }
 
+  /** Monotonic version high-water mark: the largest version ever
+    * SUCCESSFULLY committed at `base` (persisted in a sibling file,
+    * swapped atomically after the manifest). o13's vacuum never
+    * touches it, so an expired version id can never be silently
+    * reused — a post-vacuum `VERSION AS OF n` either fails loudly or
+    * returns the data n always named, the immutability contract o12
+    * documents (reference table formats never reuse snapshot ids). */
+  private def o12HwmFile(base: String): java.nio.file.Path =
+    java.nio.file.Paths.get(base, "highwater")
+
+  private[graft] def o12Hwm(base: String): Option[Int] = {
+    val f = o12HwmFile(base)
+    if (java.nio.file.Files.exists(f))
+      Some(java.nio.file.Files.readString(f).trim.toInt)
+    else None
+  }
+
   /** Commit `df` as version `v` of the snapshot table at `base`: data
     * lands in a dot-prefixed staging dir (invisible to readers), is
     * renamed to `v=N`, and becomes READABLE only when the manifest —
     * swapped atomically, the a13/st9 discipline — lists N. A crash
     * between data rename and manifest swap leaves debris a reader can
-    * never see; re-running the commit overwrites it. */
+    * never see; re-running the commit overwrites it. Version ids are
+    * MONOTONIC: `v` must exceed the persisted high-water mark
+    * ([[o12Hwm]]), so a vacuum-expired id is never reused (the hwm
+    * file is written AFTER the manifest swap — a crash between the
+    * two leaves the mark one commit stale, which only weakens reuse
+    * rejection for that single id, never blocks a legitimate commit).
+    *
+    * SINGLE-WRITER assumption (commit + vacuum): the debris sweep
+    * below and o13Vacuum's manifest-absent directory deletion treat
+    * any unlisted `v=N` dir as crash debris. A CONCURRENT committer
+    * sitting between its data rename and manifest swap is
+    * indistinguishable from that debris and could have its dir
+    * deleted; the manifest swap itself is last-writer-wins, not CAS.
+    * One writer at a time (or an external lock around commit/vacuum)
+    * is the contract — the same discipline single-writer table
+    * formats document. */
   private[graft] def o12Commit(base: String, v: Int, df: DataFrame): Unit = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
+    require(o12Hwm(base).forall(v > _),
+      s"o12: version $v is not above the high-water mark " +
+        s"${o12Hwm(base).get} — expired/committed ids are never reused")
     val staging = Paths.get(base, s".v$v.staging")
     df.coalesce(1).write.mode("overwrite").parquet(staging.toString)
     val dataDir = Paths.get(base, s"v=$v")
@@ -272,6 +307,12 @@ object Warehouse {
     val mStage = Paths.get(base, ".manifest.staging")
     Files.writeString(mStage, (o12Versions(base) :+ v).mkString(","))
     Files.move(mStage, o12Manifest(base),
+      StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+    // hwm AFTER the swap: writing it first would let a crash mark a
+    // never-committed version as used and reject its own re-run
+    val hStage = Paths.get(base, ".highwater.staging")
+    Files.writeString(hStage, math.max(v, o12Hwm(base).getOrElse(-1)).toString)
+    Files.move(hStage, o12HwmFile(base),
       StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
   }
 
@@ -354,7 +395,12 @@ object Warehouse {
     * Scale shape: vacuum is metadata work + unlinks — one manifest
     * write and O(expired) directory deletes; no data is read or
     * rewritten, so retention on a 100 TB table costs the same as on a
-    * 100 MB one (modulo the object-store delete calls).
+    * 100 MB one (modulo the object-store delete calls). The
+    * high-water mark file is deliberately NOT touched: expired ids
+    * stay burned forever ([[o12Commit]] rejects them). Step 3's sweep
+    * shares o12Commit's SINGLE-WRITER assumption (see there) — a
+    * concurrent mid-commit writer's dir is indistinguishable from
+    * crash debris.
     */
   private[graft] def o13Vacuum(base: String, retain: Int): Seq[Int] = {
     import java.nio.file.{Files, Paths, StandardCopyOption}

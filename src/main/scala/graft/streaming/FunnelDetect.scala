@@ -24,9 +24,14 @@ import graft.Tables._
   * not "before" it in either formulation.
   *
   * Scale shape: state is three longs per user, evicted by event-time
-  * timeout once the watermark passes `last activity + step` (no future
-  * event can complete or re-latch anything older — the precise
-  * condition, not a heuristic TTL), so the store is bounded by users
+  * timeout once the watermark passes `last activity + step`. That is
+  * near-precise rather than exact: flatMapGroupsWithState does not
+  * drop late rows, so a late-but-accepted purchase (inside the
+  * 10-minute watermark delay) can arrive AFTER eviction and would
+  * have qualified against the evicted click — a residual
+  * watermark-slack window folded into st17's documented loss
+  * contract (padding the timeout by the delay would close it at the
+  * cost of holding state one delay longer). The store is bounded by users
   * active within one step budget however long the stream runs. Per
   * batch the work is one sorted pass per user. Cross-batch late
   * events follow st17's documented loss contract: within a batch the

@@ -315,10 +315,12 @@ object ScaleHeadroom {
       // grow linearly; no window anywhere, so a hot segment is a
       // map-side-combined min, not a sort partition
       "d16_paragraph_dedup" -> (n => Dedup.d16Of(docsAt(n))),
-      // blocked fuzzy join: copy-tagged entity strings mint NEW affix
-      // blocks per copy (the tag lands inside prefix-4), so block
-      // COUNT grows linearly while block width stays flat - candidate
-      // pairs, the quadratic risk, stay linear by construction
+      // blocked fuzzy join: the per-copy tag rewrites every token, so
+      // both string HALVES (and the length) change — each copy
+      // generation mints disjoint (length, half-id, half-string)
+      // blocks. Block COUNT grows linearly while block width stays
+      // flat - candidate pairs, the quadratic risk, stay linear by
+      // construction
       "e7_blocked_fuzzy" -> { n =>
         val base = Tables.part(spark, sfDir).select(col("p_partkey"),
           concat_ws(" ", col("p_name"), col("p_brand"), col("p_type"))

@@ -70,15 +70,26 @@ class VacuumSpec extends SparkSpecBase {
       new java.io.File(base))
   }
 
-  test("o13 vacuum then commit reuses the expired version id safely") {
+  test("o13 vacuum never frees an expired version id for reuse") {
     val base = freshTable(3)
     try {
       assert(Warehouse.o13Vacuum(base, 2) === Seq(0))
-      // committing a NEW version 0 after expiry is a fresh commit (the
-      // id is free again); it must append to the manifest and read back
-      Warehouse.o12Commit(base, 0, Seq((99L, "re")).toDF("k", "s"))
-      assert(Warehouse.o12Versions(base) === Seq(1, 2, 0))
-      assert(Warehouse.o12ReadAsOf(spark, base, 0)
+      // the high-water mark survives the vacuum: recommitting the
+      // expired id must be REJECTED, so a reader's `VERSION AS OF 0`
+      // can never silently resolve to unrelated new data (the
+      // immutability contract o12 documents — reference table formats
+      // never reuse snapshot ids)
+      assert(Warehouse.o12Hwm(base) === Some(2))
+      val e = intercept[IllegalArgumentException] {
+        Warehouse.o12Commit(base, 0, Seq((99L, "re")).toDF("k", "s"))
+      }
+      assert(e.getMessage.contains("high-water"))
+      assert(Warehouse.o12Versions(base) === Seq(1, 2))
+      // a FRESH id above the mark commits normally
+      Warehouse.o12Commit(base, 3, Seq((99L, "re")).toDF("k", "s"))
+      assert(Warehouse.o12Versions(base) === Seq(1, 2, 3))
+      assert(Warehouse.o12Hwm(base) === Some(3))
+      assert(Warehouse.o12ReadAsOf(spark, base, 3)
         .collect().map(_.getLong(0)).toSeq === Seq(99L))
     } finally org.apache.commons.io.FileUtils.deleteDirectory(
       new java.io.File(base))
