@@ -372,6 +372,162 @@ object Curation {
       |FROM paired WHERE n_shared >= 2
       |ORDER BY train_doc, bench_doc""".stripMargin
 
+  // ---- C11: substring-collision benchmark decontamination -----------
+
+  /** Collision gram length for c11 — the exact-overlap production
+    * standard (GPT-3's 13-gram train-test filter; PaLM/Llama use the
+    * same shape). Long enough that natural prose almost never collides
+    * by chance, short enough that one quoted benchmark question always
+    * does. */
+  private[queries] val C11K = 13
+
+  /** C11 — substring-collision benchmark decontamination, the
+    * production complement to [[c4Decontaminate]]'s doc-level Jaccard:
+    * flag every training document sharing a verbatim ≥[[C11K]]-token
+    * run with a benchmark document, with the matched-run evidence
+    * (longest run, run count, colliding gram positions). This is the
+    * GPT-3/PaLM/Llama train-test overlap standard — exact N-gram
+    * collision — and it catches the case c4's ratio provably misses: a
+    * single benchmark question QUOTED inside a long unrelated document
+    * moves `shared shingles / bench size` barely at all (the
+    * denominator is the whole benchmark doc) but collides exactly on
+    * the quote's 13-grams. `SubstringDecontamSpec` pins that miss on
+    * injected data: c4 scores the quote pairs below its 0.5 threshold
+    * while c11 flags every one.
+    *
+    * Data-reachability (the c1b/d16 injection discipline): bench docs
+    * are `doc_id % 25 = 0` originals; every bench doc with ≥30 tokens
+    * plants a 13-token slice of itself inside an unrelated host doc
+    * (+2,000,000 — exactly one colliding gram, the minimal hit), and
+    * every bench doc with ≥48 tokens additionally plants a 20-token
+    * slice (+3,000,000 — 8 grams on one diagonal, exercising the run
+    * stitching).
+    *
+    * Spark-first shape: d14's positional-gram machinery two-sided —
+    * one K-gram generator pass per doc, df-capped TRAIN postings (a
+    * boilerplate gram must not pair every training doc with every
+    * bench doc containing it — the d2 cap-and-forfeit discipline),
+    * broadcast bench side (eval sets are thousands of docs, not
+    * billions), diagonal run stitching (gaps-and-islands per
+    * (train, bench, pt−pb) — thousands of small window partitions,
+    * never a global sort).
+    *
+    * Scale shape: grams are corpus-linear; the only train-side
+    * shuffles are the df-cap aggregation and the final per-pair
+    * aggregation (both map-side combined); the bench side is bounded
+    * and broadcast, so the collision join is map-side against the
+    * training gram stream. At 100 TB the gram string becomes a 64-bit
+    * fingerprint (the d14 note — cross-engine-exact hashing is the
+    * only reason the string survives here).
+    */
+  def c11SubstringDecontam(s: SparkSession, d: String): DataFrame = {
+    val corpus = c11Corpus(documents(s, d).select(col("doc_id"), col("text")))
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+    c11Of(corpus, col("doc_id") % 25 === 0 && col("doc_id") < 1000000L)
+      .orderBy("train_doc", "bench_doc")
+  }
+
+  /** The quote-injected corpus: base docs ∪ host-doc-plus-bench-quote
+    * plants at +2M (13-token quote) and +3M (20-token quote). The host
+    * is the bench doc's successor (`doc_id + 1` — never itself a bench
+    * doc under the %25 predicate), so the quote sits inside a LONG
+    * unrelated document, the exact shape c4's directional ratio
+    * dilutes below threshold. */
+  private[graft] def c11Corpus(docs: DataFrame): DataFrame = {
+    val withToks = docs.select(col("doc_id"), col("text"),
+      split(col("text"), "\\s+").as("w"))
+    val hosts = docs.select((col("doc_id") - 1).as("bench_id"),
+      col("text").as("host_text"))
+    def planted(minToks: Int, quoteLen: Int, offset: Long): DataFrame =
+      withToks.filter(col("doc_id") % 25 === 0 && size(col("w")) >= minToks)
+        .join(hosts, col("doc_id") === col("bench_id"))
+        .select((col("doc_id") + lit(offset)).as("doc_id"),
+          concat(col("host_text"), lit(" "),
+            array_join(slice(col("w"), 5, quoteLen), " ")).as("text"))
+    docs.select("doc_id", "text")
+      .unionByName(planted(30, C11K, 2000000L))
+      .unionByName(planted(48, 20, 3000000L))
+  }
+
+  /** The c11 collision core over any (doc_id, text) corpus and bench
+    * predicate — d14's diagonal stitching with the two-sided split. */
+  private[graft] def c11Of(corpus: DataFrame,
+      isBench: org.apache.spark.sql.Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val k = C11K
+    val grams = corpus
+      .select(col("doc_id"), split(col("text"), "\\s+").as("w"))
+      .filter(size(col("w")) >= k)
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(1, size(w) - ${k - 1}), " +
+          s"i -> array_join(slice(w, i, $k), ' '))"))
+        .as(Seq("pos", "gram")))
+    val benchG = grams.filter(isBench)
+      .select(col("doc_id").as("bench_doc"), col("pos").as("pb"), col("gram"))
+    val trainG = grams.filter(!isBench)
+      .select(col("doc_id").as("train_doc"), col("pos").as("pt"), col("gram"))
+    val keep = trainG.groupBy("gram").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= 100).select("gram")
+    val hits = trainG.join(keep, "gram").join(broadcast(benchG), "gram")
+    val runs = hits
+      .withColumn("diag", col("pt") - col("pb"))
+      .withColumn("grp", col("pt") - row_number().over(
+        Window.partitionBy("train_doc", "bench_doc", "diag").orderBy("pt")))
+      .groupBy("train_doc", "bench_doc", "diag", "grp")
+      .agg((count(lit(1)) + lit(k - 1)).cast("long").as("run_len"))
+    runs.groupBy("train_doc", "bench_doc")
+      .agg(count(lit(1)).as("n_runs"), max(col("run_len")).as("max_run"),
+        sum(col("run_len") - lit(k - 1)).cast("long").as("n_hits"))
+  }
+
+  val c11Sql: String = {
+    val k = C11K
+    s"""WITH base AS (SELECT doc_id, text FROM documents),
+      |btoks AS (SELECT doc_id, text, string_split_regex(text, '\\s+') AS w
+      |          FROM base),
+      |q13 AS (
+      |  SELECT b.doc_id + 2000000 AS doc_id,
+      |    h.text || ' ' || array_to_string(b.w[5:${4 + k}], ' ') AS text
+      |  FROM btoks b JOIN base h ON h.doc_id = b.doc_id + 1
+      |  WHERE b.doc_id % 25 = 0 AND len(b.w) >= 30),
+      |q20 AS (
+      |  SELECT b.doc_id + 3000000 AS doc_id,
+      |    h.text || ' ' || array_to_string(b.w[5:24], ' ') AS text
+      |  FROM btoks b JOIN base h ON h.doc_id = b.doc_id + 1
+      |  WHERE b.doc_id % 25 = 0 AND len(b.w) >= 48),
+      |corpus AS (SELECT * FROM base UNION ALL
+      |           SELECT * FROM q13 UNION ALL SELECT * FROM q20),
+      |ctoks AS (SELECT doc_id, string_split_regex(text, '\\s+') AS w
+      |          FROM corpus),
+      |grams AS (
+      |  SELECT doc_id, i AS pos,
+      |    array_to_string(w[i : i + ${k - 1}], ' ') AS gram
+      |  FROM ctoks, LATERAL (SELECT unnest(range(1, len(w) - ${k - 2})) AS i)
+      |  WHERE len(w) >= $k),
+      |bg AS (SELECT doc_id AS bench_doc, pos AS pb, gram FROM grams
+      |       WHERE doc_id % 25 = 0 AND doc_id < 1000000),
+      |tg AS (SELECT doc_id AS train_doc, pos AS pt, gram FROM grams
+      |       WHERE NOT (doc_id % 25 = 0 AND doc_id < 1000000)),
+      |keep AS (SELECT gram FROM tg GROUP BY gram HAVING count(*) <= 100),
+      |hits AS (
+      |  SELECT t.train_doc, t.pt, b.bench_doc, b.pb
+      |  FROM tg t JOIN keep USING (gram) JOIN bg b USING (gram)),
+      |isl AS (
+      |  SELECT train_doc, bench_doc, pt - pb AS diag, pt,
+      |    pt - row_number() OVER (
+      |      PARTITION BY train_doc, bench_doc, pt - pb ORDER BY pt) AS grp
+      |  FROM hits),
+      |runs AS (
+      |  SELECT train_doc, bench_doc,
+      |    CAST(count(*) + ${k - 1} AS BIGINT) AS run_len
+      |  FROM isl GROUP BY train_doc, bench_doc, diag, grp)
+      |SELECT train_doc, bench_doc, CAST(count(*) AS BIGINT) AS n_runs,
+      |  max(run_len) AS max_run,
+      |  CAST(sum(run_len - ${k - 1}) AS BIGINT) AS n_hits
+      |FROM runs GROUP BY train_doc, bench_doc
+      |ORDER BY train_doc, bench_doc""".stripMargin
+  }
+
   /** Per-language keep rates for [[c5StratifiedSample]]: downsample the
     * dominant language, keep the rest — the standard rebalancing move
     * when one language dwarfs the mixture. Deterministic per doc.
@@ -873,6 +1029,7 @@ object Curation {
     "c2_train_split" -> c2TrainSplit,
     "c3_sequence_pack" -> c3SequencePack,
     "c4_decontaminate" -> c4Decontaminate,
+    "c11_substring_decontam" -> c11SubstringDecontam,
     "c5_stratified_sample" -> c5StratifiedSample,
     "c6_domain_mix" -> c6DomainMix,
   )
@@ -887,6 +1044,7 @@ object Curation {
     "c2_train_split" -> c2Sql,
     "c3_sequence_pack" -> c3Sql,
     "c4_decontaminate" -> c4Sql,
+    "c11_substring_decontam" -> c11Sql,
     "c5_stratified_sample" -> c5Sql,
     "c6_domain_mix" -> c6Sql,
   )
