@@ -404,25 +404,27 @@ object Curation {
     * stitching).
     *
     * Spark-first shape: d14's positional-gram machinery two-sided —
-    * one K-gram generator pass per doc, df-capped TRAIN postings (a
-    * boilerplate gram must not pair every training doc with every
-    * bench doc containing it — the d2 cap-and-forfeit discipline),
-    * broadcast bench side (eval sets are thousands of docs, not
-    * billions), diagonal run stitching (gaps-and-islands per
-    * (train, bench, pt−pb) — thousands of small window partitions,
-    * never a global sort).
+    * one K-gram generator pass per doc, a broadcast SEMI-JOIN against
+    * the bench gram set FIRST (a train gram absent from the bounded
+    * bench side can never collide, so everything downstream sees only
+    * the tiny surviving stream), then df-capped TRAIN postings over
+    * the survivors (a boilerplate gram must not pair every training
+    * doc with every bench doc containing it — the d2 cap-and-forfeit
+    * discipline, here df = distinct training DOCS), broadcast bench
+    * side (eval sets are thousands of docs, not billions), diagonal
+    * run stitching (gaps-and-islands per (train, bench, pt−pb) —
+    * thousands of small window partitions, never a global sort).
     *
-    * Scale shape: grams are corpus-linear; the only train-side
-    * shuffles are the df-cap aggregation and the final per-pair
-    * aggregation (both map-side combined); the bench side is bounded
-    * and broadcast, so the collision join is map-side against the
-    * training gram stream. At 100 TB the gram string becomes a 64-bit
+    * Scale shape: grams are corpus-linear and the bench semi-join is
+    * map-side, so the FULL train gram stream is never shuffled — the
+    * only exchanges key the post-semi-join survivors (df cap, run
+    * stitching, per-pair aggregation; all map-side combined or
+    * candidate-sized). At 100 TB the gram string becomes a 64-bit
     * fingerprint (the d14 note — cross-engine-exact hashing is the
     * only reason the string survives here).
     */
   def c11SubstringDecontam(s: SparkSession, d: String): DataFrame = {
     val corpus = c11Corpus(documents(s, d).select(col("doc_id"), col("text")))
-      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
     c11Of(corpus, col("doc_id") % 25 === 0 && col("doc_id") < 1000000L)
       .orderBy("train_doc", "bench_doc")
   }
@@ -466,9 +468,18 @@ object Curation {
       .select(col("doc_id").as("bench_doc"), col("pos").as("pb"), col("gram"))
     val trainG = grams.filter(!isBench)
       .select(col("doc_id").as("train_doc"), col("pos").as("pt"), col("gram"))
-    val keep = trainG.groupBy("gram").agg(count(lit(1)).as("df"))
+    // bench semi-join FIRST: the bench gram set is bounded (eval-set
+    // sized), so broadcasting it prunes the corpus-sized train stream
+    // map-side BEFORE any train-keyed exchange — the df cap then
+    // aggregates only the surviving grams (per-gram counts are
+    // unchanged by the pruning: dropping grams that appear in no
+    // bench doc cannot change any surviving gram's df)
+    val cand = trainG.join(broadcast(benchG.select("gram").distinct()),
+      Seq("gram"), "left_semi")
+    val keep = cand.groupBy("gram")
+      .agg(countDistinct(col("train_doc")).as("df"))
       .filter(col("df") <= 100).select("gram")
-    val hits = trainG.join(keep, "gram").join(broadcast(benchG), "gram")
+    val hits = cand.join(keep, "gram").join(broadcast(benchG), "gram")
     val runs = hits
       .withColumn("diag", col("pt") - col("pb"))
       .withColumn("grp", col("pt") - row_number().over(
@@ -508,7 +519,8 @@ object Curation {
       |       WHERE doc_id % 25 = 0 AND doc_id < 1000000),
       |tg AS (SELECT doc_id AS train_doc, pos AS pt, gram FROM grams
       |       WHERE NOT (doc_id % 25 = 0 AND doc_id < 1000000)),
-      |keep AS (SELECT gram FROM tg GROUP BY gram HAVING count(*) <= 100),
+      |keep AS (SELECT gram FROM tg GROUP BY gram
+      |         HAVING count(DISTINCT train_doc) <= 100),
       |hits AS (
       |  SELECT t.train_doc, t.pt, b.bench_doc, b.pb
       |  FROM tg t JOIN keep USING (gram) JOIN bg b USING (gram)),

@@ -271,11 +271,13 @@ object Warehouse {
     * swapped atomically, the a13/st9 discipline — lists N. A crash
     * between data rename and manifest swap leaves debris a reader can
     * never see; re-running the commit overwrites it. Version ids are
-    * MONOTONIC: `v` must exceed the persisted high-water mark
-    * ([[o12Hwm]]), so a vacuum-expired id is never reused (the hwm
-    * file is written AFTER the manifest swap — a crash between the
-    * two leaves the mark one commit stale, which only weakens reuse
-    * rejection for that single id, never blocks a legitimate commit).
+    * MONOTONIC: `v` must exceed the effective high-water mark —
+    * max of the persisted [[o12Hwm]] and the live manifest's largest
+    * version — so a vacuum-expired id is never reused. The hwm file
+    * is written AFTER the manifest swap (writing it first would let a
+    * crash mark a never-committed version as used); the manifest max
+    * in the guard covers the crash window where the file lags one
+    * commit behind.
     *
     * SINGLE-WRITER assumption (commit + vacuum): the debris sweep
     * below and o13Vacuum's manifest-absent directory deletion treat
@@ -288,9 +290,16 @@ object Warehouse {
     * formats document. */
   private[graft] def o12Commit(base: String, v: Int, df: DataFrame): Unit = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
-    require(o12Hwm(base).forall(v > _),
-      s"o12: version $v is not above the high-water mark " +
-        s"${o12Hwm(base).get} — expired/committed ids are never reused")
+    // the effective mark is max(hwm file, live manifest): a crash
+    // between the manifest swap and the hwm swap leaves the FILE one
+    // commit stale, but the manifest still names the newer version —
+    // taking the max closes that window, so a subsequently vacuumed id
+    // is rejected even when the hwm file lags
+    val hwm = math.max(o12Hwm(base).getOrElse(-1),
+      (-1 +: o12Versions(base)).max)
+    require(v > hwm,
+      s"o12: version $v is not above the high-water mark $hwm — " +
+        "expired/committed ids are never reused")
     val staging = Paths.get(base, s".v$v.staging")
     df.coalesce(1).write.mode("overwrite").parquet(staging.toString)
     val dataDir = Paths.get(base, s"v=$v")
@@ -311,7 +320,7 @@ object Warehouse {
     // hwm AFTER the swap: writing it first would let a crash mark a
     // never-committed version as used and reject its own re-run
     val hStage = Paths.get(base, ".highwater.staging")
-    Files.writeString(hStage, math.max(v, o12Hwm(base).getOrElse(-1)).toString)
+    Files.writeString(hStage, math.max(v, hwm).toString)
     Files.move(hStage, o12HwmFile(base),
       StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
   }

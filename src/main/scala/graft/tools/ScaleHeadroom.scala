@@ -355,6 +355,13 @@ object ScaleHeadroom {
       "s2_lsh_neardup" -> (n => Similarity.lshNearDup(embAt(n))),
       "c4_decontaminate" ->
         (n => Curation.decontaminateOf(setsOf(docsAt(n)), isBench)),
+      // substring decontamination: bench side stays the base benches
+      // (eval sets don't grow with the crawl); tagged copies share no
+      // 13-grams with them, so the broadcast bench semi-join prunes
+      // the growing train gram stream MAP-SIDE — every downstream
+      // exchange stays bench-bounded while the scan grows linearly
+      "c11_substring_decontam" -> (n => Curation.c11Of(docsAt(n),
+        col("doc_id") % 25 === 0 && col("doc_id") < 1000000L)),
       // ---- composite operators (r9 ask #3) ----
       // d6 = d5 pair generation + star-contraction clustering (the full
       // path a d6 run pays; d5-only is measured above, so the
