@@ -467,8 +467,141 @@ object Enrich {
       |GROUP BY s.q_id
       |ORDER BY q_partkey""".stripMargin
 
+  /** E8 — the blocked fuzzy join at edit distance k=2 (r15 verdict
+    * carry: e7's half-partitioning guarantees recall only for ONE
+    * substitution; a 2-edit corruption can touch both halves and
+    * vanish from every block). The Wu–Manber rule generalizes: k+1
+    * pieces for k edits — split every string into THIRDS, keyed
+    * (length, piece-id, content). Two substitutions cannot touch all
+    * three pieces, so the true entity shares an intact third's block
+    * with its corruption BY CONSTRUCTION — guaranteed recall with
+    * three probes per side, same plan shape as e7.
+    *
+    * The dirty feed is the injection discipline at k=2: every 5th
+    * part's entity gets TWO characters replaced (`#` at
+    * `partkey % (len div 2)`, `%` exactly `len div 2` later — both
+    * length-preserving, positions distinct by construction), so the
+    * true match sits at distance exactly 2, past e7's single-edit
+    * guarantee. `FuzzyJoinSpec` pins a hand-built 2-edit corruption
+    * whose two edits land in two DIFFERENT thirds being recovered
+    * through the remaining intact one.
+    *
+    * Scale shape: identical to e7 — both sides hash-partition by
+    * block key (no all-pairs, no broadcast), block width is "entities
+    * sharing a verbatim third" (a shorter shared string than e7's
+    * half, so blocks are somewhat wider — the price of the stronger
+    * guarantee; `ScaleHeadroom` re-measures the width growth at 10×),
+    * scoring runs only inside blocks, and winner/tie selection is the
+    * same two map-side-combined aggregations.
+    */
+  def e8FuzzyJoinK2(s: SparkSession, d: String): DataFrame =
+    e8Of(part(s, d).select(col("p_partkey"),
+      concat_ws(" ", col("p_name"), col("p_brand"), col("p_type"))
+        .as("entity")))
+
+  /** The e8 core over any (p_partkey, entity) frame. */
+  def e8Of(withEnt: DataFrame): DataFrame = {
+    val ent = withEnt.groupBy(col("entity"))
+      .agg(min(col("p_partkey")).as("entity_id"))
+    // two substitutions at 0-based p1 = partkey % (len div 2) and
+    // p2 = p1 + len div 2: p1 < p2 < len by construction, length kept
+    val p1 = "cast(p_partkey % (length(entity) div 2) as int)"
+    val half = "cast(length(entity) div 2 as int)"
+    val qs = withEnt.filter(col("p_partkey") % 5 === 0)
+      .select(col("p_partkey").as("q_id"),
+        expr(s"concat(substring(entity, 1, $p1), '#', " +
+          s"substring(entity, $p1 + 2, $half - 1), '%', " +
+          s"substring(entity, $p1 + $half + 2, length(entity)))").as("q"))
+    // three-piece partition blocking: [1, L/3], (L/3, 2L/3], (2L/3, L]
+    def blocked(f: DataFrame, c: String): DataFrame = f
+      .withColumn("bk", explode(array(
+        expr(s"concat(length($c), ':t1:', " +
+          s"substring($c, 1, length($c) div 3))"),
+        expr(s"concat(length($c), ':t2:', " +
+          s"substring($c, length($c) div 3 + 1, " +
+          s"(2 * length($c)) div 3 - length($c) div 3))"),
+        expr(s"concat(length($c), ':t3:', " +
+          s"substring($c, (2 * length($c)) div 3 + 1, length($c)))"))))
+    val cand = blocked(qs, "q")
+      .join(blocked(ent, "entity"), "bk")
+      .select(col("q_id"), col("q"), col("entity"), col("entity_id"))
+      .distinct()
+    val scored = cand
+      .withColumn("dist", levenshtein(col("q"), col("entity")).cast("long"))
+      .filter(col("dist") <= 2)
+      .localCheckpoint() // feeds winner-pick AND tie-count
+    val best = scored.groupBy(col("q_id"))
+      .agg(min(struct(col("dist"), col("entity_id"), col("entity"))).as("b"))
+    scored.join(best, "q_id")
+      .filter(col("dist") === col("b.dist"))
+      .groupBy(col("q_id"))
+      .agg(count(lit(1)).as("n_best"), min(col("b")).as("b"))
+      .select(col("q_id").as("q_partkey"), col("b.entity_id").as("entity_id"),
+        col("b.entity").as("matched_entity"), col("b.dist").as("best_dist"),
+        col("n_best"))
+      .orderBy("q_partkey")
+  }
+
+  val e8Sql: String =
+    s"""WITH we AS (
+      |  SELECT p_partkey, p_name || ' ' || p_brand || ' ' || p_type AS entity
+      |  FROM part),
+      |ent AS (
+      |  SELECT entity, min(p_partkey) AS entity_id FROM we GROUP BY entity),
+      |q AS (
+      |  SELECT p_partkey AS q_id,
+      |    substring(entity, 1, CAST(p_partkey % (length(entity) // 2) AS INT))
+      |      || '#' ||
+      |      substring(entity,
+      |        CAST(p_partkey % (length(entity) // 2) AS INT) + 2,
+      |        CAST(length(entity) // 2 AS INT) - 1)
+      |      || '%' ||
+      |      substring(entity,
+      |        CAST(p_partkey % (length(entity) // 2) AS INT)
+      |          + CAST(length(entity) // 2 AS INT) + 2,
+      |        length(entity)) AS q
+      |  FROM we WHERE p_partkey % 5 = 0),
+      |eb AS (
+      |  SELECT entity, entity_id, length(entity) || ':t1:' ||
+      |    substring(entity, 1, length(entity) // 3) AS bk FROM ent
+      |  UNION ALL
+      |  SELECT entity, entity_id, length(entity) || ':t2:' ||
+      |    substring(entity, length(entity) // 3 + 1,
+      |      (2 * length(entity)) // 3 - length(entity) // 3) FROM ent
+      |  UNION ALL
+      |  SELECT entity, entity_id, length(entity) || ':t3:' ||
+      |    substring(entity, (2 * length(entity)) // 3 + 1, length(entity))
+      |  FROM ent),
+      |qb AS (
+      |  SELECT q_id, q, length(q) || ':t1:' ||
+      |    substring(q, 1, length(q) // 3) AS bk FROM q
+      |  UNION ALL
+      |  SELECT q_id, q, length(q) || ':t2:' ||
+      |    substring(q, length(q) // 3 + 1,
+      |      (2 * length(q)) // 3 - length(q) // 3) FROM q
+      |  UNION ALL
+      |  SELECT q_id, q, length(q) || ':t3:' ||
+      |    substring(q, (2 * length(q)) // 3 + 1, length(q)) FROM q),
+      |cand AS (
+      |  SELECT DISTINCT q_id, q, entity, entity_id
+      |  FROM qb JOIN eb USING (bk)),
+      |scored AS (
+      |  SELECT q_id, entity, entity_id,
+      |    CAST(levenshtein(q, entity) AS BIGINT) AS dist
+      |  FROM cand WHERE levenshtein(q, entity) <= 2),
+      |agg AS (SELECT q_id, min(dist) AS best_dist FROM scored GROUP BY q_id)
+      |SELECT s.q_id AS q_partkey,
+      |  min(s.entity_id) AS entity_id,
+      |  arg_min(s.entity, s.entity_id) AS matched_entity,
+      |  min(s.dist) AS best_dist,
+      |  CAST(count(*) AS BIGINT) AS n_best
+      |FROM scored s JOIN agg a ON s.q_id = a.q_id AND s.dist = a.best_dist
+      |GROUP BY s.q_id
+      |ORDER BY q_partkey""".stripMargin
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e7_blocked_fuzzy_join" -> e7BlockedFuzzyJoin,
+    "e8_fuzzy_join_k2" -> e8FuzzyJoinK2,
     "e1_alias_canonicalize" -> e1AliasCanonicalize,
     "e2_pivot_cube" -> e2PivotCube,
     "e3_json_extract" -> e3JsonExtract,
@@ -479,6 +612,7 @@ object Enrich {
 
   val oracle: Map[String, String] = Map(
     "e7_blocked_fuzzy_join" -> e7Sql,
+    "e8_fuzzy_join_k2" -> e8Sql,
     "e1_alias_canonicalize" -> e1Sql,
     "e2_pivot_cube" -> e2Sql,
     "e3_json_extract" -> e3Sql,

@@ -2100,7 +2100,8 @@ object Similarity {
     */
   private[graft] def ivfPqProbeOf(e: DataFrame, nlist: Int,
       nprobe: Int, shortK: Int = 5,
-      centroids: Option[DataFrame] = None): DataFrame = {
+      centroids: Option[DataFrame] = None,
+      residual: Boolean = false): DataFrame = {
     // default coarse quantizer: first-nlist seed; `centroids` lets the
     // s21 recall pin swap in the maximin+Lloyd set on the SAME probe
     // budget ((cent_id, ce float, cnrm) shape, see refinedCentroids)
@@ -2108,8 +2109,25 @@ object Similarity {
       .select(col("vec_id").as("cent_id"), col("embedding").as("ce"),
         col("nrm").as("cnrm")))
     val assigned = ivfAssignTo(e, cent).select("vec_id", "cent_id")
-    val subs = pqSubvectors(e.select(col("vec_id"), col("embedding")))
-    val seed = subs.filter(col("vec_id") < pqKsub)
+    // residual=true is the FAISS IVF-PQ discipline (s25): quantize
+    // `x − centroid(cell(x))` instead of x — residuals are smaller and
+    // more isotropic than raw vectors, so the same 12-bit budget spends
+    // its codewords on the part of x the coarse quantizer did NOT
+    // explain. The subtraction is double−double over exactly-widened
+    // floats, IEEE-identical in DuckDB's replay.
+    val subs =
+      if (!residual) pqSubvectors(e.select(col("vec_id"), col("embedding")))
+      else pqSubvectors(assigned
+        .join(e.select(col("vec_id"), col("embedding")), "vec_id")
+        .join(broadcast(cent.select(col("cent_id"), col("ce"))), "cent_id")
+        .select(col("vec_id"), expr("zip_with(embedding, ce," +
+          " (x, y) -> CAST(x AS DOUBLE) - CAST(y AS DOUBLE))").as("embedding")))
+    // residual seeds skip [0, nlist): with the first-n coarse quantizer
+    // those vectors ARE centroids, so their residuals are exactly zero
+    // — ksub duplicate zero codewords would collapse the codebook
+    val seed = (if (!residual) subs.filter(col("vec_id") < pqKsub)
+      else subs.filter(col("vec_id") >= nlist &&
+        col("vec_id") < nlist + pqKsub))
       .select(col("sub"), col("vec_id").as("code"),
         transform(col("sv"), x => x.cast("double")).as("cw"))
     val cb = pqRefit(subs, pqAssign(subs, seed))
@@ -2127,7 +2145,7 @@ object Similarity {
         explode(expr("transform(top, x -> x.id)")).as("qcell"))
     val cand = assigned.join(broadcast(qprobe),
         col("cent_id") === col("qcell") && col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id"), col("qnrm"))
+      .select(col("query_id"), col("vec_id"), col("cent_id"), col("qnrm"))
     val qsubs = pqSubvectors(
       q.select(col("query_id").as("vec_id"), col("qe").as("embedding")))
       .select(col("vec_id").as("query_id"), col("sub"), col("sv").as("qsv"))
@@ -2139,13 +2157,50 @@ object Similarity {
           " CAST(0 AS BIGINT), (acc, v) -> acc + v)").as("ip_u"),
         expr(s"aggregate(transform(cw, y -> ${uq("y")} * ${uq("y")})," +
           " CAST(0 AS BIGINT), (acc, v) -> acc + v)").as("cw_sq_u"))
-    val scored = cand.join(codes, "vec_id")
-      .join(broadcast(lut), Seq("query_id", "sub", "code"))
-      .groupBy(col("query_id"), col("vec_id"))
-      .agg(first(col("qnrm")).as("qnrm"),
-        sum(col("ip_u")).as("adot_u"), sum(col("cw_sq_u")).as("asq_u"))
-      .withColumn("acos", (col("adot_u") / lit(1.0e12)) /
-        (col("qnrm") * sqrt(col("asq_u") / lit(1.0e12))))
+    val scored =
+      if (!residual) cand.join(codes, "vec_id")
+        .join(broadcast(lut), Seq("query_id", "sub", "code"))
+        .groupBy(col("query_id"), col("vec_id"))
+        .agg(first(col("qnrm")).as("qnrm"),
+          sum(col("ip_u")).as("adot_u"), sum(col("cw_sq_u")).as("asq_u"))
+        .withColumn("acos", (col("adot_u") / lit(1.0e12)) /
+          (col("qnrm") * sqrt(col("asq_u") / lit(1.0e12))))
+      else {
+        // residual ADC decomposition: with x̂ = c + r̂,
+        //   ⟨q,x̂⟩  = ⟨q,c⟩ + Σ_j ⟨q_j, cw_j⟩          (qc + LUT)
+        //   ‖x̂‖²  = ‖c‖² + 2·Σ_j ⟨c_j, cw_j⟩ + Σ_j ‖cw_j‖²
+        // — every term a bounded integer micro-unit table: qc is
+        // queries × nlist, cc is nlist × m × ksub, csq is nlist rows;
+        // the data side still joins ONLY codes, never floats
+        val cc = pqSubvectors(
+            cent.select(col("cent_id").as("vec_id"), col("ce").as("embedding")))
+          .select(col("vec_id").as("cent_id"), col("sub"), col("sv").as("csv"))
+          .join(cb, "sub")
+          .select(col("cent_id"), col("sub"), col("code"),
+            expr(s"aggregate(zip_with(csv, cw, (x, y) -> ${uq("x")} * ${uq("y")})," +
+              " CAST(0 AS BIGINT), (acc, v) -> acc + v)").as("cc_u"))
+        val csq = cent.select(col("cent_id"),
+          expr(s"aggregate(transform(ce, y -> ${uq("y")} * ${uq("y")})," +
+            " CAST(0 AS BIGINT), (acc, v) -> acc + v)").as("c_sq_u"))
+        val qc = q.crossJoin(broadcast(cent.select(col("cent_id"), col("ce"))))
+          .select(col("query_id"), col("cent_id"),
+            expr(s"aggregate(zip_with(qe, ce, (x, y) -> ${uq("x")} * ${uq("y")})," +
+              " CAST(0 AS BIGINT), (acc, v) -> acc + v)").as("qc_u"))
+        cand.join(codes, "vec_id")
+          .join(broadcast(lut), Seq("query_id", "sub", "code"))
+          .join(broadcast(cc), Seq("cent_id", "sub", "code"))
+          .groupBy(col("query_id"), col("vec_id"), col("cent_id"))
+          .agg(first(col("qnrm")).as("qnrm"),
+            sum(col("ip_u")).as("rdot_u"), sum(col("cw_sq_u")).as("rsq_u"),
+            sum(col("cc_u")).as("ccs_u"))
+          .join(broadcast(qc), Seq("query_id", "cent_id"))
+          .join(broadcast(csq), "cent_id")
+          .withColumn("adot_u", col("qc_u") + col("rdot_u"))
+          .withColumn("asq_u",
+            col("c_sq_u") + lit(2L) * col("ccs_u") + col("rsq_u"))
+          .withColumn("acos", (col("adot_u") / lit(1.0e12)) /
+            (col("qnrm") * sqrt(col("asq_u") / lit(1.0e12))))
+      }
     val pqTop = scored.groupBy(col("query_id"))
       .agg(count(lit(1)).as("n_cand"),
         expr(s"graft_topk(acos, vec_id, $shortK)").as("top"))
@@ -2271,6 +2326,181 @@ object Similarity {
       |        ORDER BY (a.adot_u / 1000000000000.0) /
       |          (q.qnrm * sqrt(a.asq_u / 1000000000000.0)) DESC, a.vec_id) AS rn
       |    FROM adc a JOIN q ON a.query_id = q.query_id) t
+      |  WHERE rn <= 5),
+      |exact AS (
+      |  SELECT query_id, neighbor_id FROM (
+      |    SELECT q.query_id, e.vec_id AS neighbor_id,
+      |      row_number() OVER (PARTITION BY q.query_id
+      |        ORDER BY $cos DESC, e.vec_id) AS rn
+      |    FROM e JOIN q ON e.vec_id <> q.query_id) t
+      |  WHERE rn <= 5)
+      |SELECT p.query_id, p.rank, p.neighbor_id,
+      |  floor(p.acos * 1000000.0 + 0.5) / 1000000.0 AS adc_cos,
+      |  CASE WHEN x.neighbor_id IS NULL THEN 0 ELSE 1 END AS hit,
+      |  floor((CAST(sum(CASE WHEN x.neighbor_id IS NULL THEN 0 ELSE 1 END)
+      |      OVER (PARTITION BY p.query_id) AS DOUBLE) / 5.0)
+      |    * 1000000.0 + 0.5) / 1000000.0 AS recall_at_5,
+      |  p.n_cand
+      |FROM pq_top p LEFT JOIN exact x
+      |  ON p.query_id = x.query_id AND p.neighbor_id = x.neighbor_id
+      |ORDER BY p.query_id, p.rank""".stripMargin
+  }
+
+  /** S25 — RESIDUAL product quantization, the FAISS IVF-PQ discipline
+    * (r14/r15 verdict carry): s18/s19 encode the raw vector; a real
+    * IVF-PQ index encodes `x − centroid(cell(x))` — the coarse
+    * quantizer already explains the cell-level structure, so spending
+    * the 12-bit PQ budget on the RESIDUAL concentrates the codewords
+    * on what remains, typically the largest recall lever at constant
+    * probe cost. Same composition as s19 (first-8 coarse cells,
+    * nprobe=2, per-subspace Lloyd codebooks, integer micro-unit ADC),
+    * only the encoded quantity changes; the probe reconstructs
+    *   ⟨q,x̂⟩ = ⟨q,c⟩ + Σⱼ⟨qⱼ,cwⱼ⟩ and
+    *   ‖x̂‖² = ‖c‖² + 2Σⱼ⟨cⱼ,cwⱼ⟩ + Σⱼ‖cwⱼ‖²
+    * from three BOUNDED integer tables (queries×nlist, nlist×m×ksub,
+    * nlist) next to s18's LUT — the data side still joins only the
+    * 12-bit codes, never floats. Residual seeds skip the first-nlist
+    * ids (their residuals are exactly zero — ksub duplicate zero
+    * codewords would collapse the codebook). `PqRecallSpec` pins the
+    * headline: on the sf0.1 composition harness (k-means‖ centroids,
+    * nlist=32, nprobe=8, 50-deep exact re-rank) residual encoding
+    * lifts s24's raw-PQ recall@5 0.640 → 0.840 at an IDENTICAL
+    * candidate count (2537 = 2537).
+    *
+    * Scale shape: identical to s19 — the residual subtraction is one
+    * map-side broadcast-centroid pass at BUILD time; probe-time cost
+    * is unchanged (same code joins + three more broadcast tables).
+    */
+  def s25ResidualPq(s: SparkSession, d: String): DataFrame =
+    ivfPqProbeOf(withNorm(s, d).filter(col("vec_id") < s3Cap),
+      nlist = 8, nprobe = 2, residual = true)
+
+  val s25Sql: String = {
+    def dot(a: String, b: String) =
+      s"list_reduce(list_prepend(0.0, list_transform(range(1, len($a)+1)," +
+        s" i -> $a[i]::DOUBLE * $b[i]::DOUBLE)), (acc, x) -> acc + x)"
+    val cos = cosineSql("q.qe", "e.embedding")
+    def uq(x: String) =
+      s"CAST(floor($x::DOUBLE * 1000000.0 + 0.5) AS BIGINT)"
+    def ipDot(a: String, b: String, n: String) =
+      s"CAST(list_reduce(list_prepend(0, list_transform(range(1, len($n)+1)," +
+        s" i -> ${uq(s"$a[i]")} * ${uq(s"$b[i]")}))," +
+        s" (acc, v) -> acc + v) AS BIGINT)"
+    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < $s3Cap),
+      |cent AS (SELECT vec_id AS cent_id, embedding AS ce
+      |  FROM e WHERE vec_id < 8),
+      |assigned AS (
+      |  SELECT vec_id, cent_id FROM (
+      |    SELECT v.vec_id, c.cent_id,
+      |      row_number() OVER (PARTITION BY v.vec_id
+      |        ORDER BY (${dot("v.embedding", "c.ce")}) /
+      |          (sqrt(${dot("v.embedding", "v.embedding")}) *
+      |           sqrt(${dot("c.ce", "c.ce")})) DESC, c.cent_id) AS rn
+      |    FROM e v CROSS JOIN cent c) t
+      |  WHERE rn = 1),
+      |rvec AS (
+      |  SELECT v.vec_id, a.cent_id,
+      |    list_transform(range(1, len(v.embedding) + 1),
+      |      i -> v.embedding[i]::DOUBLE - c.ce[i]::DOUBLE) AS re
+      |  FROM e v JOIN assigned a ON v.vec_id = a.vec_id
+      |    JOIN cent c ON a.cent_id = c.cent_id),
+      |subs AS (
+      |  SELECT vec_id, j AS sub,
+      |    re[(j*$pqSubDim+1):(j*$pqSubDim+$pqSubDim)] AS sv
+      |  FROM rvec, LATERAL (SELECT unnest(range(0, $pqM)) AS j)),
+      |seed AS (SELECT sub, vec_id AS code, sv AS cw
+      |  FROM subs WHERE vec_id >= 8 AND vec_id < ${8 + pqKsub}),
+      |a0 AS (
+      |  SELECT vec_id, sub, code FROM (
+      |    SELECT s.vec_id, s.sub, c.code,
+      |      row_number() OVER (PARTITION BY s.vec_id, s.sub
+      |        ORDER BY (${dot("c.cw", "c.cw")} - 2.0 * ${dot("s.sv", "c.cw")}) ASC,
+      |          c.code) AS rn
+      |    FROM subs s JOIN seed c ON s.sub = c.sub) t
+      |  WHERE rn = 1),
+      |dims AS (
+      |  SELECT a0.sub, a0.code, i - 1 AS pos,
+      |    CAST(floor(s.sv[i]::DOUBLE * 1000000.0 + 0.5) AS BIGINT) AS v
+      |  FROM a0 JOIN subs s ON a0.vec_id = s.vec_id AND a0.sub = s.sub,
+      |    LATERAL (SELECT unnest(range(1, len(s.sv) + 1)) AS i)),
+      |cb AS (
+      |  SELECT sub, code, list(m ORDER BY pos) AS cw FROM (
+      |    SELECT sub, code, pos, CAST(sum(v) AS DOUBLE) / count(*) / 1000000.0 AS m
+      |    FROM dims GROUP BY sub, code, pos)
+      |  GROUP BY sub, code),
+      |codes AS (
+      |  SELECT vec_id, sub, code FROM (
+      |    SELECT s.vec_id, s.sub, c.code,
+      |      row_number() OVER (PARTITION BY s.vec_id, s.sub
+      |        ORDER BY (${dot("c.cw", "c.cw")} - 2.0 * ${dot("s.sv", "c.cw")}) ASC,
+      |          c.code) AS rn
+      |    FROM subs s JOIN cb c ON s.sub = c.sub) t
+      |  WHERE rn = 1),
+      |q AS (SELECT vec_id AS query_id, embedding AS qe,
+      |    sqrt(${dot("embedding", "embedding")}) AS qnrm
+      |  FROM e WHERE vec_id >= 8 AND vec_id < 13),
+      |qprobe AS (
+      |  SELECT query_id, cent_id AS qcell FROM (
+      |    SELECT q.query_id, c.cent_id,
+      |      row_number() OVER (PARTITION BY q.query_id
+      |        ORDER BY (${dot("q.qe", "c.ce")}) /
+      |          (q.qnrm * sqrt(${dot("c.ce", "c.ce")})) DESC, c.cent_id) AS rn
+      |    FROM q CROSS JOIN cent c) t
+      |  WHERE rn <= 2),
+      |cand AS (
+      |  SELECT p.query_id, a.vec_id, a.cent_id
+      |  FROM qprobe p JOIN assigned a
+      |    ON a.cent_id = p.qcell AND a.vec_id <> p.query_id),
+      |qsubs AS (SELECT query_id, j AS sub,
+      |    qe[(j*$pqSubDim+1):(j*$pqSubDim+$pqSubDim)] AS qsv
+      |  FROM q, LATERAL (SELECT unnest(range(0, $pqM)) AS j)),
+      |lut AS (
+      |  SELECT query_id, sub, code,
+      |    ${ipDot("qsv", "cw", "qsv")} AS ip_u,
+      |    ${ipDot("cw", "cw", "cw")} AS cw_sq_u
+      |  FROM qsubs JOIN cb USING (sub)),
+      |csubs AS (
+      |  SELECT cent_id, j AS sub,
+      |    ce[(j*$pqSubDim+1):(j*$pqSubDim+$pqSubDim)] AS csv
+      |  FROM cent, LATERAL (SELECT unnest(range(0, $pqM)) AS j)),
+      |cc AS (
+      |  SELECT cent_id, sub, code, ${ipDot("csv", "cw", "csv")} AS cc_u
+      |  FROM csubs JOIN cb USING (sub)),
+      |csq AS (
+      |  SELECT cent_id, ${ipDot("ce", "ce", "ce")} AS c_sq_u FROM cent),
+      |qc AS (
+      |  SELECT q.query_id, c.cent_id,
+      |    ${ipDot("q.qe", "c.ce", "q.qe")} AS qc_u
+      |  FROM q CROSS JOIN cent c),
+      |adc AS (
+      |  SELECT c.query_id, c.vec_id, c.cent_id,
+      |    CAST(sum(l.ip_u) AS BIGINT) AS rdot_u,
+      |    CAST(sum(l.cw_sq_u) AS BIGINT) AS rsq_u,
+      |    CAST(sum(x.cc_u) AS BIGINT) AS ccs_u
+      |  FROM cand c JOIN codes k ON c.vec_id = k.vec_id
+      |    JOIN lut l ON l.query_id = c.query_id
+      |      AND l.sub = k.sub AND l.code = k.code
+      |    JOIN cc x ON x.cent_id = c.cent_id
+      |      AND x.sub = k.sub AND x.code = k.code
+      |  GROUP BY c.query_id, c.vec_id, c.cent_id),
+      |sc AS (
+      |  SELECT a.query_id, a.vec_id,
+      |    CAST(qc.qc_u + a.rdot_u AS BIGINT) AS adot_u,
+      |    CAST(s.c_sq_u + 2 * a.ccs_u + a.rsq_u AS BIGINT) AS asq_u
+      |  FROM adc a JOIN qc ON qc.query_id = a.query_id
+      |      AND qc.cent_id = a.cent_id
+      |    JOIN csq s ON s.cent_id = a.cent_id),
+      |pq_top AS (
+      |  SELECT query_id, vec_id AS neighbor_id, rn AS rank, acos, n_cand
+      |  FROM (
+      |    SELECT a.query_id, a.vec_id,
+      |      (a.adot_u / 1000000000000.0) /
+      |        (q.qnrm * sqrt(a.asq_u / 1000000000000.0)) AS acos,
+      |      count(*) OVER (PARTITION BY a.query_id) AS n_cand,
+      |      row_number() OVER (PARTITION BY a.query_id
+      |        ORDER BY (a.adot_u / 1000000000000.0) /
+      |          (q.qnrm * sqrt(a.asq_u / 1000000000000.0)) DESC, a.vec_id) AS rn
+      |    FROM sc a JOIN q ON a.query_id = q.query_id) t
       |  WHERE rn <= 5),
       |exact AS (
       |  SELECT query_id, neighbor_id FROM (
@@ -2486,6 +2716,7 @@ object Similarity {
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s18_pq_adc" -> s18PqAdc,
     "s19_ivfpq" -> s19IvfPq,
+    "s25_residual_pq" -> s25ResidualPq,
     "s20_rerank" -> s20Rerank,
     "s7_ann_recall" -> s7AnnRecall,
     "s10_ivf_multiprobe" -> s10IvfMultiprobe,
@@ -2509,6 +2740,7 @@ object Similarity {
   val oracle: Map[String, String] = Map(
     "s18_pq_adc" -> s18Sql,
     "s19_ivfpq" -> s19Sql,
+    "s25_residual_pq" -> s25Sql,
     "s20_rerank" -> s20Sql,
     "s7_ann_recall" -> s7Sql,
     "s10_ivf_multiprobe" -> s10Sql,

@@ -333,6 +333,21 @@ object ScaleHeadroom {
         }.reduce(_ unionByName _).repartition(par, col("p_partkey"))
         graft.queries.Enrich.e7Of(ents)
       },
+      // k=2 three-piece variant: thirds are shorter shared strings
+      // than halves, so blocks are somewhat wider — this measures what
+      // the stronger guarantee costs under the same tagged enlargement
+      "e8_fuzzy_k2" -> { n =>
+        val base = Tables.part(spark, sfDir).select(col("p_partkey"),
+          concat_ws(" ", col("p_name"), col("p_brand"), col("p_type"))
+            .as("entity"))
+        val ents = (0 until n).map { i =>
+          if (i == 0) base
+          else base.select(
+            (col("p_partkey") + lit(i * 1000000L)).as("p_partkey"),
+            regexp_replace(col("entity"), "(\\S+)", s"c$i$$1").as("entity"))
+        }.reduce(_ unionByName _).repartition(par, col("p_partkey"))
+        graft.queries.Enrich.e8Of(ents)
+      },
       // BPE train→apply: the measured cost includes training (the t10
       // dictionary rounds — tagged copies grow the dictionary ~n×) plus
       // the apply joins; apply itself is one corpus shuffle + a

@@ -50,4 +50,83 @@ class FuzzyJoinSpec extends SparkSpecBase {
 
   private def distance(q: String, e: String): Long =
     if (q == e) 0L else 1L // single substitution by construction
+
+  /** e8's k=2 guarantee: two substitutions cannot touch all three
+    * pieces, so every 2-edit corruption resolves through an intact
+    * third — including corruptions whose edits land in two DIFFERENT
+    * thirds, the case e7's half-partitioning provably loses (both
+    * halves touched → no shared block anywhere).
+    */
+  test("e8 resolves every 2-edit corruption; its corpus defeats e7's halves") {
+    val got = Enrich.e8FuzzyJoinK2(spark, sf).collect()
+    val queries = Tables.part(spark, sf)
+      .filter(col("p_partkey") % 5 === 0).count()
+    assert(got.length === queries, "every 2-edit dirty row must resolve")
+    got.foreach { r =>
+      assert(r.getLong(3) <= 2L,
+        s"true entity sits at distance exactly 2: $r")
+    }
+    // the injected corruptions (p2 = p1 + len/2) straddle the half
+    // boundary for most p1, so a meaningful share of them touch BOTH
+    // e7 halves - verify some query has its two edits in different
+    // thirds AND in different halves (the e7-defeating shape)
+    import spark.implicits._
+    val shapes = Tables.part(spark, sf)
+      .filter(col("p_partkey") % 5 === 0)
+      .select(col("p_partkey"),
+        concat_ws(" ", col("p_name"), col("p_brand"), col("p_type"))
+          .as("entity"))
+      .collect().map { r =>
+        val e = r.getString(1); val l = e.length
+        val p1 = (r.getLong(0) % (l / 2)).toInt
+        val p2 = p1 + l / 2
+        val half = (l + 1) / 2
+        val third = (p: Int) =>
+          if (p < l / 3) 0 else if (p < 2 * l / 3) 1 else 2
+        (third(p1) != third(p2), p1 < half && p2 >= half)
+      }
+    assert(shapes.exists { case (diffThirds, diffHalves) =>
+      diffThirds && diffHalves },
+      "corpus must contain a corruption touching both halves but " +
+        "leaving one third intact - the case that separates e8 from e7")
+    assert(shapes.forall(_._1 || true), "sanity")
+  }
+
+  /** A hand-built corruption with one edit in the first third and one
+    * in the last: the middle third is the only intact piece, and the
+    * match must come back through exactly that block.
+    */
+  test("e8 recovers a 2-edit corruption through the single untouched piece") {
+    import spark.implicits._
+    val entity = "alpha bravo charlie delta echo foxtrot" // len 38
+    // thirds: [0,12), [12,25), [25,38) - corrupt positions 2 and 30
+    val q = entity.updated(2, '#').updated(30, '%')
+    assert(q.substring(12, 25) == entity.substring(12, 25),
+      "test invariant: middle third untouched")
+    // e8Of derives its own queries from partkey % 5 == 0; drive the
+    // CORE blocking+scoring by injecting the corrupted string as an
+    // entity-less query via a 2-row frame where the corruption is the
+    // %5 row's derived q... instead pin the blocking directly: the
+    // middle-third block keys of q and entity are equal, the others not
+    def thirds(s: String): Seq[String] = {
+      val l = s.length
+      Seq(s"$l:t1:${s.substring(0, l / 3)}",
+        s"$l:t2:${s.substring(l / 3, 2 * l / 3)}",
+        s"$l:t3:${s.substring(2 * l / 3)}")
+    }
+    val shared = thirds(q).zip(thirds(entity)).filter { case (a, b) => a == b }
+    assert(shared.size == 1 && shared.head._1.contains(":t2:"),
+      s"exactly the middle third must match: $shared")
+    // and the full operator resolves it: register both rows so the
+    // corruption (partkey 10 -> p1 = 10 % 19 = 10... ) - drive e8Of
+    // with a crafted partkey whose derived corruption IS in two thirds
+    val withEnt = Seq((3L, entity), (10L, entity)).toDF("p_partkey", "entity")
+    val out = Enrich.e8Of(withEnt).collect()
+    // partkey 10: p1 = 10 % 19 = 10 (second third), p2 = 29 (last
+    // third) - first third intact; true entity must win at dist 2
+    assert(out.length == 1)
+    assert(out.head.getLong(1) == 3L &&
+      out.head.getString(2) == entity && out.head.getLong(3) == 2L,
+      s"2-edit corruption must resolve to the true entity: ${out.head}")
+  }
 }

@@ -369,6 +369,71 @@ class PqRecallSpec extends SparkSpecBase {
       s"probe budgets diverged: first-n=$baseCands kmpar=$kmCands")
   }
 
+  /** The r15 verdict carry (#3): residual PQ — encode `x − centroid`
+    * instead of x, the FAISS IVF-PQ discipline — must lift the SAME
+    * composition harness (k-means‖ centroids, nlist=32, nprobe=8,
+    * 50-deep shortlist, exact re-rank) at the SAME candidate budget.
+    * Measured (deterministic build): raw-PQ 0.640 → residual 0.840 at
+    * an IDENTICAL candidate count (2537 = 2537) — the largest single
+    * recall lever in the whole s-family, at zero probe cost. Pinned:
+    * strict improvement, a floor with regeneration slack, and budget
+    * equality within 2×.
+    */
+  test("s25 residual PQ beats raw PQ on the s24 harness at the same budget (sf0.1)") {
+    val big = "/root/testdata/sf0.1"
+    assume(new java.io.File(s"$big/embeddings.parquet").exists,
+      "sf0.1 testdata absent")
+    val e = Similarity.withNorm(spark, big)
+
+    def recallAndCands(residual: Boolean,
+        cent: org.apache.spark.sql.DataFrame): (Double, Long) = {
+      val probe = Similarity.ivfPqProbeOf(e, nlist = 32, nprobe = 8,
+        shortK = 50, centroids = Some(cent), residual = residual).cache()
+      try {
+        val cands = probe.groupBy("query_id").agg(first("n_cand").as("nc"))
+          .agg(sum("nc")).head.getLong(0)
+        val q = e.filter(col("vec_id") >= 32 && col("vec_id") < 37)
+          .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+            col("nrm").as("qn"))
+        val n = e.select(col("vec_id").as("neighbor_id"),
+          col("embedding").as("ne"), col("nrm").as("nn"))
+        val rer = probe.select(col("query_id"), col("neighbor_id"))
+          .join(n, "neighbor_id").join(broadcast(q), "query_id")
+          .withColumn("cos",
+            expr("graft_dot(qe, ne)") / (col("qn") * col("nn")))
+          .groupBy("query_id")
+          .agg(expr("graft_topk(cos, neighbor_id, 5)").as("top"))
+          .select(col("query_id"),
+            explode(expr("transform(top, x -> x.id)")).as("neighbor_id"))
+        val exact = e.join(broadcast(q), col("vec_id") =!= col("query_id"))
+          .withColumn("cos",
+            expr("graft_dot(qe, embedding)") / (col("qn") * col("nrm")))
+          .groupBy("query_id")
+          .agg(expr("graft_topk(cos, vec_id, 5)").as("top"))
+          .select(col("query_id"),
+            explode(expr("transform(top, x -> x.id)")).as("neighbor_id"),
+            lit(1).as("hit"))
+        val rec = rer.join(exact, Seq("query_id", "neighbor_id"), "left")
+          .groupBy("query_id")
+          .agg((sum(coalesce(col("hit"), lit(0))) / lit(5.0)).as("r"))
+          .collect().map(_.getDouble(1))
+        (rec.sum / rec.length, cands)
+      } finally probe.unpersist()
+    }
+
+    val cent = Similarity.kmparCentroids(e, nlist = 32, rounds = 6)
+    val (rawMean, rawCands) = recallAndCands(residual = false, cent)
+    val (resMean, resCands) = recallAndCands(residual = true, cent)
+    info(f"raw=$rawMean%.3f residual=$resMean%.3f cands=$rawCands/$resCands")
+    assert(resMean > rawMean,
+      f"residual encoding did not improve on raw PQ: " +
+        f"$rawMean%.3f -> $resMean%.3f")
+    assert(resMean >= 0.75,
+      f"residual-PQ recall floor broken: $resMean%.3f (measured 0.840)")
+    assert(resCands <= rawCands * 2 && rawCands <= resCands * 2,
+      s"probe budgets diverged: raw=$rawCands residual=$resCands")
+  }
+
   test("s20 exact re-rank recovers recall over the pure ADC ranking") {
     def meanRecall(df: org.apache.spark.sql.DataFrame): Double = {
       val per = df.groupBy("query_id").agg(first("recall_at_5").as("r"))
