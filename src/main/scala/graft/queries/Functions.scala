@@ -169,15 +169,102 @@ object Functions {
       |         THEN trim(txt) ELSE '' END AS description
       |FROM p ORDER BY o_orderkey""".stripMargin
 
+  /** F23 — the LLM prompt envelope (`hardrock_scraper.py:453-507`
+    * `format_for_llm` + `_generate_analysis_prompt`): per scraped
+    * record, metadata columns (source, parameterized scrape timestamp
+    * — SURVEY §7.5 #7, wall-clock is nondeterministic — and match
+    * info) plus the TYPE-BRANCHED analysis prompt the reference
+    * builds: player-props rows get the props-analysis template, the
+    * rest the game-odds template, each interpolating the match and
+    * the parsed fields.
+    *
+    * Design divergence, same as the S8 sink note: the reference nests
+    * the whole dataset into one prompt JSON through a single writer;
+    * here the envelope is a per-ROW `format_string` projection —
+    * pure codegen'd map work, partition-parallel, no driver
+    * serialization — and a downstream consumer packs whatever rows it
+    * wants into one prompt.
+    */
+  def f23LlmEnvelope(s: SparkSession, d: String): DataFrame = {
+    graft.plans.GraftExtensions.ensureRegistered(s)
+    val txt = expr(
+      "concat(CASE WHEN o_orderkey % 2 = 0 THEN 'Over ' ELSE 'Under ' END, " +
+        "o_orderkey % 40 + 10, '.5 -', 100 + o_orderkey % 800, " +
+        "' +', 100 + o_custkey % 800)")
+    orders(s, d)
+      .select(col("o_orderkey"), txt.as("line_text"),
+        concat(lit("Game "), col("o_orderkey") % 25).as("match_info"),
+        when(col("o_orderkey") % 3 === 0, lit("player_props"))
+          .otherwise(lit("game_odds")).as("prop_kind"))
+      .withColumn("pp", expr("graft_parse_prop_line(line_text)"))
+      .select(col("o_orderkey"),
+        lit("graft").as("source"),
+        lit("1970-01-01T00:00:00").as("scraped_at"),
+        col("match_info"), col("prop_kind"),
+        when(col("prop_kind") === "player_props",
+          format_string(
+            "Analyze the following player props data for %s: line %s, " +
+              "over %s, under %s. Identify the betting line and " +
+              "favorable odds.",
+            col("match_info"), col("pp.line").cast("string"),
+            col("pp.over_odds"), col("pp.under_odds")))
+          .otherwise(format_string(
+            "Analyze the following game odds data for %s: line %s, " +
+              "over %s, under %s. Identify implied probability and vig.",
+            col("match_info"), col("pp.line").cast("string"),
+            col("pp.over_odds"), col("pp.under_odds")))
+          .as("analysis_prompt"))
+      .orderBy("o_orderkey")
+  }
+
+  val f23Sql: String =
+    """WITH t AS (
+      |  SELECT o_orderkey,
+      |    (CASE WHEN o_orderkey % 2 = 0 THEN 'Over ' ELSE 'Under ' END ||
+      |     (o_orderkey % 40 + 10) || '.5 -' || (100 + o_orderkey % 800) ||
+      |     ' +' || (100 + o_custkey % 800)) AS line_text,
+      |    'Game ' || (o_orderkey % 25) AS match_info,
+      |    CASE WHEN o_orderkey % 3 = 0 THEN 'player_props'
+      |         ELSE 'game_odds' END AS prop_kind
+      |  FROM orders),
+      |p AS (
+      |  SELECT o_orderkey, match_info, prop_kind,
+      |    regexp_extract_all(line_text, '[+-]\d{3,4}') AS odds,
+      |    TRY_CAST(CASE
+      |      WHEN regexp_extract(line_text, '(?i)[OU]\s*(\d+\.?\d*)', 1) <> ''
+      |        THEN regexp_extract(line_text, '(?i)[OU]\s*(\d+\.?\d*)', 1)
+      |      ELSE regexp_extract(line_text, '\b(\d+\.5)\b', 1) END AS DOUBLE) AS line,
+      |    (contains(lower(line_text), 'over') OR
+      |     regexp_matches(lower(line_text), '^o\b|\bo\s*\d')) AS over_first
+      |  FROM t)
+      |SELECT o_orderkey, 'graft' AS source,
+      |  '1970-01-01T00:00:00' AS scraped_at,
+      |  match_info, prop_kind,
+      |  CASE WHEN prop_kind = 'player_props'
+      |    THEN 'Analyze the following player props data for ' || match_info
+      |      || ': line ' || CAST(line AS VARCHAR)
+      |      || ', over ' || (CASE WHEN over_first THEN odds[1] ELSE odds[2] END)
+      |      || ', under ' || (CASE WHEN over_first THEN odds[2] ELSE odds[1] END)
+      |      || '. Identify the betting line and favorable odds.'
+      |    ELSE 'Analyze the following game odds data for ' || match_info
+      |      || ': line ' || CAST(line AS VARCHAR)
+      |      || ', over ' || (CASE WHEN over_first THEN odds[1] ELSE odds[2] END)
+      |      || ', under ' || (CASE WHEN over_first THEN odds[2] ELSE odds[1] END)
+      |      || '. Identify implied probability and vig.'
+      |  END AS analysis_prompt
+      |FROM p ORDER BY o_orderkey""".stripMargin
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "f1_guarded_coercion" -> f1GuardedCoercion,
     "f5_prop_line_parse" -> f5PropLineParse,
     "f10_insight_parse" -> f10InsightParse,
+    "f23_llm_envelope" -> f23LlmEnvelope,
   )
 
   val oracle: Map[String, String] = Map(
     "f1_guarded_coercion" -> f1Sql,
     "f5_prop_line_parse" -> f5Sql,
     "f10_insight_parse" -> f10Sql,
+    "f23_llm_envelope" -> f23Sql,
   )
 }

@@ -922,7 +922,17 @@ object TextAnalysis {
 
   /** The t14 core over any (doc_id, lang, text) corpus — also the
     * scale-headroom entry point (reference slice = `lang = 'en'`). */
-  private[graft] def t14Of(docs: DataFrame): DataFrame = {
+  private[graft] def t14Of(docs: DataFrame): DataFrame =
+    lmQualityOver(docs, col("lang") === "en")
+
+  /** The reference-LM scoring pipeline over any (doc_id, lang, text)
+    * corpus and any reference predicate — the t14/t15 shared core.
+    * `isRef` selects the TRUSTED slice the bigram model trains on;
+    * everything (reference included) is then scored under that model
+    * and tercile-cut.
+    */
+  private[graft] def lmQualityOver(docs: DataFrame,
+      isRef: org.apache.spark.sql.Column): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     def pairs(f: DataFrame): DataFrame = {
       val toks = f
@@ -934,7 +944,7 @@ object TextAnalysis {
             Window.partitionBy(col("doc_id")).orderBy(col("pos"))))
         .filter(col("prev").isNotNull)
     }
-    val refPairs = pairs(docs.filter(col("lang") === "en"))
+    val refPairs = pairs(docs.filter(isRef))
       .localCheckpoint() // trains cab, ca and V from ONE materialization
     val cab = refPairs.groupBy(col("prev"), col("word"))
       .agg(count(lit(1)).as("cab"))
@@ -976,7 +986,26 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
-  val t14Sql: String =
+  /** T15 — the FROZEN-reference variant of t14 (r15 verdict carry):
+    * production CCNet trains the reference LM ONCE on the trusted
+    * corpus and ships it frozen — the model does not grow with the
+    * crawl. t14's reference is the corpus's own 'en' slice, so under
+    * corpus enlargement the model tables (cab/ca/V) grow too — the
+    * measured 7.13× at 10× data. Here the reference is a FIXED half
+    * of the 'en' slice (`doc_id % 2 = 0` — frozen by construction:
+    * appending crawl data never changes it), so at scale the scoring
+    * joins run against CONSTANT-size model tables and the whole job
+    * is one corpus-linear scan + the fixed 128-bin cut.
+    * `ScaleHeadroom`'s `t15_frozen_lm` row measures exactly that:
+    * the reference stays the BASE slice while the scored corpus
+    * enlarges 10×.
+    */
+  def t15FrozenLmQuality(s: SparkSession, d: String): DataFrame =
+    lmQualityOver(
+      documentsSpread(s, d).select(col("doc_id"), col("lang"), col("text")),
+      col("lang") === "en" && col("doc_id") % 2 === 0)
+
+  private def lmQualitySqlOver(refWhere: String): String =
     s"""WITH toks AS (
       |  SELECT doc_id, lang, i AS pos, w[i] AS word
       |  FROM (SELECT doc_id, lang,
@@ -990,7 +1019,7 @@ object TextAnalysis {
       |  FROM toks),
       |pairs AS (SELECT doc_id, lang, prev, word FROM prs
       |          WHERE prev IS NOT NULL),
-      |ref AS (SELECT prev, word FROM pairs WHERE lang = 'en'),
+      |ref AS (SELECT prev, word FROM pairs WHERE $refWhere),
       |cab AS (SELECT prev, word, CAST(count(*) AS BIGINT) AS cab
       |        FROM ref GROUP BY 1, 2),
       |ca AS (SELECT prev, CAST(sum(cab) AS BIGINT) AS ca
@@ -1032,8 +1061,13 @@ object TextAnalysis {
       |       ELSE 'tail' END AS bucket
       |FROM b ORDER BY doc_id""".stripMargin
 
+  val t14Sql: String = lmQualitySqlOver("lang = 'en'")
+
+  val t15Sql: String = lmQualitySqlOver("lang = 'en' AND doc_id % 2 = 0")
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t14_lm_quality_filter" -> t14LmQualityFilter,
+    "t15_frozen_lm_quality" -> t15FrozenLmQuality,
     "t12_source_drift" -> t12SourceDrift,
     "t1_lang_id" -> t1LangId,
     "t10_bpe_train" -> t10BpeTrain,
@@ -1051,6 +1085,7 @@ object TextAnalysis {
 
   val oracle: Map[String, String] = Map(
     "t14_lm_quality_filter" -> t14Sql,
+    "t15_frozen_lm_quality" -> t15Sql,
     "t12_source_drift" -> t12Sql,
     "t1_lang_id" -> t1Sql,
     "t10_bpe_train" -> t10Sql,

@@ -310,6 +310,24 @@ object ScaleHeadroom {
         graft.queries.TextAnalysis.t14Of(
           docs.select(col("doc_id"), col("lang"), col("text")))
       },
+      // frozen-reference variant: the LM trains on the BASE 'en' slice
+      // only (copies excluded), the production CCNet shape — model
+      // tables stay constant-size as the scored corpus grows, so the
+      // expected growth is the scan itself, near-linear (vs t14's
+      // 7.13× where reference and vocabulary grow with the corpus)
+      "t15_frozen_lm" -> { n =>
+        val base = Tables.documents(spark, sfDir)
+          .select("doc_id", "text", "lang")
+        val docs = (0 until n).map { i =>
+          if (i == 0) base
+          else base.select((col("doc_id") + lit(i * 1000000L)).as("doc_id"),
+            regexp_replace(col("text"), "(\\S+)", s"c$i$$1").as("text"),
+            col("lang"))
+        }.reduce(_ unionByName _).repartition(par, col("doc_id"))
+        graft.queries.TextAnalysis.lmQualityOver(
+          docs.select(col("doc_id"), col("lang"), col("text")),
+          col("lang") === "en" && col("doc_id") < 1000000L)
+      },
       // paragraph dedup: tagged copies share no 8-word segments, so
       // the segment relation and the first-occurrence groupBy-min both
       // grow linearly; no window anywhere, so a hot segment is a
