@@ -779,7 +779,7 @@ object Curation {
   }
 
   val c9Sql: String =
-    s"""WITH clusters AS (${Dedup.d6CoreSql}),
+    s"""WITH clusters AS MATERIALIZED (${Dedup.d6CoreSql}),
       |sized AS (
       |  SELECT doc_id, cluster_id,
       |    count(*) OVER (PARTITION BY cluster_id) AS n_members
