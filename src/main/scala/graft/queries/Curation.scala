@@ -454,6 +454,18 @@ object Curation {
   /** The c11 collision core over any (doc_id, text) corpus and bench
     * predicate — d14's diagonal stitching with the two-sided split. */
   private[graft] def c11Of(corpus: DataFrame,
+      isBench: org.apache.spark.sql.Column): DataFrame =
+    c11RunsOf(corpus, isBench)
+      .groupBy("train_doc", "bench_doc")
+      .agg(count(lit(1)).as("n_runs"), max(col("run_len")).as("max_run"),
+        sum(col("run_len") - lit(C11K - 1)).cast("long").as("n_hits"))
+
+  /** The stitched-run relation under c11's collision machinery: one row
+    * per maximal shared ≥[[C11K]]-token run, with the run's length and
+    * its starting gram position on the BENCH side (`pb_start` — what
+    * [[c12Of]]'s coverage merge consumes; positions are engine-internal
+    * 0-/1-based and only ever used shift-invariantly). */
+  private[graft] def c11RunsOf(corpus: DataFrame,
       isBench: org.apache.spark.sql.Column): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val k = C11K
@@ -480,18 +492,20 @@ object Curation {
       .agg(countDistinct(col("train_doc")).as("df"))
       .filter(col("df") <= 100).select("gram")
     val hits = cand.join(keep, "gram").join(broadcast(benchG), "gram")
-    val runs = hits
+    hits
       .withColumn("diag", col("pt") - col("pb"))
       .withColumn("grp", col("pt") - row_number().over(
         Window.partitionBy("train_doc", "bench_doc", "diag").orderBy("pt")))
       .groupBy("train_doc", "bench_doc", "diag", "grp")
-      .agg((count(lit(1)) + lit(k - 1)).cast("long").as("run_len"))
-    runs.groupBy("train_doc", "bench_doc")
-      .agg(count(lit(1)).as("n_runs"), max(col("run_len")).as("max_run"),
-        sum(col("run_len") - lit(k - 1)).cast("long").as("n_hits"))
+      .agg((count(lit(1)) + lit(k - 1)).cast("long").as("run_len"),
+        min(col("pb")).cast("long").as("pb_start"))
   }
 
-  val c11Sql: String = {
+  /** The shared c11/c12 oracle CTE chain: injected corpus → positional
+    * K-grams → df-capped train/bench collision → diagonal-stitched
+    * `runs` (one row per maximal shared run, with bench-side start).
+    * MATERIALIZED so c12's two consumers replay it once. */
+  private def c11RunsSqlCtes: String = {
     val k = C11K
     s"""WITH base AS (SELECT doc_id, text FROM documents),
       |btoks AS (SELECT doc_id, text, string_split_regex(text, '\\s+') AS w
@@ -525,20 +539,343 @@ object Curation {
       |  SELECT t.train_doc, t.pt, b.bench_doc, b.pb
       |  FROM tg t JOIN keep USING (gram) JOIN bg b USING (gram)),
       |isl AS (
-      |  SELECT train_doc, bench_doc, pt - pb AS diag, pt,
+      |  SELECT train_doc, bench_doc, pt - pb AS diag, pt, pb,
       |    pt - row_number() OVER (
       |      PARTITION BY train_doc, bench_doc, pt - pb ORDER BY pt) AS grp
       |  FROM hits),
-      |runs AS (
+      |runs AS MATERIALIZED (
       |  SELECT train_doc, bench_doc,
-      |    CAST(count(*) + ${k - 1} AS BIGINT) AS run_len
-      |  FROM isl GROUP BY train_doc, bench_doc, diag, grp)
+      |    CAST(count(*) + ${k - 1} AS BIGINT) AS run_len,
+      |    CAST(min(pb) AS BIGINT) AS pb_start
+      |  FROM isl GROUP BY train_doc, bench_doc, diag, grp)""".stripMargin
+  }
+
+  val c11Sql: String =
+    s"""$c11RunsSqlCtes
       |SELECT train_doc, bench_doc, CAST(count(*) AS BIGINT) AS n_runs,
       |  max(run_len) AS max_run,
-      |  CAST(sum(run_len - ${k - 1}) AS BIGINT) AS n_hits
+      |  CAST(sum(run_len - ${C11K - 1}) AS BIGINT) AS n_hits
       |FROM runs GROUP BY train_doc, bench_doc
       |ORDER BY train_doc, bench_doc""".stripMargin
+
+  /** C12 — the per-benchmark-document contamination REPORT on top of
+    * [[c11SubstringDecontam]]'s pair flags: for every eval document,
+    * how much of it leaked into the training corpus. c11 answers
+    * "which training docs must be dropped"; c12 answers the eval
+    * owner's question — "how burnt is my benchmark" (the train-test
+    * overlap tables GPT-3/GPT-4/Llama publish per eval set): the
+    * fraction of the bench doc's tokens covered by ≥[[C11K]]-token
+    * verbatim runs from ANY training document, with overlapping runs
+    * from different training docs merged (two quotes of the same
+    * passage must not double-count coverage).
+    *
+    * Interval-union semantics: each stitched run covers bench tokens
+    * `[pb_start, pb_start + run_len)`; per bench doc the intervals are
+    * merged by the classic sorted running-max island scan and the
+    * union length is summed. Positions are engine-internal (Spark
+    * grams are 0-based, the oracle's 1-based) but the union LENGTH is
+    * shift-invariant, so only lengths ever leave the operator. Every
+    * bench doc gets a row — a zero-coverage row is the report's
+    * all-clear, not an absence. `contam_ppm` stays in integers
+    * (floor parts-per-million) — the c8/uq6 cross-engine discipline.
+    *
+    * Scale shape: everything data-sized is inherited from c11 (the
+    * broadcast bench semi-join bounds the collision work map-side);
+    * the merge windows partition by bench doc over the candidate-sized
+    * run relation — thousands of small partitions, never a global
+    * sort. Output is eval-set-sized by construction.
+    */
+  def c12ContaminationReport(s: SparkSession, d: String): DataFrame = {
+    val corpus = c11Corpus(documents(s, d).select(col("doc_id"), col("text")))
+    c12Of(corpus, col("doc_id") % 25 === 0 && col("doc_id") < 1000000L)
+      .orderBy("bench_doc")
   }
+
+  /** The c12 coverage core over any (doc_id, text) corpus and bench
+    * predicate — c11's run relation merged into per-bench-doc token
+    * coverage. */
+  private[graft] def c12Of(corpus: DataFrame,
+      isBench: org.apache.spark.sql.Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val runs = c11RunsOf(corpus, isBench)
+      .select(col("train_doc"), col("bench_doc"), col("run_len"),
+        col("pb_start"), (col("pb_start") + col("run_len")).as("pb_end"))
+    val w = Window.partitionBy("bench_doc")
+      .orderBy(col("pb_start"), col("pb_end"))
+    val islanded = runs
+      .withColumn("prev_max", max(col("pb_end")).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("island", sum(
+        when(col("prev_max").isNull ||
+          col("pb_start") > col("prev_max"), 1L).otherwise(0L)).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val cov = islanded.groupBy(col("bench_doc"), col("island"))
+      .agg((max(col("pb_end")) - min(col("pb_start"))).as("island_cov"))
+      .groupBy(col("bench_doc"))
+      .agg(sum(col("island_cov")).as("covered_tokens"))
+    val stats = runs.groupBy(col("bench_doc"))
+      .agg(countDistinct(col("train_doc")).as("n_train_docs"),
+        count(lit(1)).as("n_runs"), max(col("run_len")).as("max_run"))
+    val bench = corpus.filter(isBench)
+      .select(col("doc_id").as("bench_doc"),
+        size(split(col("text"), "\\s+")).cast("long").as("bench_tokens"))
+    bench.join(stats, Seq("bench_doc"), "left")
+      .join(cov, Seq("bench_doc"), "left")
+      .select(col("bench_doc"),
+        coalesce(col("n_train_docs"), lit(0L)).as("n_train_docs"),
+        coalesce(col("n_runs"), lit(0L)).as("n_runs"),
+        coalesce(col("max_run"), lit(0L)).as("max_run"),
+        coalesce(col("covered_tokens"), lit(0L)).as("covered_tokens"),
+        col("bench_tokens"))
+      .withColumn("contam_ppm",
+        expr("covered_tokens * 1000000 div bench_tokens"))
+  }
+
+  val c12Sql: String =
+    s"""$c11RunsSqlCtes,
+      |iv AS (SELECT train_doc, bench_doc, run_len, pb_start,
+      |         pb_start + run_len AS pb_end FROM runs),
+      |mg AS (
+      |  SELECT bench_doc, pb_start, pb_end,
+      |    max(pb_end) OVER (PARTITION BY bench_doc
+      |      ORDER BY pb_start, pb_end
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+      |  FROM iv),
+      |isl2 AS (
+      |  SELECT bench_doc, pb_start, pb_end,
+      |    sum(CASE WHEN prev_max IS NULL OR pb_start > prev_max
+      |        THEN 1 ELSE 0 END) OVER (PARTITION BY bench_doc
+      |      ORDER BY pb_start, pb_end
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      |  FROM mg),
+      |cov AS (
+      |  SELECT bench_doc, CAST(sum(island_cov) AS BIGINT) AS covered_tokens
+      |  FROM (SELECT bench_doc, island,
+      |          max(pb_end) - min(pb_start) AS island_cov
+      |        FROM isl2 GROUP BY bench_doc, island)
+      |  GROUP BY bench_doc),
+      |stats AS (
+      |  SELECT bench_doc,
+      |    CAST(count(DISTINCT train_doc) AS BIGINT) AS n_train_docs,
+      |    CAST(count(*) AS BIGINT) AS n_runs, max(run_len) AS max_run
+      |  FROM iv GROUP BY bench_doc),
+      |bt AS (
+      |  SELECT doc_id AS bench_doc,
+      |    CAST(len(string_split_regex(text, '\\s+')) AS BIGINT)
+      |      AS bench_tokens
+      |  FROM corpus WHERE doc_id % 25 = 0 AND doc_id < 1000000)
+      |SELECT b.bench_doc,
+      |  CAST(coalesce(s.n_train_docs, 0) AS BIGINT) AS n_train_docs,
+      |  CAST(coalesce(s.n_runs, 0) AS BIGINT) AS n_runs,
+      |  CAST(coalesce(s.max_run, 0) AS BIGINT) AS max_run,
+      |  CAST(coalesce(c.covered_tokens, 0) AS BIGINT) AS covered_tokens,
+      |  b.bench_tokens,
+      |  CAST(coalesce(c.covered_tokens, 0) * 1000000 // b.bench_tokens
+      |    AS BIGINT) AS contam_ppm
+      |FROM bt b LEFT JOIN stats s USING (bench_doc)
+      |LEFT JOIN cov c USING (bench_doc)
+      |ORDER BY bench_doc""".stripMargin
+
+  // ---- C13: DSIR importance-resampling data selection ----------------
+
+  /** Hashed n-gram feature buckets (Xie et al. use 10⁴). The corpus's
+    * languages share one 31-word vocabulary — the domain signal lives
+    * ENTIRELY in bigram transitions (≤961 types), so the bucket space
+    * must exceed the feature-type count or hash collisions alias
+    * different languages' transitions into one bucket and flatten the
+    * likelihood ratio: 2¹⁰ > 31 + 961 keeps types near-collision-free
+    * here while staying a trivially broadcastable table. */
+  private[queries] val C13Buckets = 1024
+
+  /** Selection-cut histogram resolution (the c7/t14 bounded-driver-state
+    * discipline: cuts at bin resolution, never a global per-doc rank). */
+  private[queries] val C13Bins = 128
+
+  /** Keep the top 1/[[C13Frac]] of documents by importance weight. */
+  private[queries] val C13Frac = 5
+
+  /** C13 — DSIR-style data selection (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): score every
+    * document by how much more likely its hashed n-gram features are
+    * under a TARGET distribution (the trusted domain you want more of)
+    * than under the RAW crawl distribution, then keep the top slice by
+    * that importance weight. This is the third member of the quality
+    * triad — t2 scores shape heuristics, t14/t15 score fluency under a
+    * generative reference LM, c13 scores DISTRIBUTIONAL match to a
+    * target domain via a discriminative likelihood ratio over hashed
+    * features (the method Xie et al. showed beats heuristic filtering
+    * for domain-targeted pretraining selection).
+    *
+    * Model: features are unigrams ∪ bigrams, hashed into
+    * [[C13Buckets]] buckets (the paper's hashed n-gram generative
+    * model); bucket distributions are add-one smoothed. Per document,
+    * log w(x) = Σ_f [log p(b_f) − log q(b_f)] where p is the target
+    * (here `lang = 'en'`, the corpus's trusted-domain stand-in — the
+    * t14 convention) and q the full-crawl distribution. Cross-engine
+    * exactness: every log is the t8/t14 integer floor-log₂ via bit
+    * length over exact BIGINT smoothed counts, so
+    * `logw_bits = Σ_f [⌊log₂(ct_f+1)⌋ − ⌊log₂(cr_f+1)⌋]
+    *  + n_feats·[⌊log₂(R+B)⌋ − ⌊log₂(T+B)⌋]` is pure integer
+    * arithmetic that replays bit-for-bit in the oracle (a float log
+    * differs in last-ulp across libm implementations; the paper's
+    * Gumbel-noise resampling draw is likewise a float-log hazard, so
+    * selection is pinned to the deterministic top-slice variant — the
+    * paper's own top-k ablation — at [[C13Bins]]-bin resolution with
+    * ≥⌈n/[[C13Frac]]⌉ "at least K" semantics, the t14 cut contract).
+    *
+    * Scale shape: three corpus-linear scans (bucket counts twice —
+    * 256-row map-side-combined aggregates — and the scoring pass
+    * joined against the BROADCAST 256-row weight table, then one
+    * doc-keyed map-side-combinable aggregation); the cut is fixed
+    * 128-bin driver state at any corpus size. Nothing is ever keyed by
+    * feature string — the hash collapses the unbounded vocabulary to a
+    * fixed bucket space before the first exchange, which is exactly
+    * why DSIR ships at web scale.
+    */
+  def c13DsirSelection(s: SparkSession, d: String): DataFrame =
+    c13Of(documentsSpread(s, d).select(col("doc_id"), col("lang"),
+      col("text")), col("lang") === "en")
+
+  /** The corpus-sized scoring pass — split out so its plan shape (the
+    * weight table BROADCAST into the feature stream, the per-doc
+    * aggregation map-side combinable) stays inspectable behind the
+    * lineage-truncating checkpoint that follows it ([[DsirSpec]] pins
+    * it). */
+  private[graft] def c13ScoredStage(fb: DataFrame, weights: DataFrame,
+      nbits: Long): DataFrame =
+    fb.join(broadcast(weights), "bk")
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(count(lit(1)).as("n_feats"), sum(col("bits")).as("sum_bits"))
+      .withColumn("logw_bits",
+        col("sum_bits") + col("n_feats") * lit(nbits))
+
+  /** The corpus → hashed-bucket feature stream ([[c13ScoredStage]]'s
+    * data side; exposed with it for the plan pin). */
+  private[graft] def c13FeatureStream(docs: DataFrame,
+      isTarget: org.apache.spark.sql.Column): DataFrame = {
+    val toks = docs.select(col("doc_id"), col("lang"),
+        expr("filter(split(trim(text), '\\\\s+'), x -> length(x) > 0)")
+          .as("w"), isTarget.as("is_target"))
+      .filter(size(col("w")) > 0)
+    // unigrams ∪ bigrams; zip_with over shifted slices degrades to an
+    // empty bigram list for 1-token docs in BOTH engines (Spark
+    // sequence(1, 0) counts DOWN — never index off it)
+    val feats = toks.select(col("doc_id"), col("lang"), col("is_target"),
+      explode(concat(col("w"), expr(
+        "zip_with(slice(w, 1, size(w) - 1), slice(w, 2, size(w) - 1), " +
+          "(a, x) -> concat(a, ' ', x))"))).as("feat"))
+    feats.select(col("doc_id"), col("lang"), col("is_target"),
+      pmod(md5Hash32(concat(lit("dsir:"), col("feat"))),
+        lit(C13Buckets)).as("bk"))
+  }
+
+  /** The c13 core over any (doc_id, lang, text) corpus and target
+    * predicate — also the scale-headroom entry point (a frozen target
+    * slice keeps the p-side counts constant under enlargement, the t15
+    * reasoning). */
+  private[graft] def c13Of(docs: DataFrame,
+      isTarget: org.apache.spark.sql.Column): DataFrame = {
+    val b = C13Buckets
+    val fb = c13FeatureStream(docs, isTarget)
+    // BOTH distributions from ONE map-side-combined corpus scan (the
+    // target side as a conditional count), landed as 256 driver-safe
+    // rows; everything below derives from this tiny relation
+    val counts = fb.groupBy("bk")
+      .agg(count(lit(1)).as("cr"),
+        count(when(col("is_target"), lit(1))).as("ctg"))
+      .localCheckpoint()
+    val weights = counts.select(col("bk"),
+      ((length(expr("bin(ctg + 1)")) - lit(1)).cast("long") -
+        (length(expr("bin(cr + 1)")) - lit(1)).cast("long")).as("bits"))
+    def headLong(df: DataFrame): Long = {
+      val v = df.head().get(0)
+      if (v == null) 0L else v.asInstanceOf[Long]
+    }
+    val rTot = headLong(counts.agg(sum(col("cr"))))
+    val tTot = headLong(counts.agg(sum(col("ctg"))))
+    def ilog2(x: Long): Long = 63L - java.lang.Long.numberOfLeadingZeros(x)
+    val nbits = ilog2(rTot + b) - ilog2(tTot + b)
+    val scored = c13ScoredStage(fb, weights, nbits)
+      .localCheckpoint() // envelope, histogram and labeling scan this
+    val env = scored.agg(min(col("logw_bits")), max(col("logw_bits")),
+      count(lit(1))).head()
+    val (qmin, qmax, n) = (env.getLong(0), env.getLong(1), env.getLong(2))
+    val width = math.max((qmax - qmin).toDouble, 1e-9) / C13Bins
+    val binned = scored.withColumn("bin",
+      least(lit(C13Bins - 1),
+        floor((col("logw_bits") - lit(qmin)) / lit(width)).cast("int")))
+    val hist = binned.groupBy(col("bin")).agg(count(lit(1)).as("cnt"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(-_._1)
+    val k = math.ceil(n / C13Frac.toDouble).toLong
+    val cum = hist.scanLeft((C13Bins, 0L)) { case ((_, c), (bn, cnt)) =>
+      (bn, c + cnt) }.drop(1)
+    val cutBin = cum.find(_._2 >= k).map(_._1).getOrElse(0)
+    binned
+      .select(col("doc_id"), col("lang"), col("n_feats"),
+        col("logw_bits"), col("bin"),
+        (col("bin") >= lit(cutBin)).as("selected"))
+      .orderBy("doc_id")
+  }
+
+  val c13Sql: String =
+    s"""WITH toksr AS (
+      |  SELECT doc_id, lang, lang = 'en' AS is_target,
+      |    list_filter(string_split_regex(trim(text), '\\s+'),
+      |      x -> len(x) > 0) AS w
+      |  FROM documents),
+      |toks AS (SELECT * FROM toksr WHERE len(w) > 0),
+      |uni AS (SELECT doc_id, lang, is_target, unnest(w) AS feat
+      |        FROM toks),
+      |big AS (SELECT doc_id, lang, is_target,
+      |          w[i] || ' ' || w[i + 1] AS feat
+      |        FROM toks,
+      |          LATERAL (SELECT unnest(range(1, len(w))) AS i) t),
+      |feats AS (SELECT * FROM uni UNION ALL SELECT * FROM big),
+      |fb AS MATERIALIZED (
+      |  SELECT doc_id, lang, is_target,
+      |    ('0x' || substr(md5('dsir:' || feat), 1, 8))::BIGINT
+      |      % $C13Buckets AS bk
+      |  FROM feats),
+      |counts AS MATERIALIZED (
+      |  SELECT bk, CAST(count(*) AS BIGINT) AS cr,
+      |    CAST(sum(CASE WHEN is_target THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS ctg
+      |  FROM fb GROUP BY bk),
+      |wts AS (
+      |  SELECT bk,
+      |    CAST((len(bin(ctg + 1)) - 1)
+      |      - (len(bin(cr + 1)) - 1) AS BIGINT) AS bits
+      |  FROM counts),
+      |tot AS (SELECT CAST(coalesce(sum(cr), 0) AS BIGINT) AS r,
+      |    CAST(coalesce(sum(ctg), 0) AS BIGINT) AS t
+      |  FROM counts),
+      |nb AS (SELECT CAST((len(bin(r + $C13Buckets)) - 1)
+      |    - (len(bin(t + $C13Buckets)) - 1) AS BIGINT) AS nbits
+      |  FROM tot),
+      |scored AS (
+      |  SELECT f.doc_id, f.lang, CAST(count(*) AS BIGINT) AS n_feats,
+      |    CAST(sum(w.bits) AS BIGINT) AS sum_bits
+      |  FROM fb f JOIN wts w USING (bk) GROUP BY f.doc_id, f.lang),
+      |sc AS (
+      |  SELECT doc_id, lang, n_feats,
+      |    sum_bits + n_feats * (SELECT nbits FROM nb) AS logw_bits
+      |  FROM scored),
+      |r AS (SELECT min(logw_bits) AS qmin, max(logw_bits) AS qmax,
+      |      count(*) AS n FROM sc),
+      |b AS (
+      |  SELECT sc.*, LEAST(${C13Bins - 1}, CAST(floor(
+      |    (logw_bits - qmin) / (GREATEST(CAST(qmax - qmin AS DOUBLE),
+      |      1e-9) / $C13Bins.0)) AS INT)) AS bin
+      |  FROM sc CROSS JOIN r),
+      |hist AS (SELECT bin, count(*) AS cnt FROM b GROUP BY bin),
+      |cumd AS (
+      |  SELECT a.bin, CAST(sum(c.cnt) AS BIGINT) AS cum
+      |  FROM hist a JOIN hist c ON c.bin >= a.bin GROUP BY a.bin),
+      |cut AS (SELECT max(bin) AS c FROM cumd CROSS JOIN r
+      |        WHERE cum >= CAST(ceil(n / $C13Frac.0) AS BIGINT))
+      |SELECT doc_id, lang, n_feats, logw_bits, bin,
+      |  bin >= coalesce((SELECT c FROM cut), 0) AS selected
+      |FROM b ORDER BY doc_id""".stripMargin
 
   /** Per-language keep rates for [[c5StratifiedSample]]: downsample the
     * dominant language, keep the rest — the standard rebalancing move
@@ -1042,6 +1379,8 @@ object Curation {
     "c3_sequence_pack" -> c3SequencePack,
     "c4_decontaminate" -> c4Decontaminate,
     "c11_substring_decontam" -> c11SubstringDecontam,
+    "c12_contamination_report" -> c12ContaminationReport,
+    "c13_dsir_selection" -> c13DsirSelection,
     "c5_stratified_sample" -> c5StratifiedSample,
     "c6_domain_mix" -> c6DomainMix,
   )
@@ -1057,6 +1396,8 @@ object Curation {
     "c3_sequence_pack" -> c3Sql,
     "c4_decontaminate" -> c4Sql,
     "c11_substring_decontam" -> c11Sql,
+    "c12_contamination_report" -> c12Sql,
+    "c13_dsir_selection" -> c13Sql,
     "c5_stratified_sample" -> c5Sql,
     "c6_domain_mix" -> c6Sql,
   )

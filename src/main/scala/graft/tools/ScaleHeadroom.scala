@@ -395,6 +395,27 @@ object ScaleHeadroom {
       // exchange stays bench-bounded while the scan grows linearly
       "c11_substring_decontam" -> (n => Curation.c11Of(docsAt(n),
         col("doc_id") % 25 === 0 && col("doc_id") < 1000000L)),
+      // c12 rides c11's run relation (same fixed-bench input model) and
+      // adds only eval-set-sized merge windows — expected growth ≡ c11's
+      "c12_contamination_report" -> (n => Curation.c12Of(docsAt(n),
+        col("doc_id") % 25 === 0 && col("doc_id") < 1000000L)),
+      // DSIR selection with a FROZEN target (the t15 reasoning: the
+      // trusted/target slice does not grow with the crawl) — the
+      // p-side bucket counts stay constant, the q-side and the scoring
+      // pass are corpus-linear scans against a broadcast 1024-row
+      // weight table, and the cut is fixed 128-bin driver state
+      "c13_dsir_selection" -> { n =>
+        val base = Tables.documents(spark, sfDir)
+          .select("doc_id", "text", "lang")
+        val docs = (0 until n).map { i =>
+          if (i == 0) base
+          else base.select((col("doc_id") + lit(i * 1000000L)).as("doc_id"),
+            regexp_replace(col("text"), "(\\S+)", s"c$i$$1").as("text"),
+            col("lang"))
+        }.reduce(_ unionByName _).repartition(par, col("doc_id"))
+        Curation.c13Of(docs.select(col("doc_id"), col("lang"), col("text")),
+          col("lang") === "en" && col("doc_id") < 1000000L)
+      },
       // ---- composite operators (r9 ask #3) ----
       // d6 = d5 pair generation + star-contraction clustering (the full
       // path a d6 run pays; d5-only is measured above, so the
