@@ -288,7 +288,8 @@ object Warehouse {
     * One writer at a time (or an external lock around commit/vacuum)
     * is the contract — the same discipline single-writer table
     * formats document. */
-  private[graft] def o12Commit(base: String, v: Int, df: DataFrame): Unit = {
+  private[graft] def o12Commit(base: String, v: Int, df: DataFrame,
+      keepLayout: Boolean = false): Unit = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     // the effective mark is max(hwm file, live manifest): a crash
     // between the manifest swap and the hwm swap leaves the FILE one
@@ -301,7 +302,11 @@ object Warehouse {
       s"o12: version $v is not above the high-water mark $hwm — " +
         "expired/committed ids are never reused")
     val staging = Paths.get(base, s".v$v.staging")
-    df.coalesce(1).write.mode("overwrite").parquet(staging.toString)
+    // keepLayout preserves the frame's file layout (o15's OPTIMIZE
+    // commits a deliberately-packed layout; the default single file
+    // keeps the small verification snapshots tidy)
+    (if (keepLayout) df else df.coalesce(1))
+      .write.mode("overwrite").parquet(staging.toString)
     val dataDir = Paths.get(base, s"v=$v")
     // Crash window 2 recovery: a crash BETWEEN the data rename and the
     // manifest swap leaves a `v=N` dir that no manifest lists. rename(2)
@@ -383,6 +388,88 @@ object Warehouse {
       |  SELECT m.cust_id, m.segment, m.bal, 1 AS version
       |  FROM ($o10CoreSql) m
       |) ORDER BY version, cust_id""".stripMargin
+
+  // ---- O15: OPTIMIZE — compaction as a snapshot commit ---------------
+
+  /** Fragmentation the o15 harness injects (a streaming ingest's
+    * per-micro-batch files) and the pack target it optimizes toward. */
+  private[queries] val O15FragmentFiles = 16
+  private[queries] val O15TargetBytes = 64L << 20
+
+  /** O15 — OPTIMIZE as a snapshot commit: rewrite a fragmented table
+    * version into few large clustered files AS A NEW VERSION of the
+    * o12 snapshot table, leaving every existing version untouched.
+    * This is the Delta/Iceberg `OPTIMIZE` shape, and it closes the
+    * loop a13 + o12 leave open: a13 compacts a live directory IN
+    * PLACE (its retire/rename dance exists because readers share the
+    * path), while a snapshot table never needs that dance — the
+    * rewrite lands as ordinary committed data (`o12Commit`'s staging →
+    * rename → manifest swap), concurrent readers keep resolving the
+    * OLD version through the manifest for as long as retention keeps
+    * it, and the optimized version is bit-identical in CONTENT (the
+    * oracle certifies both versions under one hash; only the file
+    * layout differs). The rewrite also range-clusters by `doc_id`
+    * (the a14 discipline: OPTIMIZE is where sort order gets repaired,
+    * so min/max pruning composes on the result).
+    *
+    * In-op requires (the a13 discipline — a silently-weak proof fails
+    * the row loudly): the injected fragmentation must materialize
+    * (>1 file at v0), the optimized layout must land AT OR UNDER the
+    * bin-pack bound and strictly BELOW the fragmented count.
+    *
+    * Scale shape: at 100 TB compaction is a per-partition rewrite job
+    * (here one range-partitioned write) whose cost is the bytes
+    * rewritten, never the table size; the snapshot commit makes it
+    * safe to run WHILE readers stream — the exact reason production
+    * table formats fold OPTIMIZE into the snapshot log instead of
+    * rewriting paths in place. File-count bounds are driver-side
+    * metadata (listStatus on one version dir), never a data scan.
+    */
+  def o15OptimizeSnapshot(s: SparkSession, d: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val dir = java.nio.file.Files.createTempDirectory("graft_o15_")
+    try {
+      val docs = documents(s, d)
+        .select(col("doc_id"), col("lang"), col("source"))
+      // v0: fragmented ingest (one file per micro-batch/task)
+      o12Commit(dir.toString, 0, docs.repartition(O15FragmentFiles),
+        keepLayout = true)
+      val fs = new Path(dir.toString)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      def dataFiles(v: Int) = fs.listStatus(new Path(s"$dir/v=$v"))
+        .filter(st => st.isFile && !st.getPath.getName.startsWith("_") &&
+          !st.getPath.getName.startsWith("."))
+      val before = dataFiles(0)
+      require(before.length > 1,
+        "o15: ingest fragmentation did not materialize — harness lost " +
+          "its pathology")
+      val bound = graft.sink.Compact.targetFileCount(
+        before.map(_.getLen).sum, O15TargetBytes)
+      // OPTIMIZE: read v0 strictly THROUGH the manifest, range-cluster
+      // + bin-pack, commit as v1 — v0 stays readable and untouched
+      o12Commit(dir.toString, 1,
+        o12ReadAsOf(s, dir.toString, 0)
+          .repartitionByRange(bound, col("doc_id"))
+          .sortWithinPartitions("doc_id"),
+        keepLayout = true)
+      val after = dataFiles(1)
+      require(after.length <= bound,
+        s"o15: optimized layout has ${after.length} files > bound $bound")
+      require(after.length < before.length,
+        s"o15: optimize did not reduce files (${before.length} -> " +
+          s"${after.length})")
+      o12ReadAsOf(s, dir.toString, 0).withColumn("version", lit(0))
+        .unionByName(
+          o12ReadAsOf(s, dir.toString, 1).withColumn("version", lit(1)))
+        .orderBy("version", "doc_id")
+        .localCheckpoint()
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+  }
+
+  val o15Sql: String =
+    """SELECT v.version, d.doc_id, d.lang, d.source
+      |FROM (VALUES (0), (1)) AS v(version) CROSS JOIN documents d
+      |ORDER BY version, doc_id""".stripMargin
 
   // ---- O13: snapshot retention / vacuum ------------------------------
 
@@ -600,6 +687,7 @@ object Warehouse {
     "o10_merge_upsert" -> o10MergeUpsert,
     "o11_incremental_agg" -> o11IncrementalAgg,
     "o12_time_travel" -> o12TimeTravel,
+    "o15_optimize_snapshot" -> o15OptimizeSnapshot,
     "o13_snapshot_vacuum" -> o13SnapshotVacuum,
   )
 
@@ -609,6 +697,7 @@ object Warehouse {
     "o10_merge_upsert" -> o10Sql,
     "o11_incremental_agg" -> o11Sql,
     "o12_time_travel" -> o12Sql,
+    "o15_optimize_snapshot" -> o15Sql,
     "o13_snapshot_vacuum" -> o13Sql,
   )
 }

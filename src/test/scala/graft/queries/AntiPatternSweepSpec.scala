@@ -119,7 +119,11 @@ class AntiPatternSweepSpec extends SparkSpecBase {
     "o14_write_constraints" ->
       ("WAP staging/audit/publish harness (scratch writes); gate " +
         "predicates are scan-local expressions + one dim FK join, " +
-        "reconciled row-by-row in WriteConstraintsSpec"))
+        "reconciled row-by-row in WriteConstraintsSpec"),
+    "o15_optimize_snapshot" ->
+      ("commit/optimize protocol harness (scratch snapshot writes); " +
+        "content identity + bin-pack bound required in-op, protocol " +
+        "edges in OptimizeSpec"))
 
   private def sweep(name: String, df: => DataFrame,
       failures: scala.collection.mutable.ArrayBuffer[String]): Unit = {
