@@ -43,9 +43,26 @@ object EnlargeTestdata {
     spark.sparkContext.setLogLevel("WARN")
 
     def read(t: String): DataFrame = spark.read.parquet(s"$src/$t.parquet")
-    def write(df: DataFrame, t: String): Unit =
-      df.repartition(spark.sparkContext.defaultParallelism)
-        .write.mode("overwrite").parquet(s"$out/$t.parquet")
+    // Driver-layout contract: each table is ONE parquet FILE named
+    // <table>.parquet — the streaming harnesses stage inputs via
+    // java.nio Files.copy of that path (a directory there copies
+    // EMPTY and the stream silently sees zero rows; the first 10×
+    // composition run failed exactly that way). Write via a staging
+    // dir + rename of the single part file. Spark still splits the
+    // single file by row group, so batch scan parallelism survives.
+    def write(df: DataFrame, t: String): Unit = {
+      import org.apache.hadoop.fs.Path
+      val fs = new Path(out).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val stage = new Path(s"$out/.stage_$t")
+      df.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+      val part = fs.listStatus(stage).map(_.getPath)
+        .find(_.getName.startsWith("part-"))
+        .getOrElse(sys.error(s"enlarge: no part file for $t"))
+      val dest = new Path(s"$out/$t.parquet")
+      fs.delete(dest, true)
+      require(fs.rename(part, dest), s"enlarge: rename failed for $t")
+      fs.delete(stage, true)
+    }
 
     Seq("region", "nation", "customer", "supplier", "part")
       .foreach(t => write(read(t), t))
