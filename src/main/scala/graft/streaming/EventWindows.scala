@@ -533,6 +533,14 @@ object EventWindows {
     * pipeline should alarm on; and append-mode results cover only
     * windows the watermark has sealed — the tail of the stream is not
     * yet in the output.
+    *
+    * Metric unit (measured on the 10× composition run, round 16): the
+    * watermark filter sits BEHIND the pre-shuffle partial aggregation,
+    * so `numRowsDroppedByWatermark` counts late (window, key) GROUPS,
+    * not late input events — 10 straggler copies of one event counted
+    * as 1 dropped row (batch progress: inputRows=10, dropped=1). An
+    * alarm sized in "events lost" must divide by the late rows' group
+    * fan-in; the in-query `require` pins the group-unit contract.
     */
   def st17LateDataDrop(s: SparkSession, d: String): DataFrame =
     CatchupConf.withBoundedStatePartitions(s) {
@@ -566,6 +574,13 @@ object EventWindows {
       stage(ev.filter(isStraggler), "c_stragglers", 120000L)
       val nStragglers = ev.filter(isStraggler).count()
       require(nStragglers >= 1, "st17: corpus has no straggler candidates")
+      // the drop counter's TRUE unit (measured, see scaladoc): the
+      // watermark filter sits behind the pre-shuffle PARTIAL
+      // aggregation, so it counts late GROUPS, not late input rows —
+      // stragglers sharing a (window, event_type) cell count once
+      val nStragglerGroups = ev.filter(isStraggler)
+        .select(window(col("ts"), "5 minutes"), col("event_type"))
+        .distinct().count()
 
       val stream = s.readStream.schema(ev.schema)
         .option("maxFilesPerTrigger", "1")
@@ -579,9 +594,10 @@ object EventWindows {
       val dropped = q.recentProgress
         .flatMap(p => p.stateOperators.map(_.numRowsDroppedByWatermark))
         .sum
-      require(dropped == nStragglers,
+      require(dropped == nStragglerGroups,
         s"st17: engine dropped $dropped rows, expected exactly the " +
-          s"$nStragglers stragglers - the loss accounting is the contract")
+          s"$nStragglerGroups late straggler groups (from $nStragglers " +
+          "straggler rows) - the loss accounting is the contract")
       s.table(sink)
         .localCheckpoint()
         .orderBy("window_start", "event_type")

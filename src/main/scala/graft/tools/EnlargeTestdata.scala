@@ -54,7 +54,13 @@ object EnlargeTestdata {
       import org.apache.hadoop.fs.Path
       val fs = new Path(out).getFileSystem(spark.sparkContext.hadoopConfiguration)
       val stage = new Path(s"$out/.stage_$t")
-      df.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+      // 8 MB row groups: a single-FILE table must still present many
+      // splits or every scan serializes into one task at 10×/100× —
+      // production data grows its row-group/file count with volume,
+      // and parquet splits at row-group boundaries
+      df.coalesce(1).write.mode("overwrite")
+        .option("parquet.block.size", (8 * 1024 * 1024).toString)
+        .parquet(stage.toString)
       val part = fs.listStatus(stage).map(_.getPath)
         .find(_.getName.startsWith("part-"))
         .getOrElse(sys.error(s"enlarge: no part file for $t"))
