@@ -44,6 +44,7 @@ object SparkEntry {
       _root_.graft.streaming.IntervalJoin.defs ++
       _root_.graft.streaming.StreamDedup.defs ++
       _root_.graft.streaming.StreamNearDup.defs ++
+      _root_.graft.streaming.StreamDecontam.defs ++
       _root_.graft.streaming.CdcMerge.defs ++
       _root_.graft.streaming.GapDetect.defs ++
       _root_.graft.streaming.FunnelDetect.defs
@@ -73,6 +74,7 @@ object SparkEntry {
       _root_.graft.streaming.IntervalJoin.oracle ++
       _root_.graft.streaming.StreamDedup.oracle ++
       _root_.graft.streaming.StreamNearDup.oracle ++
+      _root_.graft.streaming.StreamDecontam.oracle ++
       _root_.graft.streaming.CdcMerge.oracle ++
       _root_.graft.streaming.GapDetect.oracle ++
       _root_.graft.streaming.FunnelDetect.oracle

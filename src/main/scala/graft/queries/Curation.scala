@@ -465,17 +465,24 @@ object Curation {
     * its starting gram position on the BENCH side (`pb_start` — what
     * [[c12Of]]'s coverage merge consumes; positions are engine-internal
     * 0-/1-based and only ever used shift-invariantly). */
-  private[graft] def c11RunsOf(corpus: DataFrame,
-      isBench: org.apache.spark.sql.Column): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+  /** The positional [[C11K]]-gram generator alone — shared with st21's
+    * streaming membership gate (one map-side pass, no exchange). */
+  private[graft] def c11GramsOf(corpus: DataFrame): DataFrame = {
     val k = C11K
-    val grams = corpus
+    corpus
       .select(col("doc_id"), split(col("text"), "\\s+").as("w"))
       .filter(size(col("w")) >= k)
       .select(col("doc_id"), posexplode(expr(
         s"transform(sequence(1, size(w) - ${k - 1}), " +
           s"i -> array_join(slice(w, i, $k), ' '))"))
         .as(Seq("pos", "gram")))
+  }
+
+  private[graft] def c11RunsOf(corpus: DataFrame,
+      isBench: org.apache.spark.sql.Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val k = C11K
+    val grams = c11GramsOf(corpus)
     val benchG = grams.filter(isBench)
       .select(col("doc_id").as("bench_doc"), col("pos").as("pb"), col("gram"))
     val trainG = grams.filter(!isBench)
@@ -501,11 +508,10 @@ object Curation {
         min(col("pb")).cast("long").as("pb_start"))
   }
 
-  /** The shared c11/c12 oracle CTE chain: injected corpus → positional
-    * K-grams → df-capped train/bench collision → diagonal-stitched
-    * `runs` (one row per maximal shared run, with bench-side start).
-    * MATERIALIZED so c12's two consumers replay it once. */
-  private def c11RunsSqlCtes: String = {
+  /** The injected corpus → positional K-grams oracle CTEs alone —
+    * shared by c11/c12 (collision runs below) and st21's streaming
+    * membership gate. */
+  private[graft] val c11CorpusGramsSqlCtes: String = {
     val k = C11K
     s"""WITH base AS (SELECT doc_id, text FROM documents),
       |btoks AS (SELECT doc_id, text, string_split_regex(text, '\\s+') AS w
@@ -528,7 +534,16 @@ object Curation {
       |  SELECT doc_id, i AS pos,
       |    array_to_string(w[i : i + ${k - 1}], ' ') AS gram
       |  FROM ctoks, LATERAL (SELECT unnest(range(1, len(w) - ${k - 2})) AS i)
-      |  WHERE len(w) >= $k),
+      |  WHERE len(w) >= $k)""".stripMargin
+  }
+
+  /** The shared c11/c12 oracle CTE chain: injected corpus → positional
+    * K-grams → df-capped train/bench collision → diagonal-stitched
+    * `runs` (one row per maximal shared run, with bench-side start).
+    * MATERIALIZED so c12's two consumers replay it once. */
+  private def c11RunsSqlCtes: String = {
+    val k = C11K
+    s"""$c11CorpusGramsSqlCtes,
       |bg AS (SELECT doc_id AS bench_doc, pos AS pb, gram FROM grams
       |       WHERE doc_id % 25 = 0 AND doc_id < 1000000),
       |tg AS (SELECT doc_id AS train_doc, pos AS pt, gram FROM grams

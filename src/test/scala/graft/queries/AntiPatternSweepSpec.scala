@@ -123,7 +123,11 @@ class AntiPatternSweepSpec extends SparkSpecBase {
     "o15_optimize_snapshot" ->
       ("commit/optimize protocol harness (scratch snapshot writes); " +
         "content identity + bin-pack bound required in-op, protocol " +
-        "edges in OptimizeSpec"))
+        "edges in OptimizeSpec"),
+    "st21_stream_decontam" ->
+      ("stateless foreachBatch broadcast-membership gate; the gram " +
+        "scan + broadcast semi-join shape is c11's (swept/pinned " +
+        "there), batch-twin identity in StreamDecontamSpec"))
 
   private def sweep(name: String, df: => DataFrame,
       failures: scala.collection.mutable.ArrayBuffer[String]): Unit = {
