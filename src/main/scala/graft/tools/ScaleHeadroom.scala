@@ -386,6 +386,21 @@ object ScaleHeadroom {
       "d5_simhash_pairs" -> (n => Dedup.d5PairsOf(docsAt(n))),
       "d9_simhash64_pairs" -> (n => Dedup.d9PairsOf(docsAt(n))),
       "s2_lsh_neardup" -> (n => Similarity.lshNearDup(embAt(n))),
+      // d7 = s2's pair relation + two id-keyed source-dim joins; the
+      // source column is synthesized id-stable (the join cost is
+      // pair-output-bound, which is what this measures)
+      "d7_embedding_neardup" -> { n =>
+        val pairs = Similarity.lshNearDup(embAt(n))
+        val src = embAt(n).select(col("vec_id"),
+          pmod(col("vec_id"), lit(5)).cast("string").as("source"))
+        pairs
+          .join(src.select(col("vec_id").as("vec_a"),
+            col("source").as("src_a")), "vec_a")
+          .join(src.select(col("vec_id").as("vec_b"),
+            col("source").as("src_b")), "vec_b")
+          .select(col("vec_a"), col("vec_b"), col("cos_sim"),
+            (col("src_a") =!= col("src_b")).as("cross_source"))
+      },
       "c4_decontaminate" ->
         (n => Curation.decontaminateOf(setsOf(docsAt(n)), isBench)),
       // substring decontamination: bench side stays the base benches
