@@ -439,7 +439,110 @@ object Ingest {
       |    AS total_value
       |FROM u GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Corrupt lines are planted on this id predicate — one in ten docs,
+    * every lang/source stratum reachable. */
+  private[queries] def i10IsCorrupt(id: org.apache.spark.sql.Column) =
+    id % 10 === 7
+
+  /** I10 — quarantine-tolerant JSONL ingest: the shape every
+    * crawl-scale text pipeline actually reads (web dumps are JSONL
+    * with a malformed-line tail from truncated flushes, encoding
+    * damage, mid-record kills). PERMISSIVE parsing with an explicit
+    * `_corrupt_record` column splits the stream IN ONE PASS into
+    * parsed rows and quarantined raw lines — never `FAILFAST` (one bad
+    * line kills a 100 TB job) and never `DROPMALFORMED` (silent data
+    * loss with no ledger). Quarantined lines carry a BEST-EFFORT key
+    * (`doc_id` regex over the raw line — the payload renders doc_id
+    * first, so arbitrarily mangled text tails can't shadow it), which
+    * is what makes the quarantine actionable (re-fetch by id) instead
+    * of a write-only graveyard.
+    *
+    * The harness stages the corpus as real JSONL (text field LAST, so
+    * the deterministic 5-char truncation always lands inside the
+    * closing `"}` and the line is structurally invalid — planted on
+    * [[i10IsCorrupt]]) and reads it back through the permissive
+    * parser. JSON string escaping keeps embedded newlines/quotes
+    * line-safe both ways (`JsonlQuarantineSpec` pins a gnarly-text
+    * round trip, plus both split sides).
+    *
+    * Spark-4 restriction, documented here because it bites at scale:
+    * a query may not reference only `_corrupt_record` over the lazy
+    * JSON relation — the raw line is not materialized unless some
+    * parse succeeds. The pattern that works (and the production shape
+    * anyway) is landing the split DURABLY first — here a scratch
+    * parquet round-trip, in production the o14 write-audit-publish
+    * staging — then deriving both sides from the landed relation.
+    *
+    * Scale shape: one corpus-linear parse pass (schema supplied, no
+    * sampling inference scan), a per-row regex on the (rare) corrupt
+    * side, zero shuffles before the landed write. The quarantine rate
+    * is the k1-style map-side tally a real pipeline alarms on.
+    */
+  def i10JsonlQuarantine(s: SparkSession, d: String): DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_i10_")
+    try {
+      i10Of(s, documents(s, d)
+        .select(col("doc_id"), col("lang"), col("n_chars"), col("text")),
+        dir.toString)
+        .orderBy("doc_id")
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+  }
+
+  /** The i10 core over any (doc_id, lang, n_chars, text) frame —
+    * factored for the spec's synthetic round trips. Returns the split
+    * verdict relation (unordered), fully materialized (scratch under
+    * `dir` is deletable by the caller). */
+  private[graft] def i10Of(s: SparkSession, docs: DataFrame,
+      dir: String): DataFrame = {
+    val payload = docs.select(col("doc_id"),
+      to_json(struct(col("doc_id"), col("lang"), col("n_chars"),
+        col("text"))).as("payload"))
+    payload.select(
+        when(i10IsCorrupt(col("doc_id")),
+          expr("substring(payload, 1, length(payload) - 5)"))
+          .otherwise(col("payload")).as("value"))
+      .coalesce(1).write.mode("overwrite").text(s"$dir/in")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("lang",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("n_chars",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("_corrupt_record",
+        org.apache.spark.sql.types.StringType)))
+    // land the split durably BEFORE deriving both sides (the corrupt
+    // column is unreadable-alone on the lazy relation — see scaladoc)
+    s.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(s"$dir/in")
+      .write.mode("overwrite").parquet(s"$dir/landed")
+    s.read.parquet(s"$dir/landed")
+      .select(
+        coalesce(col("doc_id"),
+          regexp_extract(col("_corrupt_record"), "\"doc_id\":(\\d+)", 1)
+            .cast("long")).as("doc_id"),
+        coalesce(col("lang"), lit("")).as("lang"),
+        coalesce(col("n_chars"), lit(-1L)).as("n_chars"),
+        when(col("_corrupt_record").isNull, lit("ok"))
+          .otherwise(lit("quarantined")).as("status"))
+      .localCheckpoint()
+  }
+
+  val i10Sql: String =
+    """SELECT doc_id,
+      |  CASE WHEN doc_id % 10 = 7 THEN '' ELSE lang END AS lang,
+      |  CAST(CASE WHEN doc_id % 10 = 7 THEN -1 ELSE n_chars END
+      |    AS BIGINT) AS n_chars,
+      |  CASE WHEN doc_id % 10 = 7 THEN 'quarantined' ELSE 'ok' END
+      |    AS status
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "i10_jsonl_quarantine" -> i10JsonlQuarantine,
     "i9_schema_evolution" -> i9SchemaEvolution,
     "s5_csv_scan" -> s5CsvScan,
     "i8_html_page_prune" -> i8HtmlPagePrune,
@@ -453,6 +556,7 @@ object Ingest {
   )
 
   val oracle: Map[String, String] = Map(
+    "i10_jsonl_quarantine" -> i10Sql,
     "i9_schema_evolution" -> i9Sql,
     "s5_csv_scan" -> s5Sql,
     "i8_html_page_prune" -> i8Sql,

@@ -127,7 +127,11 @@ class AntiPatternSweepSpec extends SparkSpecBase {
     "st21_stream_decontam" ->
       ("stateless foreachBatch broadcast-membership gate; the gram " +
         "scan + broadcast semi-join shape is c11's (swept/pinned " +
-        "there), batch-twin identity in StreamDecontamSpec"))
+        "there), batch-twin identity in StreamDecontamSpec"),
+    "i10_jsonl_quarantine" ->
+      ("staged JSONL round-trip harness (scratch text + landed " +
+        "parquet); the read is one permissive parse pass + per-row " +
+        "projections, split sides reconciled in JsonlQuarantineSpec"))
 
   private def sweep(name: String, df: => DataFrame,
       failures: scala.collection.mutable.ArrayBuffer[String]): Unit = {
