@@ -41,6 +41,16 @@ object EnlargeTestdata {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    enlarge(spark, src, out, copies)
+    println(s"""{"metric":"enlarge","src":"$src","out":"$out","copies":$copies}""")
+    spark.stop()
+  }
+
+  /** The enlargement body over a caller-owned session — factored so
+    * `EnlargeLayoutSpec` can pin the single-file layout contract
+    * without the CLI's session lifecycle. */
+  private[graft] def enlarge(spark: SparkSession, src: String,
+      out: String, copies: Int): Unit = {
 
     def read(t: String): DataFrame = spark.read.parquet(s"$src/$t.parquet")
     // Driver-layout contract: each table is ONE parquet FILE named
@@ -125,7 +135,5 @@ object EnlargeTestdata {
         col("l_orderkey") + lit(i * 1000000000L))
     }.reduce(_ unionByName _), "lineitem")
 
-    println(s"""{"metric":"enlarge","src":"$src","out":"$out","copies":$copies}""")
-    spark.stop()
   }
 }
