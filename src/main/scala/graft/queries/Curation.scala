@@ -460,11 +460,6 @@ object Curation {
       .agg(count(lit(1)).as("n_runs"), max(col("run_len")).as("max_run"),
         sum(col("run_len") - lit(C11K - 1)).cast("long").as("n_hits"))
 
-  /** The stitched-run relation under c11's collision machinery: one row
-    * per maximal shared ≥[[C11K]]-token run, with the run's length and
-    * its starting gram position on the BENCH side (`pb_start` — what
-    * [[c12Of]]'s coverage merge consumes; positions are engine-internal
-    * 0-/1-based and only ever used shift-invariantly). */
   /** The positional [[C11K]]-gram generator alone — shared with st21's
     * streaming membership gate (one map-side pass, no exchange). */
   private[graft] def c11GramsOf(corpus: DataFrame): DataFrame = {
@@ -478,6 +473,11 @@ object Curation {
         .as(Seq("pos", "gram")))
   }
 
+  /** The stitched-run relation under c11's collision machinery: one row
+    * per maximal shared ≥[[C11K]]-token run, with the run's length and
+    * its starting gram position on the BENCH side (`pb_start` — what
+    * [[c12Of]]'s coverage merge consumes; positions are engine-internal
+    * 0-/1-based and only ever used shift-invariantly). */
   private[graft] def c11RunsOf(corpus: DataFrame,
       isBench: org.apache.spark.sql.Column): DataFrame = {
     import org.apache.spark.sql.expressions.Window

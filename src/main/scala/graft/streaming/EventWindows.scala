@@ -594,10 +594,17 @@ object EventWindows {
       val dropped = q.recentProgress
         .flatMap(p => p.stateOperators.map(_.numRowsDroppedByWatermark))
         .sum
-      require(dropped == nStragglerGroups,
-        s"st17: engine dropped $dropped rows, expected exactly the " +
-          s"$nStragglerGroups late straggler groups (from $nStragglers " +
-          "straggler rows) - the loss accounting is the contract")
+      // the counter sits BEHIND the pre-shuffle partial aggregation, so
+      // the exact value also depends on how the straggler file splits
+      // into input partitions: one partition → exactly the distinct
+      // late groups; k partitions → up to one partial row per (group,
+      // partition), never more than the input rows. The contract is the
+      // RANGE, not single-partition staging (r16 advice): at least every
+      // late group was dropped, never more than the late input rows.
+      require(dropped >= nStragglerGroups && dropped <= nStragglers,
+        s"st17: engine dropped $dropped late partial-agg rows, outside " +
+          s"the contract [$nStragglerGroups late groups, $nStragglers " +
+          "late input rows] - the loss accounting is the contract")
       s.table(sink)
         .localCheckpoint()
         .orderBy("window_start", "event_type")

@@ -77,6 +77,14 @@ class DsirSpec extends SparkSpecBase {
       val k = math.ceil(n / Curation.C13Frac.toDouble).toLong
       val nSel = got.filter(col("selected")).count()
       assert(nSel >= k, s"selected $nSel < k=$k")
+      // guard the degenerate all-selected histogram (every doc in the
+      // top bin) BEFORE reading max(bin) on the unselected side — an
+      // empty aggregate yields null and the bare getInt would NPE
+      // instead of failing with a meaningful message (r16 advice)
+      val nUnsel = got.filter(!col("selected")).count()
+      assert(nUnsel > 0,
+        s"degenerate histogram: all $n docs selected - the strict " +
+          "top-slice separation check needs a non-empty unselected side")
       val minSelBin = got.filter(col("selected")).agg(min("bin"))
         .head().getInt(0)
       val maxUnselBin = got.filter(!col("selected")).agg(max("bin"))
