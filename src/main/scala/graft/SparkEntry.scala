@@ -45,6 +45,7 @@ object SparkEntry {
       _root_.graft.streaming.StreamDedup.defs ++
       _root_.graft.streaming.StreamNearDup.defs ++
       _root_.graft.streaming.StreamDecontam.defs ++
+      _root_.graft.streaming.StreamQuality.defs ++
       _root_.graft.streaming.CdcMerge.defs ++
       _root_.graft.streaming.GapDetect.defs ++
       _root_.graft.streaming.FunnelDetect.defs
@@ -75,6 +76,7 @@ object SparkEntry {
       _root_.graft.streaming.StreamDedup.oracle ++
       _root_.graft.streaming.StreamNearDup.oracle ++
       _root_.graft.streaming.StreamDecontam.oracle ++
+      _root_.graft.streaming.StreamQuality.oracle ++
       _root_.graft.streaming.CdcMerge.oracle ++
       _root_.graft.streaming.GapDetect.oracle ++
       _root_.graft.streaming.FunnelDetect.oracle

@@ -489,7 +489,144 @@ object EndToEnd {
       |LEFT JOIN pstats16 p USING (doc_id)
       |ORDER BY c.doc_id""".stripMargin
 
+  /** The audit-stage language whitelist — the documents table's full
+    * domain, so only the injected mutation can violate it. */
+  private val E2eIngKnownLangs = Seq("de", "en", "es", "fr", "zh")
+
+  /** E2E — the ingest lifecycle under one hash (r16 verdict ask #3):
+    * the round-16 pieces chained exactly as the i10 scaladoc names the
+    * composition —
+    *
+    *  1. **i10 quarantine-tolerant landing**: the corpus staged as
+    *     corruption-planted JSONL, permissive-parsed, landed durably,
+    *     split into parsed rows and parse-quarantined raw lines with
+    *     best-effort key recovery ([[Ingest.i10Land]]).
+    *  2. **o14 write-audit-publish**: the parsed side gated by named
+    *     constraints (`chk_lang_known`, `chk_nchars_positive` — clean
+    *     synthetic docs violate nothing, so violations are injected
+    *     the data-reachable way: `doc_id % 11 = 5` mangles the lang,
+    *     `% 9 = 4` negates n_chars), valid + audit-quarantined rows
+    *     STAGED to dot-dirs, the staged files audited (row
+    *     conservation + the valid side re-checked from what was
+    *     written), then published by atomic rename.
+    *  3. **o12 snapshot commit**: the published valid side committed
+    *     as v0 of a snapshot table and read back STRICTLY through the
+    *     manifest — the published relation in the result is what a
+    *     downstream reader actually resolves, not the in-memory frame.
+    *
+    * Every input row exits with exactly one per-stage verdict
+    * (`quarantined_parse` / `quarantined_audit` / `published`) and its
+    * violation list; the in-op requires pin the two lifecycle
+    * invariants the spec also drives: the quarantine ledger reconciles
+    * to the input row count, and no quarantined key ever reaches the
+    * published snapshot.
+    *
+    * Scale shape: stage 1 is one corpus-linear permissive parse (zero
+    * pre-landing shuffles); stage 2's constraints are scan-local
+    * codegen'd predicates feeding two filtered writes off ONE
+    * materialization; stage 3 is a metadata commit. The only
+    * non-linear work in the whole chain is the final presentation
+    * sort.
+    */
+  def e2eIngestPipeline(s: SparkSession, d: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val dir = Files.createTempDirectory("graft_e2eing_")
+    try {
+      val docs = documents(s, d)
+        .select(col("doc_id"), col("lang"), col("n_chars"), col("text"))
+      val nIn = docs.count()
+      // -- stage 1: quarantine-tolerant JSONL landing (i10) --
+      val landed = Ingest.i10Land(s, docs, s"$dir/land")
+      val parseQ = landed.filter(col("_corrupt_record").isNotNull)
+        .select(
+          coalesce(col("doc_id"),
+            regexp_extract(col("_corrupt_record"), "\"doc_id\":(\\d+)", 1)
+              .cast("long")).as("doc_id"),
+          lit("").as("lang"), lit(-1L).as("n_chars"),
+          lit("quarantined_parse").as("status"), lit("").as("violations"))
+        .localCheckpoint()
+      val parsed = landed.filter(col("_corrupt_record").isNull)
+        .select("doc_id", "lang", "n_chars")
+      // -- stage 2: write-audit-publish (o14 shape) --
+      val mut = parsed.select(col("doc_id"),
+        when(col("doc_id") % 11 === 5, lit("zz"))
+          .otherwise(col("lang")).as("lang"),
+        when(col("doc_id") % 9 === 4, -col("n_chars"))
+          .otherwise(col("n_chars")).as("n_chars"))
+      def violationsOf(rows: DataFrame): DataFrame = rows
+        .withColumn("violations", concat_ws(",",
+          when(!col("lang").isin(E2eIngKnownLangs: _*),
+            lit("chk_lang_known")),
+          when(col("n_chars") <= 0, lit("chk_nchars_positive"))))
+      val checked = violationsOf(mut).localCheckpoint()
+      val stagedV = Paths.get(dir.toString, ".valid.staging")
+      val stagedQ = Paths.get(dir.toString, ".quarantine.staging")
+      checked.filter(col("violations") === "").drop("violations")
+        .write.parquet(stagedV.toString)
+      checked.filter(col("violations") =!= "")
+        .write.parquet(stagedQ.toString)
+      val vBack = s.read.parquet(stagedV.toString)
+      val qBack = s.read.parquet(stagedQ.toString)
+      require(vBack.count() + qBack.count() == checked.count(),
+        "e2e-ing audit: staged rows must conserve the parsed input")
+      require(violationsOf(vBack).filter(col("violations") =!= "").isEmpty,
+        "e2e-ing audit: a staged valid row re-failed its constraints")
+      val pubV = Paths.get(dir.toString, "valid")
+      val pubQ = Paths.get(dir.toString, "quarantine")
+      require(stagedV.toFile.renameTo(pubV.toFile) &&
+        stagedQ.toFile.renameTo(pubQ.toFile),
+        "e2e-ing: publish rename failed")
+      // -- stage 3: snapshot commit; readers resolve the manifest --
+      val table = s"$dir/table"
+      Files.createDirectories(Paths.get(table))
+      Warehouse.o12Commit(table, 0, s.read.parquet(pubV.toString))
+      val published = Warehouse.o12ReadAsOf(s, table, 0)
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          lit("published").as("status"), lit("").as("violations"))
+      val auditQ = s.read.parquet(pubQ.toString)
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          lit("quarantined_audit").as("status"), col("violations"))
+      // lifecycle invariants: the ledger reconciles to the input row
+      // count, and no quarantined key reaches the published snapshot
+      require(published.count() + auditQ.count() + parseQ.count() == nIn,
+        "e2e-ing: the quarantine ledger does not reconcile to the input")
+      require(published.join(
+          parseQ.select("doc_id").unionByName(auditQ.select("doc_id")),
+          Seq("doc_id"), "left_semi").isEmpty,
+        "e2e-ing: a quarantined key reached the published snapshot")
+      published.unionByName(auditQ).unionByName(parseQ)
+        .orderBy("doc_id")
+        .localCheckpoint()
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+  }
+
+  val e2eIngSql: String =
+    """WITH landed AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 10 = 7 THEN ''
+      |         WHEN doc_id % 11 = 5 THEN 'zz' ELSE lang END AS lang,
+      |    CAST(CASE WHEN doc_id % 10 = 7 THEN -1
+      |         WHEN doc_id % 9 = 4 THEN -n_chars
+      |         ELSE n_chars END AS BIGINT) AS n_chars,
+      |    doc_id % 10 = 7 AS pq
+      |  FROM documents),
+      |v AS (
+      |  SELECT doc_id, lang, n_chars, pq,
+      |    CASE WHEN pq THEN '' ELSE concat_ws(',',
+      |      CASE WHEN lang NOT IN ('de', 'en', 'es', 'fr', 'zh')
+      |        THEN 'chk_lang_known' END,
+      |      CASE WHEN n_chars <= 0 THEN 'chk_nchars_positive' END)
+      |    END AS violations
+      |  FROM landed)
+      |SELECT doc_id, lang, n_chars,
+      |  CASE WHEN pq THEN 'quarantined_parse'
+      |       WHEN violations <> '' THEN 'quarantined_audit'
+      |       ELSE 'published' END AS status,
+      |  violations
+      |FROM v ORDER BY doc_id""".stripMargin
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e2e_ingest_pipeline" -> e2eIngestPipeline,
     "e2e_dedup_pipeline" -> e2eDedupPipeline,
     "e2e_dvp_pipeline" -> e2eDvpPipeline,
     "e2e_curation_pipeline" -> e2eCurationPipeline,
@@ -497,6 +634,7 @@ object EndToEnd {
   )
 
   val oracle: Map[String, String] = Map(
+    "e2e_ingest_pipeline" -> e2eIngSql,
     "e2e_dedup_pipeline" -> e2eDedupSql,
     "e2e_dvp_pipeline" -> e2eSql,
     "e2e_curation_pipeline" -> e2eCurSql,

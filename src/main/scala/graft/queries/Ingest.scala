@@ -488,11 +488,12 @@ object Ingest {
     } finally org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
   }
 
-  /** The i10 core over any (doc_id, lang, n_chars, text) frame —
-    * factored for the spec's synthetic round trips. Returns the split
-    * verdict relation (unordered), fully materialized (scratch under
-    * `dir` is deletable by the caller). */
-  private[graft] def i10Of(s: SparkSession, docs: DataFrame,
+  /** Stage `docs` as corruption-planted JSONL under `dir/in` and land
+    * the permissive split durably at `dir/landed`; returns the landed
+    * relation (parsed columns + `_corrupt_record`). Factored from
+    * [[i10Of]] so the e2e ingest chain can consume the landed split
+    * directly (parsed side onward to audit + snapshot commit). */
+  private[graft] def i10Land(s: SparkSession, docs: DataFrame,
       dir: String): DataFrame = {
     val payload = docs.select(col("doc_id"),
       to_json(struct(col("doc_id"), col("lang"), col("n_chars"),
@@ -501,6 +502,11 @@ object Ingest {
         when(i10IsCorrupt(col("doc_id")),
           expr("substring(payload, 1, length(payload) - 5)"))
           .otherwise(col("payload")).as("value"))
+      // .coalesce(1) is HARNESS staging, not the operator's shape: the
+      // fixture must be ONE jsonl file (the driver's corpus arrives as
+      // files; multi-part staging would re-test Spark's text writer,
+      // not the permissive read). The operator itself starts at the
+      // read below, which splits like any text source.
       .coalesce(1).write.mode("overwrite").text(s"$dir/in")
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("doc_id",
@@ -521,6 +527,15 @@ object Ingest {
       .json(s"$dir/in")
       .write.mode("overwrite").parquet(s"$dir/landed")
     s.read.parquet(s"$dir/landed")
+  }
+
+  /** The i10 core over any (doc_id, lang, n_chars, text) frame —
+    * factored for the spec's synthetic round trips. Returns the split
+    * verdict relation (unordered), fully materialized (scratch under
+    * `dir` is deletable by the caller). */
+  private[graft] def i10Of(s: SparkSession, docs: DataFrame,
+      dir: String): DataFrame = {
+    i10Land(s, docs, dir)
       .select(
         coalesce(col("doc_id"),
           regexp_extract(col("_corrupt_record"), "\"doc_id\":(\\d+)", 1)

@@ -933,18 +933,39 @@ object TextAnalysis {
     */
   private[graft] def lmQualityOver(docs: DataFrame,
       isRef: org.apache.spark.sql.Column): DataFrame = {
+    val (cab, ca, v) = lmTrain(docs, isRef)
+    val scored = lmScore(docs, cab, ca, v)
+      .localCheckpoint() // envelope, histogram and labeling scan this
+    val (qmin, width, cut1, cut2) = tercileCutsOf(scored)
+    scored.withColumn("bin", lmBin(col("mean_bits"), qmin, width))
+      .withColumn("bucket",
+        when(col("bin") <= lit(cut1), lit("head"))
+          .when(col("bin") <= lit(cut2), lit("middle"))
+          .otherwise(lit("tail")))
+      .select(col("doc_id"), col("lang"), col("n_pairs"),
+        col("total_bits"), col("mean_bits"), col("bucket"))
+      .orderBy("doc_id")
+  }
+
+  /** Adjacent-token pairs of a (doc_id, lang, text) frame — the LM unit
+    * (lag window PARTITIONED by doc; docs under 2 tokens emit none). */
+  private[graft] def lmPairs(f: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    def pairs(f: DataFrame): DataFrame = {
-      val toks = f
-        .select(col("doc_id"), col("lang"),
-          posexplode(split(trim(col("text")), "\\s+")).as(Seq("pos", "word")))
-        .filter(length(col("word")) > 0)
-      toks.withColumn("prev",
-          lag(col("word"), 1).over(
-            Window.partitionBy(col("doc_id")).orderBy(col("pos"))))
-        .filter(col("prev").isNotNull)
-    }
-    val refPairs = pairs(docs.filter(isRef))
+    f.select(col("doc_id"), col("lang"),
+        posexplode(split(trim(col("text")), "\\s+")).as(Seq("pos", "word")))
+      .filter(length(col("word")) > 0)
+      .withColumn("prev",
+        lag(col("word"), 1).over(
+          Window.partitionBy(col("doc_id")).orderBy(col("pos"))))
+      .filter(col("prev").isNotNull)
+  }
+
+  /** Train the bigram reference LM on the `isRef` slice: the
+    * (prev, word) count table, the prev-marginal table, and the
+    * vocabulary size — the three frozen artifacts st22 broadcasts. */
+  private[graft] def lmTrain(docs: DataFrame,
+      isRef: org.apache.spark.sql.Column): (DataFrame, DataFrame, Long) = {
+    val refPairs = lmPairs(docs.filter(isRef))
       .localCheckpoint() // trains cab, ca and V from ONE materialization
     val cab = refPairs.groupBy(col("prev"), col("word"))
       .agg(count(lit(1)).as("cab"))
@@ -952,7 +973,16 @@ object TextAnalysis {
     val v = refPairs.select(col("word"))
       .union(refPairs.select(col("prev")))
       .distinct().count()
-    val scored = pairs(docs)
+    (cab, ca, v)
+  }
+
+  /** Score any (doc_id, lang, text) frame under a trained model:
+    * per-doc (n_pairs, total_bits, mean_bits) at the integer
+    * floor-log₂ resolution. Model tables join as given — pass them
+    * pre-broadcast for the per-batch streaming plan. */
+  private[graft] def lmScore(docs: DataFrame, cab: DataFrame,
+      ca: DataFrame, v: Long): DataFrame =
+    lmPairs(docs)
       .join(cab, Seq("prev", "word"), "left")
       .join(ca, Seq("prev"), "left")
       .withColumn("bits",
@@ -961,29 +991,35 @@ object TextAnalysis {
       .groupBy(col("doc_id"), col("lang"))
       .agg(count(lit(1)).as("n_pairs"), sum(col("bits")).as("total_bits"))
       .withColumn("mean_bits", r6(col("total_bits") / col("n_pairs")))
-      .localCheckpoint() // envelope, histogram and labeling scan this
+
+  /** The envelope-clamped [[T14Bins]]-bin index of a mean-bits value.
+    * The lower clamp only engages when scoring AGAINST a frozen
+    * envelope (st22: a crawl doc can outscore the reference minimum);
+    * under the global envelope of [[lmQualityOver]] bins are already
+    * non-negative and the clamp is a no-op. */
+  private[graft] def lmBin(mean: org.apache.spark.sql.Column,
+      qmin: Double, width: Double): org.apache.spark.sql.Column =
+    least(lit(T14Bins - 1), greatest(lit(0),
+      floor((mean - lit(qmin)) / lit(width)).cast("int")))
+
+  /** The c7-envelope → 128-bin histogram → cumulative tercile cut over
+    * a scored relation: (qmin, bin width, head cut, middle cut).
+    * Driver state is the bounded histogram (≤[[T14Bins]] rows). */
+  private[graft] def tercileCutsOf(
+      scored: DataFrame): (Double, Double, Int, Int) = {
     val env = scored.agg(min(col("mean_bits")), max(col("mean_bits")),
       count(lit(1))).head()
     val (qmin, qmax, n) = (env.getDouble(0), env.getDouble(1), env.getLong(2))
     val width = math.max(qmax - qmin, 1e-9) / T14Bins
-    val binned = scored.withColumn("bin",
-      least(lit(T14Bins - 1),
-        floor((col("mean_bits") - lit(qmin)) / lit(width)).cast("int")))
-    val hist = binned.groupBy(col("bin")).agg(count(lit(1)).as("cnt"))
+    val hist = scored.withColumn("bin", lmBin(col("mean_bits"), qmin, width))
+      .groupBy(col("bin")).agg(count(lit(1)).as("cnt"))
       .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
     val cum = hist.scanLeft((0, 0L)) { case ((_, c), (b, cnt)) =>
       (b, c + cnt) }.drop(1)
     def cutFor(target: Long): Int =
       cum.find(_._2 >= target).map(_._1).getOrElse(T14Bins - 1)
-    val cut1 = cutFor(math.ceil(n / 3.0).toLong)
-    val cut2 = cutFor(math.ceil(2.0 * n / 3.0).toLong)
-    binned.withColumn("bucket",
-        when(col("bin") <= lit(cut1), lit("head"))
-          .when(col("bin") <= lit(cut2), lit("middle"))
-          .otherwise(lit("tail")))
-      .select(col("doc_id"), col("lang"), col("n_pairs"),
-        col("total_bits"), col("mean_bits"), col("bucket"))
-      .orderBy("doc_id")
+    (qmin, width, cutFor(math.ceil(n / 3.0).toLong),
+      cutFor(math.ceil(2.0 * n / 3.0).toLong))
   }
 
   /** T15 — the FROZEN-reference variant of t14 (r15 verdict carry):

@@ -1,0 +1,187 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.Tables._
+
+/** ST22 — the streaming quality gate: t15's FROZEN-reference CCNet
+  * scoring run AS the crawl arrives (the r16 verdict ask #7 — the
+  * quality triad's streaming counterpart, st21's shape applied to the
+  * reference-LM fluency scorer). Production pipelines do not re-score
+  * the corpus at the end of the crawl; they gate documents per
+  * micro-batch against a model trained ONCE and shipped frozen.
+  *
+  * Frozen artifacts, built up front and BROADCAST into every batch:
+  * the bigram model tables (cab / ca / V — trained on the fixed half
+  * of the 'en' slice, [[graft.queries.TextAnalysis.lmTrain]]) and the
+  * TERCILE CUTS (envelope + 128-bin cut computed over the reference
+  * slice scored under its own model). Freezing the cuts is what makes
+  * the gate batching-invariant: t14/t15's cut is a global corpus
+  * statistic, so a per-batch recomputation would label the same doc
+  * differently depending on its batch-mates — exactly the
+  * non-determinism a streaming gate must not have. A crawl doc can
+  * score outside the frozen reference envelope; the bin index clamps
+  * both ends ([[graft.queries.TextAnalysis.lmBin]]), which only
+  * relabels docs MORE fluent than the reference minimum as `head` —
+  * the right answer by construction.
+  *
+  * The streaming part is deliberately STATELESS (the st21 discipline):
+  * a document's tokens are confined to its own micro-batch (docs are
+  * file-staged whole), the per-doc score is a batch-local aggregation
+  * (foreachBatch = per-batch exact aggregation), the model is a
+  * broadcast constant, and no state store exists to size, checkpoint,
+  * or evict. Result identity under ANY batching is structural;
+  * `StreamQualitySpec` pins it against the batch twin (the same docs
+  * scored in one pass) and the registered t15 row's labels.
+  *
+  * Scale shape per batch: tokenize + lag window partitioned by doc_id
+  * (batch-local), two broadcast model joins, one doc-keyed map-side-
+  * combinable aggregation. Constant-size model tables at any crawl
+  * length (the t15 freeze) and the same per-batch plan at any history
+  * length (the st21 contrast: WHEN the gate runs, not what it costs).
+  */
+object StreamQuality {
+  import graft.queries.TextAnalysis
+
+  def st22StreamQualityGate(s: SparkSession, d: String): DataFrame =
+    CatchupConf.withBoundedStatePartitions(s) {
+    val docs = documentsSpread(s, d)
+      .select(col("doc_id"), col("lang"), col("text"))
+    val isRef = col("lang") === "en" && col("doc_id") % 2 === 0
+    // frozen model + frozen cuts: trained/cut ONCE, never per batch
+    val (cab0, ca0, v) = TextAnalysis.lmTrain(docs, isRef)
+    val cab = cab0.localCheckpoint()
+    val ca = ca0.localCheckpoint()
+    val refScored = TextAnalysis.lmScore(docs.filter(isRef), cab, ca, v)
+      .localCheckpoint()
+    val (qmin, width, cut1, cut2) = TextAnalysis.tercileCutsOf(refScored)
+    val crawl = docs.filter(!isRef)
+
+    val dir = java.nio.file.Files.createTempDirectory("graft_st22_")
+    val inDir = dir.resolve("in")
+    java.nio.file.Files.createDirectories(inDir)
+    val sinkDir = dir.resolve("scored").toString
+    try {
+      def stageBatch(df: DataFrame, name: String, mtimeBump: Long): Unit = {
+        val scratch = dir.resolve(s"scratch_$name")
+        df.coalesce(1).write.parquet(scratch.toString)
+        import scala.jdk.CollectionConverters._
+        val part = java.nio.file.Files.list(scratch).iterator().asScala
+          .find(_.toString.endsWith(".parquet")).get
+        val target = inDir.resolve(s"$name.parquet")
+        java.nio.file.Files.copy(part, target)
+        org.apache.commons.io.FileUtils.deleteDirectory(scratch.toFile)
+        java.nio.file.Files.setLastModifiedTime(target,
+          java.nio.file.attribute.FileTime.fromMillis(
+            System.currentTimeMillis() + mtimeBump))
+      }
+      // two mtime-ordered arrival waves; id-parity split so every lang
+      // and both quality extremes arrive in both waves
+      stageBatch(crawl.filter(col("doc_id") % 2 === 0), "a_even", 0L)
+      stageBatch(crawl.filter(col("doc_id") % 2 === 1), "b_odd", 60000L)
+
+      val stream = s.readStream.schema(crawl.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(inDir.toString)
+      val q = stream.writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          gateBatch(cab, ca, v, qmin, width, cut1, cut2, sinkDir, batch)
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      require(q.awaitTermination(180000), "st22 stream did not finish in time")
+      require(q.recentProgress.count(_.numInputRows > 0) >= 2,
+        "st22: the staged waves collapsed into one micro-batch — the " +
+          "cross-batch claim would be untested")
+      s.read.parquet(sinkDir).localCheckpoint().orderBy("doc_id")
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+  }
+
+  /** The foreachBatch body, factored for `StreamQualitySpec`'s batch
+    * twin: score the batch under the broadcast frozen model, label
+    * against the frozen cuts, append to the sink. */
+  private[graft] def gateBatch(cab: DataFrame, ca: DataFrame, v: Long,
+      qmin: Double, width: Double, cut1: Int, cut2: Int,
+      sinkDir: String, batch: DataFrame): Unit =
+    TextAnalysis.lmScore(batch, broadcast(cab), broadcast(ca), v)
+      .withColumn("bin", TextAnalysis.lmBin(col("mean_bits"), qmin, width))
+      .withColumn("bucket",
+        when(col("bin") <= lit(cut1), lit("head"))
+          .when(col("bin") <= lit(cut2), lit("middle"))
+          .otherwise(lit("tail")))
+      .select(col("doc_id"), col("lang"), col("n_pairs"),
+        col("total_bits"), col("mean_bits"), col("bucket"))
+      .write.mode("append").parquet(sinkDir)
+
+  /** The batch twin: ref-trained model + frozen cuts, crawl scored in
+    * one pass — the same math with no stream. */
+  val st22Sql: String = {
+    val refWhere = "lang = 'en' AND doc_id % 2 = 0"
+    s"""WITH toks AS (
+      |  SELECT doc_id, lang, i AS pos, w[i] AS word
+      |  FROM (SELECT doc_id, lang,
+      |          string_split_regex(trim(text), '\\s+') AS w
+      |        FROM documents),
+      |    LATERAL (SELECT unnest(range(1, len(w) + 1)) AS i) t
+      |  WHERE len(w[i]) > 0),
+      |prs AS (
+      |  SELECT doc_id, lang, word,
+      |    lag(word) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+      |  FROM toks),
+      |pairs AS (SELECT doc_id, lang, prev, word FROM prs
+      |          WHERE prev IS NOT NULL),
+      |ref AS (SELECT prev, word FROM pairs WHERE $refWhere),
+      |cab AS (SELECT prev, word, CAST(count(*) AS BIGINT) AS cab
+      |        FROM ref GROUP BY 1, 2),
+      |ca AS (SELECT prev, CAST(sum(cab) AS BIGINT) AS ca
+      |       FROM cab GROUP BY 1),
+      |v AS (SELECT CAST(count(*) AS BIGINT) AS v FROM (
+      |        SELECT word FROM ref UNION SELECT prev FROM ref)),
+      |scored AS (
+      |  SELECT p.doc_id, p.lang,
+      |    CAST(count(*) AS BIGINT) AS n_pairs,
+      |    CAST(sum(
+      |      (len(bin(coalesce(a.ca, 0) + v.v)) - 1) -
+      |      (len(bin(coalesce(c.cab, 0) + 1)) - 1)) AS BIGINT) AS total_bits
+      |  FROM pairs p
+      |  LEFT JOIN cab c ON c.prev = p.prev AND c.word = p.word
+      |  LEFT JOIN ca a ON a.prev = p.prev
+      |  CROSS JOIN v
+      |  GROUP BY p.doc_id, p.lang),
+      |sc AS (
+      |  SELECT doc_id, lang, n_pairs, total_bits,
+      |    ${r6Sql("CAST(total_bits AS DOUBLE) / n_pairs")} AS mean_bits
+      |  FROM scored),
+      |r AS (SELECT min(mean_bits) AS qmin, max(mean_bits) AS qmax,
+      |      count(*) AS n FROM sc WHERE $refWhere),
+      |bref AS (
+      |  SELECT LEAST(127, GREATEST(0, CAST(floor((mean_bits - qmin) /
+      |    (GREATEST(qmax - qmin, 1e-9) / 128.0)) AS INT))) AS bin
+      |  FROM sc CROSS JOIN r WHERE $refWhere),
+      |hist AS (SELECT bin, count(*) AS cnt FROM bref GROUP BY bin),
+      |cum AS (
+      |  SELECT a.bin, CAST(sum(c.cnt) AS BIGINT) AS cum
+      |  FROM hist a JOIN hist c ON c.bin <= a.bin GROUP BY a.bin),
+      |cut1 AS (SELECT min(bin) AS c FROM cum CROSS JOIN r
+      |         WHERE cum >= CAST(ceil(n / 3.0) AS BIGINT)),
+      |cut2 AS (SELECT min(bin) AS c FROM cum CROSS JOIN r
+      |         WHERE cum >= CAST(ceil(2.0 * n / 3.0) AS BIGINT)),
+      |b AS (
+      |  SELECT sc.*, LEAST(127, GREATEST(0, CAST(floor((mean_bits - qmin) /
+      |    (GREATEST(qmax - qmin, 1e-9) / 128.0)) AS INT))) AS bin
+      |  FROM sc CROSS JOIN r WHERE NOT ($refWhere))
+      |SELECT doc_id, lang, n_pairs, total_bits, mean_bits,
+      |  CASE WHEN bin <= (SELECT c FROM cut1) THEN 'head'
+      |       WHEN bin <= (SELECT c FROM cut2) THEN 'middle'
+      |       ELSE 'tail' END AS bucket
+      |FROM b ORDER BY doc_id""".stripMargin
+  }
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st22_stream_quality" -> st22StreamQualityGate,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "st22_stream_quality" -> st22Sql,
+  )
+}
