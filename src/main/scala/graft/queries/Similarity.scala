@@ -2375,7 +2375,14 @@ object Similarity {
     ivfPqProbeOf(withNorm(s, d).filter(col("vec_id") < s3Cap),
       nlist = 8, nprobe = 2, residual = true)
 
-  val s25Sql: String = {
+  /** The full residual IVF-PQ replay (s25's oracle) parameterized by
+    * the corpus definition: `prologue` is zero or more extra leading
+    * CTEs (trailing comma included), `eDef` the SELECT that defines
+    * the `e` relation the whole probe runs over. s25 instantiates it
+    * over the capped embeddings; s26 twice — the anisotropic corpus
+    * raw and OPQ-permuted. No trailing ORDER BY (callers append). */
+  private[queries] def residualPqSqlOver(prologue: String,
+      eDef: String): String = {
     def dot(a: String, b: String) =
       s"list_reduce(list_prepend(0.0, list_transform(range(1, len($a)+1)," +
         s" i -> $a[i]::DOUBLE * $b[i]::DOUBLE)), (acc, x) -> acc + x)"
@@ -2386,7 +2393,8 @@ object Similarity {
       s"CAST(list_reduce(list_prepend(0, list_transform(range(1, len($n)+1)," +
         s" i -> ${uq(s"$a[i]")} * ${uq(s"$b[i]")}))," +
         s" (acc, v) -> acc + v) AS BIGINT)"
-    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < $s3Cap),
+    s"""WITH $prologue
+      |e AS ($eDef),
       |cent AS (SELECT vec_id AS cent_id, embedding AS ce
       |  FROM e WHERE vec_id < 8),
       |assigned AS (
@@ -2517,8 +2525,162 @@ object Similarity {
       |    * 1000000.0 + 0.5) / 1000000.0 AS recall_at_5,
       |  p.n_cand
       |FROM pq_top p LEFT JOIN exact x
-      |  ON p.query_id = x.query_id AND p.neighbor_id = x.neighbor_id
-      |ORDER BY p.query_id, p.rank""".stripMargin
+      |  ON p.query_id = x.query_id AND p.neighbor_id = x.neighbor_id""".stripMargin
+  }
+
+  val s25Sql: String = residualPqSqlOver("",
+    s"SELECT vec_id, embedding FROM embeddings WHERE vec_id < $s3Cap") +
+    "\nORDER BY p.query_id, p.rank"
+
+  // ---- S26: OPQ-style dimension allocation ahead of PQ ---------------
+
+  /** Leading dims kept at full scale by the s26 anisotropy injection;
+    * the tail is shrunk by an exactly-representable 2⁻³ so the
+    * float→double products stay IEEE-identical across engines. */
+  private[queries] val OpqHotDims = 16
+
+  /** The s26 test corpus: the capped embeddings made ANISOTROPIC the
+    * data-reachable way (the o14/d16 injection discipline) — dims
+    * 1..[[OpqHotDims]] at full scale, the rest × 0.125. The real test
+    * embeddings are measured-isotropic (per-dim variance 0.0142–0.017,
+    * mean |corr| 0.017 — see the s26 scaladoc), so a rotation has
+    * nothing to fix there BY CONSTRUCTION; the injection concentrates
+    * the energy in 4 contiguous subspaces, the exact pathology OPQ's
+    * allocation step exists to repair. */
+  private[graft] def s26AnisOf(s: SparkSession, d: String): DataFrame = {
+    GraftExtensions.ensureRegistered(s)
+    embeddings(s, d).filter(col("vec_id") < s3Cap)
+      .select(col("vec_id"), expr(
+        s"transform(embedding, (x, i) -> CAST(x AS DOUBLE) * " +
+          s"(CASE WHEN i < $OpqHotDims THEN CAST(1.0 AS DOUBLE)" +
+          s" ELSE CAST(0.125 AS DOUBLE) END))").as("embedding"))
+      .withColumn("nrm", sqrt(expr("graft_dot(embedding, embedding)")))
+  }
+
+  /** OPQ's allocation step as a deterministic integer-exact
+    * PERMUTATION (a signed-permutation matrix is the orthogonal
+    * rotation both engines can replay bit-for-bit; an arbitrary
+    * learned rotation would put irrational cos/sin into the hash
+    * path): rank dimensions by exact integer micro-unit energy and
+    * SNAKE-DEAL them across the [[pqM]] subspaces, so every subspace
+    * receives one dimension from each energy stratum — the
+    * eigenvalue-allocation balancing of Ge et al.'s OPQ, specialized
+    * to axis-aligned structure. Returns the 1-based dim order (all
+    * dims of subspace 0 first, then subspace 1, …) so the permuted
+    * vector feeds the UNCHANGED contiguous-slice PQ pipeline. */
+  private[graft] def opqSnakePerm(e: DataFrame): Seq[Int] = {
+    val en = e
+      .select(posexplode(col("embedding")).as(Seq("pos", "v")))
+      .withColumn("u",
+        expr("CAST(floor(CAST(v AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)"))
+      .groupBy((col("pos") + 1).as("dim"))
+      .agg(sum(col("u") * col("u")).as("en"))
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+    val ranked = en.sortBy { case (dim, e2) => (-e2, dim) }.map(_._1)
+    val slots = ranked.zipWithIndex.map { case (dim, r) =>
+      val rnd = r / pqM
+      val k = r % pqM
+      val sub = if (rnd % 2 == 0) k else pqM - 1 - k
+      (sub, rnd, dim)
+    }
+    slots.sortBy { case (sub, rnd, _) => (sub, rnd) }.map(_._3).toSeq
+  }
+
+  /** Apply a 1-based dimension permutation; the norm is recomputed in
+    * the PERMUTED fold order (FP addition is order-sensitive — the
+    * oracle folds the same permuted list, so per-variant identity
+    * holds exactly). */
+  private[graft] def permuteEmb(e: DataFrame, perm: Seq[Int]): DataFrame =
+    e.select(col("vec_id"),
+        transform(array(perm.map(p => lit(p)): _*),
+          d => element_at(col("embedding"), d)).as("embedding"))
+      .withColumn("nrm", sqrt(expr("graft_dot(embedding, embedding)")))
+
+  /** S26 — OPQ-style dimension allocation ahead of residual PQ (r16
+    * verdict stretch #8): the remaining public-literature recall lever
+    * at constant probe cost. PQ's subspace split is an arbitrary
+    * contiguous slicing; when the data's energy is unevenly spread
+    * across that slicing, a few subspaces carry everything (16
+    * codewords against the hardest content) while the rest quantize
+    * noise — OPQ (Ge et al., CVPR 2013) repairs it with an orthogonal
+    * transform before encoding. Here the transform is the
+    * deterministic energy-balancing permutation ([[opqSnakePerm]]),
+    * measured honestly:
+    *
+    *  - On the REAL test embeddings a rotation is a NO-OP by
+    *    construction — they are isotropic (measured at sf0.1: per-dim
+    *    variance 0.0142–0.017, contiguous 4-dim block energies
+    *    0.060–0.064, mean |pairwise corr| 0.017) — so no pin on them
+    *    could certify the operator.
+    *  - The registered row therefore runs BOTH variants over the
+    *    data-reachably anisotropic corpus ([[s26AnisOf]]): the same
+    *    residual IVF-PQ probe (s25's config), raw slicing vs permuted,
+    *    tagged and hashed under one oracle. `OpqSpec` pins the recall
+    *    lift at the identical candidate budget and the permutation's
+    *    structural properties (bijection; balanced per-subspace
+    *    energy spread strictly tighter than contiguous).
+    *
+    * A permutation preserves inner products, so the exact top-5 truth
+    * is the same relation in both variants (up to FP fold order, which
+    * each engine replays per variant) — the recall delta isolates the
+    * SUBSPACE COMPOSITION, nothing else.
+    *
+    * Scale shape: the permutation is a 64-entry broadcast literal
+    * derived from one integer map-side aggregation over the corpus
+    * (the k1 sketch shape); probe-time cost is IDENTICAL to s25 — the
+    * permuted corpus feeds the unchanged code-join/ADC pipeline.
+    */
+  def s26OpqPermute(s: SparkSession, d: String): DataFrame = {
+    val anis = s26AnisOf(s, d)
+    val perm = opqSnakePerm(anis)
+    val raw = ivfPqProbeOf(anis, nlist = 8, nprobe = 2, residual = true)
+      .withColumn("variant", lit("raw"))
+    val opq = ivfPqProbeOf(permuteEmb(anis, perm),
+        nlist = 8, nprobe = 2, residual = true)
+      .withColumn("variant", lit("opq"))
+    raw.unionByName(opq)
+      .select(col("variant"), col("query_id"), col("rank"),
+        col("neighbor_id"), col("adc_cos"), col("hit"),
+        col("recall_at_5"), col("n_cand"))
+      .orderBy("variant", "query_id", "rank")
+  }
+
+  val s26Sql: String = {
+    def uq(x: String) =
+      s"CAST(floor($x::DOUBLE * 1000000.0 + 0.5) AS BIGINT)"
+    val nDims = pqM * pqSubDim
+    val anisDef =
+      s"""SELECT vec_id, list_transform(range(1, len(embedding) + 1),
+        |    i -> embedding[i]::DOUBLE *
+        |      (CASE WHEN i <= $OpqHotDims THEN 1.0 ELSE 0.125 END))
+        |    AS embedding
+        |  FROM embeddings WHERE vec_id < $s3Cap""".stripMargin
+    val permPrologue =
+      s"""anis AS ($anisDef),
+        |den AS (
+        |  SELECT i AS dim,
+        |    CAST(sum(${uq("embedding[i]")} * ${uq("embedding[i]")})
+        |      AS BIGINT) AS en
+        |  FROM anis, LATERAL (SELECT unnest(range(1, $nDims + 1)) AS i)
+        |  GROUP BY i),
+        |drank AS (
+        |  SELECT dim, row_number() OVER (ORDER BY en DESC, dim) - 1 AS r
+        |  FROM den),
+        |dmap AS (
+        |  SELECT dim, r // $pqM AS rnd,
+        |    CASE WHEN (r // $pqM) % 2 = 0 THEN r % $pqM
+        |         ELSE ${pqM - 1} - (r % $pqM) END AS sub
+        |  FROM drank),
+        |perm AS (SELECT list(dim ORDER BY sub, rnd) AS p FROM dmap),""".stripMargin
+    s"""SELECT 'raw' AS variant, * FROM (
+      |${residualPqSqlOver(s"anis AS ($anisDef),",
+        "SELECT vec_id, embedding FROM anis")})
+      |UNION ALL
+      |SELECT 'opq' AS variant, * FROM (
+      |${residualPqSqlOver(permPrologue,
+        "SELECT vec_id, list_transform(p, i -> embedding[i]) AS embedding" +
+          " FROM anis, perm")})
+      |ORDER BY variant, query_id, rank""".stripMargin
   }
 
   /** S20 — two-stage retrieval: ADC SHORTLIST → exact re-rank, the
@@ -2717,6 +2879,7 @@ object Similarity {
     "s18_pq_adc" -> s18PqAdc,
     "s19_ivfpq" -> s19IvfPq,
     "s25_residual_pq" -> s25ResidualPq,
+    "s26_opq_permute" -> s26OpqPermute,
     "s20_rerank" -> s20Rerank,
     "s7_ann_recall" -> s7AnnRecall,
     "s10_ivf_multiprobe" -> s10IvfMultiprobe,
@@ -2741,6 +2904,7 @@ object Similarity {
     "s18_pq_adc" -> s18Sql,
     "s19_ivfpq" -> s19Sql,
     "s25_residual_pq" -> s25Sql,
+    "s26_opq_permute" -> s26Sql,
     "s20_rerank" -> s20Sql,
     "s7_ann_recall" -> s7Sql,
     "s10_ivf_multiprobe" -> s10Sql,
