@@ -488,6 +488,20 @@ object Ingest {
     } finally org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
   }
 
+  /** The supplied read schema (no inference scan) with the explicit
+    * corrupt-record column — shared with `DumpPlans`' parse-plan dump. */
+  private[graft] val i10Schema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("doc_id",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("lang",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("n_chars",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("text",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("_corrupt_record",
+      org.apache.spark.sql.types.StringType)))
+
   /** Stage `docs` as corruption-planted JSONL under `dir/in` and land
     * the permissive split durably at `dir/landed`; returns the landed
     * relation (parsed columns + `_corrupt_record`). Factored from
@@ -508,20 +522,9 @@ object Ingest {
       // not the permissive read). The operator itself starts at the
       // read below, which splits like any text source.
       .coalesce(1).write.mode("overwrite").text(s"$dir/in")
-    val schema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("doc_id",
-        org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("lang",
-        org.apache.spark.sql.types.StringType),
-      org.apache.spark.sql.types.StructField("n_chars",
-        org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("text",
-        org.apache.spark.sql.types.StringType),
-      org.apache.spark.sql.types.StructField("_corrupt_record",
-        org.apache.spark.sql.types.StringType)))
     // land the split durably BEFORE deriving both sides (the corrupt
     // column is unreadable-alone on the lazy relation — see scaladoc)
-    s.read.schema(schema)
+    s.read.schema(i10Schema)
       .option("mode", "PERMISSIVE")
       .option("columnNameOfCorruptRecord", "_corrupt_record")
       .json(s"$dir/in")

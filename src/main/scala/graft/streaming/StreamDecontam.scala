@@ -93,11 +93,18 @@ object StreamDecontam {
     * sink. */
   private[graft] def gateBatch(s: SparkSession, benchGrams: DataFrame,
       sinkDir: String, batch: DataFrame): Unit =
+    gateRelation(benchGrams, batch)
+      .write.mode("append").parquet(sinkDir)
+
+  /** The per-batch gate as a relation (the plan `DumpPlans` renders):
+    * map-side gram explosion → broadcast bench semi-join → doc-keyed
+    * map-side-combinable count. */
+  private[graft] def gateRelation(benchGrams: DataFrame,
+      batch: DataFrame): DataFrame =
     graft.queries.Curation.c11GramsOf(batch)
       .join(broadcast(benchGrams), Seq("gram"), "left_semi")
       .groupBy(col("doc_id").as("train_doc"))
       .agg(count(lit(1)).as("n_hit_grams"))
-      .write.mode("append").parquet(sinkDir)
 
   val st21Sql: String =
     s"""${graft.queries.Curation.c11CorpusGramsSqlCtes},

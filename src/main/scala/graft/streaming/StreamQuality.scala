@@ -103,6 +103,15 @@ object StreamQuality {
   private[graft] def gateBatch(cab: DataFrame, ca: DataFrame, v: Long,
       qmin: Double, width: Double, cut1: Int, cut2: Int,
       sinkDir: String, batch: DataFrame): Unit =
+    gateRelation(cab, ca, v, qmin, width, cut1, cut2, batch)
+      .write.mode("append").parquet(sinkDir)
+
+  /** The per-batch gate as a relation (the plan `DumpPlans` renders):
+    * batch-local tokenize + lag window, two broadcast model joins,
+    * doc-keyed aggregation, frozen-cut labeling. */
+  private[graft] def gateRelation(cab: DataFrame, ca: DataFrame, v: Long,
+      qmin: Double, width: Double, cut1: Int, cut2: Int,
+      batch: DataFrame): DataFrame =
     TextAnalysis.lmScore(batch, broadcast(cab), broadcast(ca), v)
       .withColumn("bin", TextAnalysis.lmBin(col("mean_bits"), qmin, width))
       .withColumn("bucket",
@@ -111,7 +120,6 @@ object StreamQuality {
           .otherwise(lit("tail")))
       .select(col("doc_id"), col("lang"), col("n_pairs"),
         col("total_bits"), col("mean_bits"), col("bucket"))
-      .write.mode("append").parquet(sinkDir)
 
   /** The batch twin: ref-trained model + frozen cuts, crawl scored in
     * one pass — the same math with no stream. */

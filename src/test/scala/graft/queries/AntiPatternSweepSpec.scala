@@ -53,6 +53,8 @@ class AntiPatternSweepSpec extends SparkSpecBase {
     "s19_ivfpq",              // broadcast 8-row centroid dim (query probe side)
     "s25_residual_pq",        // same probe + broadcast 8-row centroid dim in
                               // the qc/cc residual tables (5 queries × nlist)
+    "s26_opq_permute",        // s25's probe twice (raw/permuted variants) —
+                              // same broadcast 8-row centroid dims only
     "e2e_dvp_pipeline",       // 30-team dim grid + 1-row validation verdicts, broadcast
     "a9_completeness_grid",   // expected-grid dim × dim (SURVEY A9)
     "d12_semantic_dedup",     // broadcast of 8 centroid rows (flat path, k <= HierThreshold)
