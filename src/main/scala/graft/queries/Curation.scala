@@ -1383,7 +1383,66 @@ object Curation {
       |GROUP BY source, tok, n_docs, rate
       |ORDER BY source""".stripMargin
 
+  /** C14 — LEAKAGE-SAFE train/val split: c2's stable hash-mod split
+    * applied at NEAR-DUP CLUSTER granularity instead of per document.
+    * The GPT-3 paper's post-hoc contamination analysis exists because
+    * doc-level splits leak: two near-duplicate documents land on
+    * opposite sides of the split and the eval measures memorization.
+    * Splitting on the d6 cluster id (the component's min doc_id) makes
+    * leakage impossible BY CONSTRUCTION — every near-dup pair shares a
+    * component, hence a split — while keeping c2's stability
+    * properties (hash-based, so re-runs, repartitioning, and
+    * incremental appends never reshuffle assignments; a NEW near-dup
+    * of an existing doc joins its cluster and inherits its split).
+    *
+    * The in-op require replays the guarantee against the d5 pair
+    * relation itself (zero straddling pairs) — a regression tripwire
+    * for the composition, not a data assumption.
+    *
+    * Scale shape: the cluster relation is d6's (session-shared,
+    * edge-incident propagation only); the split is one scan-local
+    * hash projection over it; the straddle audit joins the bounded
+    * pair list to the labels twice by key. Nothing new shuffles the
+    * corpus.
+    */
+  def c14LeakageSafeSplit(s: SparkSession, d: String): DataFrame = {
+    val lbl = c14Of(Dedup.d6ClustersShared(s, d))
+    val pairs = Dedup.d5PairsShared(s, d).select("doc_a", "doc_b")
+    val straddle = pairs
+      .join(lbl.select(col("doc_id").as("doc_a"), col("split").as("sa")),
+        "doc_a")
+      .join(lbl.select(col("doc_id").as("doc_b"), col("split").as("sb")),
+        "doc_b")
+      .filter(col("sa") =!= col("sb"))
+    require(straddle.isEmpty,
+      "c14: a near-dup pair straddles the split - the cluster-level " +
+        "assignment leaked")
+    lbl.orderBy("doc_id")
+  }
+
+  /** The c14 labeling over any (doc_id, cluster_id, …) cluster
+    * relation — factored for the spec's injected-corpus stability
+    * drives. */
+  private[graft] def c14Of(clusters: DataFrame): DataFrame =
+    clusters
+      .select(col("doc_id"), col("cluster_id"),
+        pmod(md5Hash32(concat(lit("csplit:"), col("cluster_id"))),
+          lit(100)).as("bucket"))
+      .withColumn("split",
+        when(col("bucket") < 90, "train").otherwise("val"))
+
+  val c14Sql: String =
+    s"""SELECT doc_id, cluster_id, bucket,
+      |  CASE WHEN bucket < 90 THEN 'train' ELSE 'val' END AS split
+      |FROM (
+      |  SELECT doc_id, cluster_id,
+      |    ('0x' || substr(md5('csplit:' || cluster_id), 1, 8))::BIGINT
+      |      % 100 AS bucket
+      |  FROM (${Dedup.d6CoreSql}) cl)
+      |ORDER BY doc_id""".stripMargin
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c14_leakage_safe_split" -> c14LeakageSafeSplit,
     "c9_dedup_weighted_sample" -> c9DedupWeightedSample,
     "c8_domain_pagerank" -> c8DomainPagerank,
     "c10_temperature_mix" -> c10TemperatureMix,
@@ -1401,6 +1460,7 @@ object Curation {
   )
 
   val oracle: Map[String, String] = Map(
+    "c14_leakage_safe_split" -> c14Sql,
     "c10_temperature_mix" -> c10Sql,
     "c9_dedup_weighted_sample" -> c9Sql,
     "c8_domain_pagerank" -> c8Sql,

@@ -62,4 +62,42 @@ object CatchupConf {
       case (k, None) => s.conf.unset(k)
     }
   }
+
+  /** Default per-row stream completion bound; override with
+    * `SPARK_GRAFT_STREAM_TIMEOUT_MS` when the corpus is deliberately
+    * enlarged (the 100× composition bench: the st4s join state is 100×
+    * the base volume — legitimate work, not a hang). Malformed values
+    * fall back to the default (the Bench reps rule). */
+  private def streamTimeoutMs: Long =
+    sys.env.get("SPARK_GRAFT_STREAM_TIMEOUT_MS")
+      .flatMap(v => scala.util.Try(v.trim.toLong).toOption)
+      .filter(_ > 0)
+      .getOrElse(180000L)
+
+  /** Await an AvailableNow query within the configured bound, STOPPING
+    * the query before failing. The r17 100× composition run exposed
+    * the leak this closes: a timed-out require left the stream
+    * running, its finally deleted the staging dir under it, and the
+    * orphaned join state eventually took the whole SparkContext down
+    * (Spark's uncaught-fatal handler) — every query after it died on a
+    * stopped context. A timeout must kill the stream it is giving up
+    * on; a failed await likewise must not leak it.
+    */
+  def awaitBounded(q: org.apache.spark.sql.streaming.StreamingQuery,
+      what: String): Unit = {
+    val ms = streamTimeoutMs
+    val ok =
+      try q.awaitTermination(ms)
+      catch { case e: Throwable =>
+        scala.util.Try(q.stop())
+        throw e
+      }
+    if (!ok) {
+      scala.util.Try(q.stop())
+      throw new IllegalArgumentException(
+        s"requirement failed: $what stream did not finish within ${ms}ms " +
+          "(raise SPARK_GRAFT_STREAM_TIMEOUT_MS for deliberately " +
+          "enlarged corpora)")
+    }
+  }
 }

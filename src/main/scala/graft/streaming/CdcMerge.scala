@@ -77,7 +77,7 @@ object CdcMerge {
           mergeBatch(s, snapRoot.toString, batch, batchId)
         }
         .trigger(Trigger.AvailableNow()).start()
-      require(q.awaitTermination(180000), "st16 stream did not finish in time")
+      CatchupConf.awaitBounded(q, "st16")
       require(fs.exists(new org.apache.hadoop.fs.Path(
         s"$snapRoot/_committed_1")), "st16: expected two merged batches")
       s.read.parquet(s"$snapRoot/current")

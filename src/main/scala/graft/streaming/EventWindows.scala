@@ -103,7 +103,7 @@ object EventWindows {
         .outputMode("complete")
         .trigger(Trigger.AvailableNow())
         .start()
-      require(q.awaitTermination(180000), "st5 stream did not finish in time")
+      CatchupConf.awaitBounded(q, "st5")
       // materialize before the view is dropped and scratch deleted
       s.table(sink).localCheckpoint()
         .orderBy("window_start", "event_type")
@@ -159,7 +159,7 @@ object EventWindows {
         .option("checkpointLocation", cp)
         .trigger(Trigger.AvailableNow())
         .start()
-      require(q.awaitTermination(180000), "st8 run did not finish in time")
+      CatchupConf.awaitBounded(q, "st8")
     }
 
     try {
@@ -224,7 +224,7 @@ object EventWindows {
         .option("checkpointLocation", cp)
         .trigger(Trigger.AvailableNow())
         .start()
-      require(q.awaitTermination(180000), "st9 run did not finish in time")
+      CatchupConf.awaitBounded(q, "st9")
     }
 
     try {
@@ -332,7 +332,7 @@ object EventWindows {
         .option("checkpointLocation", cp)
         .trigger(Trigger.AvailableNow())
         .start()
-      require(q.awaitTermination(180000), "st14 run did not finish in time")
+      CatchupConf.awaitBounded(q, "st14")
     }
 
     try {
@@ -428,7 +428,7 @@ object EventWindows {
         .outputMode("complete")
         .trigger(Trigger.AvailableNow())
         .start()
-      require(q.awaitTermination(180000), "st10 stream did not finish in time")
+      CatchupConf.awaitBounded(q, "st10")
       s.table(sink).localCheckpoint()
         .orderBy("window_start", "segment")
     } finally {
@@ -489,7 +489,7 @@ object EventWindows {
         .outputMode("complete")
         .trigger(Trigger.AvailableNow())
         .start()
-      require(q.awaitTermination(180000), "st13 stream did not finish in time")
+      CatchupConf.awaitBounded(q, "st13")
       s.table(sink).localCheckpoint().orderBy("bin")
     } finally {
       s.catalog.dropTempView(sink)
@@ -590,7 +590,7 @@ object EventWindows {
           col("value")))
         .writeStream.format("memory").queryName(sink)
         .outputMode("append").trigger(Trigger.AvailableNow()).start()
-      require(q.awaitTermination(180000), "st17 stream did not finish in time")
+      CatchupConf.awaitBounded(q, "st17")
       val dropped = q.recentProgress
         .flatMap(p => p.stateOperators.map(_.numRowsDroppedByWatermark))
         .sum

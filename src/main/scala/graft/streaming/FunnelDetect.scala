@@ -128,8 +128,7 @@ object FunnelDetect {
         val q = funnelStream(evs)
           .writeStream.format("memory").queryName(sink)
           .outputMode("update").trigger(Trigger.AvailableNow()).start()
-        require(q.awaitTermination(180000),
-          "st20 stream did not finish in time")
+        CatchupConf.awaitBounded(q, "st20")
         s.table(sink)
           .select(col("user_id"), col("view_us"), col("click_us"),
             col("purchase_us"),

@@ -102,8 +102,7 @@ object GapDetect {
         val q = gapStream(evs)
           .writeStream.format("memory").queryName(sink)
           .outputMode("update").trigger(Trigger.AvailableNow()).start()
-        require(q.awaitTermination(180000),
-          "st19 stream did not finish in time")
+        CatchupConf.awaitBounded(q, "st19")
         s.table(sink)
           .filter(!col("open"))
           .select(col("user_id"), col("gap_start_us"), col("gap_end_us"),

@@ -133,7 +133,7 @@ object IntervalJoin {
       val q = streamJoin(clicks, buys)
         .writeStream.format("memory").queryName(sink)
         .outputMode("append").trigger(Trigger.AvailableNow()).start()
-      require(q.awaitTermination(180000), "st4s stream did not finish in time")
+      CatchupConf.awaitBounded(q, "st4s")
       s.table(sink)
         .select(col("click_id"), col("buy_id"), col("user_id"), col("lag_us"))
         .localCheckpoint()
@@ -211,7 +211,7 @@ object IntervalJoin {
           "left_outer")
         .writeStream.format("memory").queryName(sink)
         .outputMode("append").trigger(Trigger.AvailableNow()).start()
-      require(q.awaitTermination(180000), "st11 stream did not finish in time")
+      CatchupConf.awaitBounded(q, "st11")
       s.table(sink)
         .filter(col("user_id") =!= -1L) // drop the sentinel's own rows
         .select(col("click_id"),
@@ -280,7 +280,7 @@ object IntervalJoin {
           "full_outer")
         .writeStream.format("memory").queryName(sink)
         .outputMode("append").trigger(Trigger.AvailableNow()).start()
-      require(q.awaitTermination(180000), "st12 stream did not finish in time")
+      CatchupConf.awaitBounded(q, "st12")
       s.table(sink)
         // drop the sentinel pair's own rows (either side)
         .filter(coalesce(col("user_id"), col("buy_user_id")) =!= -1L)

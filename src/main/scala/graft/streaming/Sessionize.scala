@@ -247,7 +247,7 @@ object Sessionize {
       val q = sessionizeStream(streamEvs, idleTimeout = None)
         .writeStream.format("memory").queryName(sink)
         .outputMode("update").trigger(Trigger.AvailableNow()).start()
-      require(q.awaitTermination(180000), "st7 stream did not finish in time")
+      CatchupConf.awaitBounded(q, "st7")
       s.table(sink)
         .groupBy(col("user_id"), col("session_start"))
         .agg(max(struct(col("session_end"), col("n_events"))).as("s"))
@@ -358,7 +358,7 @@ object Sessionize {
         .agg(count(lit(1)).as("n_events"))
         .writeStream.format("memory").queryName(sink)
         .outputMode("append").trigger(Trigger.AvailableNow()).start()
-      require(q.awaitTermination(180000), "st15 stream did not finish in time")
+      CatchupConf.awaitBounded(q, "st15")
       s.table(sink)
         .filter(col("user_id") >= 0) // drop the sentinel's open session
         .select(col("user_id"),

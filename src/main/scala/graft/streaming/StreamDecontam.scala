@@ -79,7 +79,7 @@ object StreamDecontam {
           gateBatch(s, benchGrams, sinkDir, batch)
         }
         .trigger(Trigger.AvailableNow()).start()
-      require(q.awaitTermination(180000), "st21 stream did not finish in time")
+      CatchupConf.awaitBounded(q, "st21")
       require(q.recentProgress.count(_.numInputRows > 0) >= 2,
         "st21: the staged waves collapsed into one micro-batch — the " +
           "cross-batch claim would be untested")

@@ -61,7 +61,7 @@ object StreamDedup {
         .outputMode("append")
         .trigger(Trigger.AvailableNow())
         .start()
-      require(q.awaitTermination(180000), "st6 stream did not finish in time")
+      CatchupConf.awaitBounded(q, "st6")
       s.table(sink).localCheckpoint().orderBy("text_hash")
     } finally {
       s.catalog.dropTempView(sink)

@@ -72,7 +72,7 @@ object StreamNearDup {
           admitBatch(s, indexRoot, sinkDir, batch, batchId)
         }
         .trigger(Trigger.AvailableNow()).start()
-      require(q.awaitTermination(180000), "st18 stream did not finish in time")
+      CatchupConf.awaitBounded(q, "st18")
       s.read.parquet(sinkDir).localCheckpoint().orderBy("doc_id")
     } finally org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
   }

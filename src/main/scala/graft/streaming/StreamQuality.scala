@@ -89,7 +89,7 @@ object StreamQuality {
           gateBatch(cab, ca, v, qmin, width, cut1, cut2, sinkDir, batch)
         }
         .trigger(Trigger.AvailableNow()).start()
-      require(q.awaitTermination(180000), "st22 stream did not finish in time")
+      CatchupConf.awaitBounded(q, "st22")
       require(q.recentProgress.count(_.numInputRows > 0) >= 2,
         "st22: the staged waves collapsed into one micro-batch — the " +
           "cross-batch claim would be untested")
