@@ -436,6 +436,20 @@ object ScaleHeadroom {
       // path a d6 run pays; d5-only is measured above, so the
       // clustering-only growth is the difference)
       "d6_neardup_clusters" -> (n => Dedup.neardupClustersOf(docsAt(n))),
+      // c14 = d6's clustering + a scan-local hash projection + the
+      // straddle audit's two keyed joins — the headroom should track
+      // d6's within noise
+      "c14_leakage_split" -> (n =>
+        Curation.c14Of(Dedup.neardupClustersOf(docsAt(n)))),
+      // s26 = one integer map-side energy aggregation (the 64-entry
+      // permutation) + a projection ahead of the unchanged PQ encode —
+      // should track s18_pq_encode within noise
+      "s26_opq_encode" -> { n =>
+        val e = embAt(n)
+        Similarity.pqEncodeOf(
+          Similarity.permuteEmb(e, Similarity.opqSnakePerm(e))
+            .select("vec_id", "embedding"))
+      },
       // full six-gate curation cascade incl. its own clustering
       "c1_curation_cascade" -> { n =>
         val full = docsFullAt(n)
