@@ -46,6 +46,7 @@ object SparkEntry {
       _root_.graft.streaming.StreamNearDup.defs ++
       _root_.graft.streaming.StreamDecontam.defs ++
       _root_.graft.streaming.StreamQuality.defs ++
+      _root_.graft.streaming.StreamDsir.defs ++
       _root_.graft.streaming.CdcMerge.defs ++
       _root_.graft.streaming.GapDetect.defs ++
       _root_.graft.streaming.FunnelDetect.defs
@@ -77,6 +78,7 @@ object SparkEntry {
       _root_.graft.streaming.StreamNearDup.oracle ++
       _root_.graft.streaming.StreamDecontam.oracle ++
       _root_.graft.streaming.StreamQuality.oracle ++
+      _root_.graft.streaming.StreamDsir.oracle ++
       _root_.graft.streaming.CdcMerge.oracle ++
       _root_.graft.streaming.GapDetect.oracle ++
       _root_.graft.streaming.FunnelDetect.oracle

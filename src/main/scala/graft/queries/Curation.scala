@@ -700,14 +700,14 @@ object Curation {
     * different languages' transitions into one bucket and flatten the
     * likelihood ratio: 2¹⁰ > 31 + 961 keeps types near-collision-free
     * here while staying a trivially broadcastable table. */
-  private[queries] val C13Buckets = 1024
+  private[graft] val C13Buckets = 1024
 
   /** Selection-cut histogram resolution (the c7/t14 bounded-driver-state
     * discipline: cuts at bin resolution, never a global per-doc rank). */
-  private[queries] val C13Bins = 128
+  private[graft] val C13Bins = 128
 
   /** Keep the top 1/[[C13Frac]] of documents by importance weight. */
-  private[queries] val C13Frac = 5
+  private[graft] val C13Frac = 5
 
   /** C13 — DSIR-style data selection (Xie et al. 2023, "Data Selection
     * for Language Models via Importance Resampling"): score every
@@ -790,6 +790,22 @@ object Curation {
     * reasoning). */
   private[graft] def c13Of(docs: DataFrame,
       isTarget: org.apache.spark.sql.Column): DataFrame = {
+    val (model, scoredCalib) = c13Freeze(docs, isTarget)
+    c13LabelScored(scoredCalib, model).orderBy("doc_id")
+  }
+
+  /** The frozen DSIR gate artifacts: the bucket weight table, the
+    * smoothing constant, the calibration score envelope, and the
+    * top-slice bin cut — everything st23 broadcasts per micro-batch. */
+  private[graft] case class C13Model(weights: DataFrame, nbits: Long,
+      qmin: Long, width: Double, cutBin: Int)
+
+  /** Train + calibrate the DSIR model on `docs` (the batch path's full
+    * corpus; st23's FROZEN calibration slice). Also returns the scored
+    * calibration relation so the batch path labels it without a second
+    * scoring pass. */
+  private[graft] def c13Freeze(docs: DataFrame,
+      isTarget: org.apache.spark.sql.Column): (C13Model, DataFrame) = {
     val b = C13Buckets
     val fb = c13FeatureStream(docs, isTarget)
     // BOTH distributions from ONE map-side-combined corpus scan (the
@@ -816,21 +832,45 @@ object Curation {
       count(lit(1))).head()
     val (qmin, qmax, n) = (env.getLong(0), env.getLong(1), env.getLong(2))
     val width = math.max((qmax - qmin).toDouble, 1e-9) / C13Bins
-    val binned = scored.withColumn("bin",
-      least(lit(C13Bins - 1),
-        floor((col("logw_bits") - lit(qmin)) / lit(width)).cast("int")))
-    val hist = binned.groupBy(col("bin")).agg(count(lit(1)).as("cnt"))
+    val hist = scored
+      .withColumn("bin", c13Bin(col("logw_bits"), qmin, width))
+      .groupBy(col("bin")).agg(count(lit(1)).as("cnt"))
       .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(-_._1)
     val k = math.ceil(n / C13Frac.toDouble).toLong
     val cum = hist.scanLeft((C13Bins, 0L)) { case ((_, c), (bn, cnt)) =>
       (bn, c + cnt) }.drop(1)
     val cutBin = cum.find(_._2 >= k).map(_._1).getOrElse(0)
-    binned
+    (C13Model(weights, nbits, qmin, width, cutBin), scored)
+  }
+
+  /** The envelope-clamped [[C13Bins]]-bin index of a logw value. The
+    * lower clamp engages only against a FROZEN envelope (st23: a crawl
+    * doc can score below the calibration minimum); under [[c13Freeze]]'s
+    * own envelope the score never sits below qmin and the clamp is a
+    * no-op — [[c13Of]]'s results are bit-identical to the pre-factored
+    * form. */
+  private[graft] def c13Bin(logw: org.apache.spark.sql.Column,
+      qmin: Long, width: Double): org.apache.spark.sql.Column =
+    least(lit(C13Bins - 1), greatest(lit(0),
+      floor((logw - lit(qmin)) / lit(width)).cast("int")))
+
+  /** Label a scored relation under a frozen model: clamped bin + the
+    * frozen top-slice cut. */
+  private[graft] def c13LabelScored(scored: DataFrame,
+      m: C13Model): DataFrame =
+    scored
+      .withColumn("bin", c13Bin(col("logw_bits"), m.qmin, m.width))
       .select(col("doc_id"), col("lang"), col("n_feats"),
         col("logw_bits"), col("bin"),
-        (col("bin") >= lit(cutBin)).as("selected"))
-      .orderBy("doc_id")
-  }
+        (col("bin") >= lit(m.cutBin)).as("selected"))
+
+  /** Score a fresh batch under a frozen model (st23's per-batch body):
+    * feature-hash map-side, broadcast 256-row weight join, doc-keyed
+    * aggregation. */
+  private[graft] def c13ScoreUnder(batch: DataFrame,
+      m: C13Model): DataFrame =
+    c13ScoredStage(c13FeatureStream(batch, lit(false)),
+      m.weights, m.nbits)
 
   val c13Sql: String =
     s"""WITH toksr AS (
