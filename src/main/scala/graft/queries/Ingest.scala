@@ -550,6 +550,64 @@ object Ingest {
       .localCheckpoint()
   }
 
+  /** I11 — nested-JSON ingest with flattening: the crawl-metadata
+    * shape every web-scale pipeline actually reads (WARC/CC-style
+    * records carry a nested `meta` struct and a variable-length tag
+    * array next to the text), which none of the flat ingest rows
+    * cover. The harness stages the corpus as nested JSONL (struct +
+    * array per record, the i10 staging discipline), reads it back with
+    * an EXPLICIT nested schema — no inference scan, the i10 rule: at
+    * 100 TB a sampling pass to guess a schema is a full extra read —
+    * and normalizes to columnar shape: dotted-path struct flattening
+    * (`meta.lang` → `lang`) plus one `explode` over the tag array
+    * (one output row per (doc, tag), the relational form downstream
+    * joins want).
+    *
+    * Scale shape: one corpus-linear parse pass (schema supplied);
+    * flattening is a codegen'd projection (struct field access never
+    * shuffles); the explode is map-side with output bounded by
+    * Σ|tags|. Zero shuffles before the presentation sort.
+    */
+  def i11NestedFlatten(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("graft_i11_")
+    try {
+      val docs = documents(s, d).select(col("doc_id"), col("lang"),
+        col("source"))
+      // nested payload derived deterministically from the corpus (the
+      // o14 data-reachable discipline): a meta struct + a 2-tag array
+      docs.select(to_json(struct(
+          col("doc_id"),
+          struct(col("lang"), col("source"),
+            (col("doc_id") % 50).as("rank")).as("meta"),
+          array(concat(lit("t"), col("doc_id") % 3),
+            concat(lit("u"), col("doc_id") % 5)).as("tags"))).as("value"))
+        // single-file staging is harness fixture discipline (see i10Land)
+        .coalesce(1).write.mode("overwrite").text(s"$dir/in")
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType),
+        StructField("meta", StructType(Seq(
+          StructField("lang", StringType),
+          StructField("source", StringType),
+          StructField("rank", LongType)))),
+        StructField("tags", ArrayType(StringType))))
+      s.read.schema(schema).json(s"$dir/in")
+        .select(col("doc_id"), col("meta.lang").as("lang"),
+          col("meta.source").as("source"), col("meta.rank").as("rank"),
+          explode(col("tags")).as("tag"))
+        .orderBy("doc_id", "tag")
+        .localCheckpoint()
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+  }
+
+  val i11Sql: String =
+    """SELECT doc_id, lang, source,
+      |  CAST(doc_id % 50 AS BIGINT) AS rank, tag
+      |FROM documents, LATERAL (SELECT unnest([
+      |  't' || CAST(doc_id % 3 AS VARCHAR),
+      |  'u' || CAST(doc_id % 5 AS VARCHAR)]) AS tag)
+      |ORDER BY doc_id, tag""".stripMargin
+
   val i10Sql: String =
     """SELECT doc_id,
       |  CASE WHEN doc_id % 10 = 7 THEN '' ELSE lang END AS lang,
@@ -560,6 +618,7 @@ object Ingest {
       |FROM documents ORDER BY doc_id""".stripMargin
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "i11_nested_flatten" -> i11NestedFlatten,
     "i10_jsonl_quarantine" -> i10JsonlQuarantine,
     "i9_schema_evolution" -> i9SchemaEvolution,
     "s5_csv_scan" -> s5CsvScan,
@@ -574,6 +633,7 @@ object Ingest {
   )
 
   val oracle: Map[String, String] = Map(
+    "i11_nested_flatten" -> i11Sql,
     "i10_jsonl_quarantine" -> i10Sql,
     "i9_schema_evolution" -> i9Sql,
     "s5_csv_scan" -> s5Sql,
