@@ -874,7 +874,66 @@ object Warehouse {
       |UNION ALL SELECT 3 AS version, doc_id, lang, source FROM m
       |ORDER BY version, doc_id""".stripMargin
 
+  // ---- O17: schema evolution through snapshot commits -----------------
+
+  /** O17 — ALTER TABLE ADD COLUMN, the snapshot-table way (the
+    * Delta/Iceberg contract o12/o15/o16 complete): a version's schema
+    * travels WITH the version. v0 commits the narrow schema; v1
+    * commits with a new `source` column — no migration job, no rewrite
+    * of v0, no coordination beyond the ordinary commit. The three
+    * read-side guarantees this row certifies under one hash:
+    *
+    *  1. time travel is schema-faithful — reading v0 through the
+    *     manifest yields EXACTLY the old columns (a reader written
+    *     before the evolution never sees a surprise column);
+    *  2. the new version carries the new column;
+    *  3. a cross-version read (`unionByName(allowMissingColumns)`,
+    *     Spark's native widening — the i9 mergeSchema discipline
+    *     applied through the commit protocol instead of a raw path
+    *     glob) surfaces the added column as NULL for pre-evolution
+    *     rows, the exact ALTER-ADD backfill semantics every table
+    *     format documents.
+    *
+    * In-op requires pin 1 and 2 structurally (field lists); the oracle
+    * hash certifies 3's values. Scale shape: schema change is METADATA
+    * (each version's parquet footers are self-describing); the
+    * cross-version read costs exactly the two version scans it names —
+    * never a table rewrite.
+    */
+  def o17SchemaEvolution(s: SparkSession, d: String): DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_o17_")
+    try {
+      val narrow = documents(s, d).select(col("doc_id"), col("lang"))
+      o12Commit(dir.toString, 0, narrow)
+      // the crawl starts shipping a new column; v1 commits it as
+      // ordinary data — v0 is untouched
+      o12Commit(dir.toString, 1,
+        documents(s, d).select(col("doc_id"), col("lang"), col("source")))
+      val v0 = o12ReadAsOf(s, dir.toString, 0)
+      val v1 = o12ReadAsOf(s, dir.toString, 1)
+      require(v0.schema.fieldNames.toSeq == Seq("doc_id", "lang"),
+        s"o17: time travel must be schema-faithful - v0 reads as " +
+          s"(${v0.schema.fieldNames.mkString(",")})")
+      require(v1.schema.fieldNames.contains("source"),
+        "o17: the evolved version lost its new column")
+      v0.withColumn("version", lit(0))
+        .unionByName(v1.withColumn("version", lit(1)),
+          allowMissingColumns = true)
+        .select(col("version"), col("doc_id"), col("lang"), col("source"))
+        .orderBy("version", "doc_id")
+        .localCheckpoint()
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+  }
+
+  val o17Sql: String =
+    """SELECT 0 AS version, doc_id, lang, CAST(NULL AS VARCHAR) AS source
+      |FROM documents
+      |UNION ALL
+      |SELECT 1 AS version, doc_id, lang, source FROM documents
+      |ORDER BY version, doc_id""".stripMargin
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "o17_schema_evolution" -> o17SchemaEvolution,
     "o16_commit_conflict" -> o16CommitConflict,
     "o14_write_constraints" -> o14WriteConstraints,
     "o9_scd2_history" -> o9Scd2History,
@@ -886,6 +945,7 @@ object Warehouse {
   )
 
   val oracle: Map[String, String] = Map(
+    "o17_schema_evolution" -> o17Sql,
     "o16_commit_conflict" -> o16Sql,
     "o14_write_constraints" -> o14Sql,
     "o9_scd2_history" -> o9Sql,
