@@ -529,6 +529,66 @@ object Relational {
       |GROUP BY a.day, a.n_active, a.n_new
       |ORDER BY a.day""".stripMargin
 
+  /** W7 — weekly cohort retention: the warehouse analytics matrix
+    * every event log eventually serves (users bucketed by
+    * first-activity ISO week, then the fraction of each cohort active
+    * k weeks later). Extends w6's daily-actives/cumulative-users view
+    * with the COHORT dimension — the shape product analytics, and at
+    * 100 TB the same two user-keyed aggregations, compute.
+    *
+    * Scale shape: cohort assignment and distinct (user, week) activity
+    * are both user-keyed map-side-combinable aggregations; their join
+    * is user-keyed (co-partitioned, one shuffle each side); the output
+    * is weeks × offsets — bounded — so the cohort-size join is a
+    * broadcast. No window functions, no global sorts before the
+    * presentation orderBy.
+    */
+  def w7CohortRetention(s: SparkSession, d: String): DataFrame = {
+    val wk = events(s, d).select(col("user_id"),
+      to_date(date_trunc("week", col("ts"))).as("week"))
+    val cohort = wk.groupBy(col("user_id"))
+      .agg(min(col("week")).as("cohort_week"))
+    val sizes = cohort.groupBy(col("cohort_week"))
+      .agg(count(lit(1)).as("cohort_size"))
+    wk.distinct()
+      .join(cohort, "user_id")
+      .groupBy(col("cohort_week"),
+        expr("CAST(datediff(week, cohort_week) div 7 AS INT)")
+          .as("week_offset"))
+      .agg(countDistinct(col("user_id")).as("n_active"))
+      .join(broadcast(sizes), "cohort_week")
+      .withColumn("retention",
+        r6(col("n_active").cast("double") / col("cohort_size")))
+      .select(date_format(col("cohort_week"), "yyyy-MM-dd")
+          .as("cohort_week"),
+        col("week_offset"), col("n_active"), col("cohort_size"),
+        col("retention"))
+      .orderBy("cohort_week", "week_offset")
+  }
+
+  val w7Sql: String =
+    s"""WITH wk AS (
+      |  SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS week
+      |  FROM events),
+      |cohort AS (
+      |  SELECT user_id, min(week) AS cohort_week FROM wk GROUP BY 1),
+      |sizes AS (
+      |  SELECT cohort_week, CAST(count(*) AS BIGINT) AS cohort_size
+      |  FROM cohort GROUP BY 1),
+      |r AS (
+      |  SELECT c.cohort_week,
+      |    CAST(date_diff('day', c.cohort_week, a.week) // 7 AS INT)
+      |      AS week_offset,
+      |    CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_active
+      |  FROM (SELECT DISTINCT user_id, week FROM wk) a
+      |  JOIN cohort c USING (user_id)
+      |  GROUP BY 1, 2)
+      |SELECT strftime(r.cohort_week, '%Y-%m-%d') AS cohort_week,
+      |  r.week_offset, r.n_active, s.cohort_size,
+      |  ${r6Sql("CAST(r.n_active AS DOUBLE) / s.cohort_size")} AS retention
+      |FROM r JOIN sizes s ON s.cohort_week = r.cohort_week
+      |ORDER BY cohort_week, week_offset""".stripMargin
+
   /** Occurrence-order ranking: SURVEY W2/F16 (1st vs later occurrence
     * within a partition, order-sensitive disambiguation). */
   def w2OccurrenceRank(s: SparkSession, d: String): DataFrame = {
@@ -756,6 +816,7 @@ object Relational {
     "w1_carry_forward" -> w1CarryForward,
     "w5_gap_fill" -> w5GapFill,
     "w6_daily_actives" -> w6DailyActives,
+    "w7_cohort_retention" -> w7CohortRetention,
     "w2_occurrence_rank" -> w2OccurrenceRank,
     "w3_rolling_avg" -> w3RollingAvg,
   )
@@ -787,6 +848,7 @@ object Relational {
     "w1_carry_forward" -> w1Sql,
     "w5_gap_fill" -> w5Sql,
     "w6_daily_actives" -> w6Sql,
+    "w7_cohort_retention" -> w7Sql,
     "w2_occurrence_rank" -> w2Sql,
     "w3_rolling_avg" -> w3Sql,
   )
