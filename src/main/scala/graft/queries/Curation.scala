@@ -758,9 +758,16 @@ object Curation {
     * it). */
   private[graft] def c13ScoredStage(fb: DataFrame, weights: DataFrame,
       nbits: Long): DataFrame =
-    fb.join(broadcast(weights), "bk")
+    // LEFT join with a 0-bit default: a crawl feature hashing to a
+    // bucket unseen in calibration carries DSIR's smoothed weight for
+    // cr=0/ctg=0 (len(bin(1))-1 = 0 bits) instead of silently dropping
+    // the feature — and a doc whose every feature is unseen still
+    // reaches the gate. Under c13Freeze's own calibration corpus every
+    // bucket is present, so the batch path is bit-identical.
+    fb.join(broadcast(weights), Seq("bk"), "left")
       .groupBy(col("doc_id"), col("lang"))
-      .agg(count(lit(1)).as("n_feats"), sum(col("bits")).as("sum_bits"))
+      .agg(count(lit(1)).as("n_feats"),
+        sum(coalesce(col("bits"), lit(0L))).as("sum_bits"))
       .withColumn("logw_bits",
         col("sum_bits") + col("n_feats") * lit(nbits))
 
@@ -909,8 +916,8 @@ object Curation {
       |  FROM tot),
       |scored AS (
       |  SELECT f.doc_id, f.lang, CAST(count(*) AS BIGINT) AS n_feats,
-      |    CAST(sum(w.bits) AS BIGINT) AS sum_bits
-      |  FROM fb f JOIN wts w USING (bk) GROUP BY f.doc_id, f.lang),
+      |    CAST(sum(coalesce(w.bits, 0)) AS BIGINT) AS sum_bits
+      |  FROM fb f LEFT JOIN wts w USING (bk) GROUP BY f.doc_id, f.lang),
       |sc AS (
       |  SELECT doc_id, lang, n_feats,
       |    sum_bits + n_feats * (SELECT nbits FROM nb) AS logw_bits

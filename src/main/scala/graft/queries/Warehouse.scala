@@ -456,9 +456,21 @@ object Warehouse {
       // bytes, and if the margin is gone re-stage at 2× the bound
       // (fresh table dir — o12's hwm correctly refuses a v0 re-commit
       // in place). Test-scale corpora never take the re-stage branch.
-      if (before.length < 2 * packBound(before)) {
+      // LOOP, not a single pass (r17 advice): re-staging into more
+      // files adds per-file parquet overhead, so the bound recomputed
+      // from the re-staged bytes can be larger than the one the target
+      // was sized from — re-check the margin against the ACTUAL layout
+      // until it holds (each round at least doubles the file count, so
+      // this converges in a handful of iterations).
+      var guard = 0
+      while (before.length < 2 * packBound(before)) {
+        guard += 1
+        require(guard <= 8,
+          "o15: fragmentation re-staging failed to out-run the pack " +
+            "bound — harness cannot establish its pathology")
         org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
-        dir = stageV0(math.max(O15FragmentFiles, 2 * packBound(before)))
+        dir = stageV0(math.max(before.length * 2,
+          math.max(O15FragmentFiles, 2 * packBound(before))))
         before = dataFiles(0)
       }
       require(before.length > 1,
@@ -932,7 +944,167 @@ object Warehouse {
       |SELECT 1 AS version, doc_id, lang, source FROM documents
       |ORDER BY version, doc_id""".stripMargin
 
+  // ---- O18: schema evolution part 2 — rename/drop via FIELD IDS -------
+
+  /** One column of an o18 table version: a permanent field id, the
+    * version's logical name for it, and its SQL type. The id — not the
+    * name — is what data files carry. */
+  private[graft] case class O18Field(id: Int, name: String, dtype: String)
+
+  /** Stage data for an o18 table under `token`: logical columns land in
+    * parquet under their FIELD-ID physical names (`f<id>`), which is
+    * what makes renames metadata-only — the Iceberg-spec mechanism
+    * (columns resolved by id; names are a per-version mapping). */
+  private[graft] def o18Stage(base: String, token: String, df: DataFrame,
+      fields: Seq[O18Field]): Unit =
+    df.select(fields.map(f => col(f.name).as(s"f${f.id}")): _*)
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$base/data-$token")
+
+  /** Commit version `v`: an atomically-created (createLink → EEXIST,
+    * the o16 CAS primitive) `schema-v` file carrying BOTH the data
+    * token and the field-id → name mapping — schema travels with the
+    * version, and a metadata-only change (rename/drop/add) commits the
+    * SAME token under a new mapping, rewriting nothing. */
+  private[graft] def o18Commit(base: String, v: Int, token: String,
+      fields: Seq[O18Field]): Boolean = {
+    import java.nio.file.{Files, Paths}
+    val body = token + "\n" +
+      fields.map(f => s"${f.id}:${f.name}:${f.dtype}").mkString(",")
+    val scratch = Paths.get(base, s".s-$v-$token")
+    Files.writeString(scratch, body)
+    val target = Paths.get(base, s"schema-$v")
+    try { Files.createLink(target, scratch); true }
+    catch { case _: java.nio.file.FileAlreadyExistsException => false }
+    finally Files.deleteIfExists(scratch)
+  }
+
+  /** Read version `v` strictly through its schema file: each field
+    * resolves BY ID against the data files — a field id present in the
+    * files surfaces under the version's CURRENT name for it; an id the
+    * files never carried (a column added after this data was written,
+    * including a re-added name that got a fresh id) reads NULL. A
+    * physical column whose id the version dropped is simply not
+    * projected — its bytes stay in the files, unreachable. */
+  private[graft] def o18Read(s: SparkSession, base: String,
+      v: Int): DataFrame = {
+    val f = java.nio.file.Paths.get(base, s"schema-$v")
+    require(java.nio.file.Files.exists(f),
+      s"o18: version $v is not committed (no schema-$v)")
+    val Array(token, fieldSpec) =
+      java.nio.file.Files.readString(f).split("\n", 2)
+    val fields = fieldSpec.trim.split(",").toSeq.map { e =>
+      val Array(id, name, dtype) = e.split(":", 3)
+      O18Field(id.toInt, name, dtype)
+    }
+    val raw = s.read.parquet(s"$base/data-${token.trim}")
+    val present = raw.columns.toSet
+    raw.select(fields.map { fl =>
+      if (present(s"f${fl.id}")) col(s"f${fl.id}").cast(fl.dtype).as(fl.name)
+      else lit(null).cast(fl.dtype).as(fl.name)
+    }: _*)
+  }
+
+  /** O18 — rename/drop schema evolution via field ids, closing o17's
+    * name-tracking gap (r17 verdict ask #3; the public Iceberg spec
+    * behavior): o17 tracks columns by NAME, so a rename would silently
+    * null history. Here columns are tracked by permanent FIELD ID and
+    * every version carries its own id→name mapping, giving the three
+    * production contracts under one oracle hash:
+    *
+    *  - v1 RENAME lang→language is METADATA-ONLY: it commits the SAME
+    *    data token as v0 (pinned structurally below) and history's
+    *    values surface under the new name — nothing rewritten, nothing
+    *    nulled;
+    *  - v2 DROP source unprojects id 3; the bytes stay in the files,
+    *    unreachable through the schema;
+    *  - v3 re-ADD of the NAME `source` allocates a FRESH id (4), so it
+    *    reads NULL over history — the dropped column's bytes are never
+    *    resurrected under the re-added name (the in-op require pins
+    *    that id 3's bytes ARE physically present, so the NULL is the
+    *    id mechanism, not absent data);
+    *  - v4 commits new data that populates id 4: the re-added column
+    *    carries values for post-evolution data while v3 keeps reading
+    *    NULL — time travel stays schema-faithful per version.
+    *
+    * The output surfaces each version's NAME for field 2 as data
+    * (`lang_name`), so the oracle hash certifies the rename is visible
+    * exactly from v1 on. Scale shape: every evolution step is ONE
+    * metadata file create (the o16 CAS primitive) — cost independent of
+    * table size; reads cost exactly the named version's scan.
+    */
+  def o18FieldIdEvolution(s: SparkSession, d: String): DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_o18_")
+    val base = dir.toString
+    try {
+      val docs = documents(s, d).select(col("doc_id"), col("lang"),
+        col("source"))
+      val v0Fields = Seq(O18Field(1, "doc_id", "bigint"),
+        O18Field(2, "lang", "string"), O18Field(3, "source", "string"))
+      o18Stage(base, "w0", docs, v0Fields)
+      require(o18Commit(base, 0, "w0", v0Fields), "o18: v0 commit failed")
+      // v1: RENAME lang -> language (same token, new mapping)
+      require(o18Commit(base, 1, "w0", Seq(O18Field(1, "doc_id", "bigint"),
+        O18Field(2, "language", "string"), O18Field(3, "source", "string"))),
+        "o18: v1 rename commit failed")
+      // v2: DROP source (id 3 unprojected; bytes remain)
+      require(o18Commit(base, 2, "w0", Seq(O18Field(1, "doc_id", "bigint"),
+        O18Field(2, "language", "string"))), "o18: v2 drop commit failed")
+      // v3: re-ADD the NAME source under a FRESH id — reads NULL over w0
+      val v3Fields = Seq(O18Field(1, "doc_id", "bigint"),
+        O18Field(2, "language", "string"), O18Field(4, "source", "string"))
+      require(o18Commit(base, 3, "w0", v3Fields), "o18: v3 add commit failed")
+      // v4: new data populating id 4 (the crawl ships source again —
+      // staged from the source frame's own column names; ids are what
+      // persist)
+      o18Stage(base, "w1", docs, Seq(O18Field(1, "doc_id", "bigint"),
+        O18Field(2, "lang", "string"), O18Field(4, "source", "string")))
+      require(o18Commit(base, 4, "w1", v3Fields), "o18: v4 commit failed")
+
+      // structural pins: rename was metadata-only (v0/v1 share bytes);
+      // id 3's bytes exist in w0, so v3's NULL source is the id
+      // mechanism, not absent data
+      val w0Cols = s.read.parquet(s"$base/data-w0").columns.toSet
+      require(w0Cols("f3"),
+        "o18: dropped field's bytes must still be physically present")
+      require(!s.read.parquet(s"$base/data-w1").columns.toSet.contains("f3"),
+        "o18: post-drop data must not carry the dead field id")
+      require(o18Read(s, base, 1).schema.fieldNames.toSeq ==
+        Seq("doc_id", "language", "source"),
+        "o18: the rename must surface in the version's schema")
+
+      (0 to 4).map { v =>
+        val r = o18Read(s, base, v)
+        val langName = r.schema.fieldNames(1)
+        r.select(lit(v).as("version"), col("doc_id"),
+          lit(langName).as("lang_name"),
+          col(langName).as("lang_val"),
+          (if (r.schema.fieldNames.contains("source")) col("source")
+           else lit(null).cast("string")).as("source"))
+      }.reduce(_ unionByName _)
+        .orderBy("version", "doc_id")
+        .localCheckpoint()
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+  }
+
+  val o18Sql: String =
+    """SELECT * FROM (
+      |  SELECT 0 AS version, doc_id, 'lang' AS lang_name,
+      |    lang AS lang_val, source FROM documents
+      |  UNION ALL
+      |  SELECT 1, doc_id, 'language', lang, source FROM documents
+      |  UNION ALL
+      |  SELECT 2, doc_id, 'language', lang, CAST(NULL AS VARCHAR)
+      |  FROM documents
+      |  UNION ALL
+      |  SELECT 3, doc_id, 'language', lang, CAST(NULL AS VARCHAR)
+      |  FROM documents
+      |  UNION ALL
+      |  SELECT 4, doc_id, 'language', lang, source FROM documents)
+      |ORDER BY version, doc_id""".stripMargin
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "o18_field_id_evolution" -> o18FieldIdEvolution,
     "o17_schema_evolution" -> o17SchemaEvolution,
     "o16_commit_conflict" -> o16CommitConflict,
     "o14_write_constraints" -> o14WriteConstraints,
@@ -945,6 +1117,7 @@ object Warehouse {
   )
 
   val oracle: Map[String, String] = Map(
+    "o18_field_id_evolution" -> o18Sql,
     "o17_schema_evolution" -> o17Sql,
     "o16_commit_conflict" -> o16Sql,
     "o14_write_constraints" -> o14Sql,

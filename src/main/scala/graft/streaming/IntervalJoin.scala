@@ -341,11 +341,213 @@ object IntervalJoin {
       |  AND epoch_us(b.buy_ts) - epoch_us(c.click_ts) <= $intervalUs
       |ORDER BY click_id, buy_id""".stripMargin
 
+  // ---- ST24: the BOUNDED interval join (first-touch attribution) -----
+
+  /** Event feeding the first-touch state machine (ts carries the
+    * watermark). */
+  final case class AttEv(event_id: Long, user_id: Long,
+      ts: java.sql.Timestamp, is_buy: Boolean)
+
+  /** Per-user attribution state: unresolved clicks + the purchases any
+    * of them (or a future click inside the watermark horizon) could
+    * still attribute to. Both lists are bounded by the user's events
+    * within a 2×interval watermark horizon — NEVER the full history. */
+  final case class AttPend(id: Long, tsUs: Long)
+  final case class AttState(clicks: Seq[AttPend], buys: Seq[AttPend])
+
+  final case class AttOut(click_id: Long, buy_id: Long, user_id: Long,
+      lag_us: Long)
+
+  /** One state transition of the first-touch machine — pure, spec-pinned.
+    * Ingests a batch (any order), resolves every click whose interval the
+    * watermark has sealed (`click_ts + interval < wm`: no earlier-in-
+    * window purchase can still arrive) to its FIRST purchase — minimal
+    * (buy_ts, buy_id) in `[click_ts, click_ts + interval]` — and evicts
+    * purchases no live or future click can use (`buy_ts + interval <
+    * wm`: a future click is never below the watermark, so its window
+    * cannot reach back past `wm − interval`). Returns (emissions,
+    * new state, next timeout in µs — the earliest instant more work
+    * unlocks: the first unsealed click seal point, else the last
+    * purchase's eviction point).
+    */
+  private[graft] def attAdvance(user: Long, st: Option[AttState],
+      batch: Seq[AttEv], wmUs: Long): (Seq[AttOut], Option[AttState], Option[Long]) = {
+    val (bBuys, bClicks) = batch.partition(_.is_buy)
+    def us(e: AttEv): Long =
+      e.ts.getTime * 1000L + (e.ts.getNanos / 1000L) % 1000L
+    val clicks = (st.map(_.clicks).getOrElse(Nil) ++
+      bClicks.map(e => AttPend(e.event_id, us(e)))).sortBy(c => (c.tsUs, c.id))
+    val buys = (st.map(_.buys).getOrElse(Nil) ++
+      bBuys.map(e => AttPend(e.event_id, us(e)))).sortBy(b => (b.tsUs, b.id))
+    val (ripe, open) = clicks.partition(_.tsUs + intervalUs < wmUs)
+    val out = ripe.flatMap { c =>
+      buys.iterator
+        .filter(b => b.tsUs >= c.tsUs && b.tsUs <= c.tsUs + intervalUs)
+        .reduceOption((a, b) =>
+          if (a.tsUs < b.tsUs || (a.tsUs == b.tsUs && a.id <= b.id)) a else b)
+        .map(b => AttOut(c.id, b.id, user, b.tsUs - c.tsUs))
+    }
+    val liveBuys = buys.filter(_.tsUs + intervalUs >= wmUs)
+    val next =
+      if (open.nonEmpty) Some(open.map(_.tsUs + intervalUs).min + 1)
+      else if (liveBuys.nonEmpty) Some(liveBuys.map(_.tsUs + intervalUs).max + 1)
+      else None
+    val stOut =
+      if (open.isEmpty && liveBuys.isEmpty) None
+      else Some(AttState(open, liveBuys))
+    (out, stOut, next)
+  }
+
+  /** ST24 — the BOUNDED stream-stream interval join: first-touch
+    * attribution, the production mitigation for st4s's quadratic output
+    * (SCALE.md names it; this registers it). Each click emits AT MOST
+    * ONE row — its first purchase within the interval — so emitted
+    * output is ≤ #clicks, LINEAR in the input under the fixed-entity
+    * 100× enlargement where the raw inner join's pair count grows
+    * quadratically with per-user density.
+    *
+    * The cap cannot live downstream of a stream-stream join (the
+    * quadratic pairs would still be emitted and buffered); it has to
+    * live INSIDE the stateful operator, so this is custom keyed state
+    * (`flatMapGroupsWithState`, the st7 surface) rather than the
+    * built-in join: per user, unresolved clicks + horizon-live
+    * purchases; a click resolves exactly once, when the WATERMARK
+    * seals its interval (event-time timeouts drive resolution for
+    * quiet users); purchases evict once no live or future click can
+    * reach them. State per user is bounded by its events inside a
+    * 2×interval watermark horizon — never history.
+    *
+    * Bounded-run determinism: the st11 sentinel discipline (far-future
+    * click in a later micro-batch drags the watermark past every real
+    * click's seal point; `maxFilesPerTrigger=1` + mtime gap order the
+    * batches). All real events arrive in batch 0 under watermark 0, so
+    * every purchase is buffered before any click seals — emissions are
+    * batching-independent and the oracle replays the exact
+    * first-purchase-per-click relation.
+    */
+  def st24StreamFirstTouch(s: SparkSession, d: String): DataFrame =
+    CatchupConf.withBoundedStatePartitions(s) {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+    import s.implicits._
+    val raw = eventsRaw(s, d)
+    val rawSchema = raw.schema
+    val dir = java.nio.file.Files.createTempDirectory("graft_st24_")
+    val sink = "st24_out_" +
+      java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+    try {
+      val eventsFile = dir.resolve("a_events.parquet")
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$d/events.parquet"), eventsFile)
+      // sentinel click 100 days past the corpus (user −1): drags the
+      // watermark past every real click's seal point; its own click
+      // never resolves and is filtered below
+      val maxUs = raw.agg(max(tsMicros(raw))).head().getLong(0)
+      val sentinelTs = tsRawValue(rawSchema, maxUs + 100L * 24 * 3600 * 1000000L)
+      val scratch = dir.resolve("scratch")
+      s.createDataFrame(
+          java.util.Arrays.asList(
+            org.apache.spark.sql.Row(-101L, sentinelTs, -1L, "click", 0.0, "")),
+          rawSchema)
+        .coalesce(1).write.parquet(scratch.toString)
+      import scala.jdk.CollectionConverters._
+      val part = java.nio.file.Files.list(scratch).iterator().asScala
+        .find(_.toString.endsWith(".parquet")).get
+      val sentinelFile = dir.resolve("b_sentinel.parquet")
+      java.nio.file.Files.copy(part, sentinelFile)
+      org.apache.commons.io.FileUtils.deleteDirectory(scratch.toFile)
+      java.nio.file.Files.setLastModifiedTime(sentinelFile,
+        java.nio.file.attribute.FileTime.fromMillis(
+          java.nio.file.Files.getLastModifiedTime(eventsFile).toMillis + 60000))
+
+      val staged = normalizeTs(s.readStream
+        .schema(rawSchema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(dir.toString))
+      val evs = staged
+        .filter(col("event_type").isin("click", "purchase"))
+        .select(col("event_id"), col("user_id"), col("ts"),
+          (col("event_type") === "purchase").as("is_buy"))
+        .withWatermark("ts", s"$intervalHours hours")
+        .as[AttEv]
+      val attributed = evs.groupByKey(_.user_id)
+        .flatMapGroupsWithState[AttState, AttOut](
+          OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+          case (user: Long, it: Iterator[AttEv], state: GroupState[AttState]) =>
+            val wmUs = state.getCurrentWatermarkMs() * 1000L
+            val (out, stOut, next) =
+              attAdvance(user, state.getOption, it.toSeq, wmUs)
+            stOut match {
+              case Some(ns) =>
+                state.update(ns)
+                // event-time timeout at the next seal/evict point —
+                // must sit strictly above the current watermark
+                next.foreach(nUs => state.setTimeoutTimestamp(
+                  math.max(nUs / 1000L + 1, state.getCurrentWatermarkMs() + 1)))
+              case None => state.remove()
+            }
+            out.iterator
+        }
+      val q = attributed
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      CatchupConf.awaitBounded(q, "st24")
+      s.table(sink)
+        .filter(col("user_id") >= 0) // the sentinel click never resolves
+        .select(col("click_id"), col("buy_id"), col("user_id"), col("lag_us"))
+        .localCheckpoint()
+        .orderBy("click_id")
+    } finally {
+      s.catalog.dropTempView(sink)
+      org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+    }
+  }
+
+  /** ST24's batch twin (spec parity + scale-headroom counterpart): the
+    * st4 binned equi-join capped to first-touch by a per-click min —
+    * every true pair meets in exactly one bin, so the groupBy is exact. */
+  private[graft] def st24FirstTouchBatchOf(ev: DataFrame): DataFrame = {
+    def binOf(tsCol: String): Column =
+      expr(s"unix_micros($tsCol) div ${intervalUs}L")
+    val cbins = clicksOf(ev).withColumn("bin",
+      explode(sequence(binOf("click_ts"), binOf("click_ts") + lit(1L))))
+    val bbins = buysOf(ev).withColumn("bin", binOf("buy_ts"))
+    cbins.join(bbins,
+        cbins("bin") === bbins("bin") &&
+          col("user_id") === col("buy_user_id") &&
+          withinInterval(col("click_ts"), col("buy_ts")))
+      .groupBy(col("click_id"), col("user_id"))
+      .agg(min(struct(
+        (unix_micros(col("buy_ts")) - unix_micros(col("click_ts")))
+          .as("lag_us"),
+        col("buy_id"))).as("first"))
+      .select(col("click_id"), col("first.buy_id").as("buy_id"),
+        col("user_id"), col("first.lag_us").as("lag_us"))
+  }
+
+  val st24Sql: String =
+    s"""WITH c AS (
+      |  SELECT event_id AS click_id, user_id, ts AS click_ts
+      |  FROM events WHERE event_type = 'click'),
+      |b AS (
+      |  SELECT event_id AS buy_id, user_id, ts AS buy_ts
+      |  FROM events WHERE event_type = 'purchase'),
+      |j AS (
+      |  SELECT c.click_id, b.buy_id, c.user_id,
+      |    epoch_us(b.buy_ts) - epoch_us(c.click_ts) AS lag_us,
+      |    row_number() OVER (PARTITION BY c.click_id
+      |      ORDER BY b.buy_ts, b.buy_id) AS rn
+      |  FROM c JOIN b ON c.user_id = b.user_id
+      |    AND b.buy_ts >= c.click_ts
+      |    AND epoch_us(b.buy_ts) - epoch_us(c.click_ts) <= $intervalUs)
+      |SELECT click_id, buy_id, user_id, lag_us FROM j WHERE rn = 1
+      |ORDER BY click_id""".stripMargin
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st4_interval_join" -> st4IntervalJoin,
     "st4s_stream_interval_join" -> st4sStreamIntervalJoin,
     "st11s_stream_outer_join" -> st11sStreamOuterJoin,
     "st12s_stream_full_outer" -> st12sStreamFullOuterJoin,
+    "st24_stream_first_touch" -> st24StreamFirstTouch,
   )
 
   val oracle: Map[String, String] = Map(
@@ -354,5 +556,6 @@ object IntervalJoin {
     "st4s_stream_interval_join" -> st4Sql,
     "st11s_stream_outer_join" -> st11Sql,
     "st12s_stream_full_outer" -> st12Sql,
+    "st24_stream_first_touch" -> st24Sql,
   )
 }

@@ -148,8 +148,8 @@ object StreamDsir {
       |  FROM tot),
       |scored AS MATERIALIZED (
       |  SELECT f.doc_id, f.lang, CAST(count(*) AS BIGINT) AS n_feats,
-      |    CAST(sum(w.bits) AS BIGINT) AS sum_bits
-      |  FROM fb f JOIN wts w USING (bk) GROUP BY f.doc_id, f.lang),
+      |    CAST(sum(coalesce(w.bits, 0)) AS BIGINT) AS sum_bits
+      |  FROM fb f LEFT JOIN wts w USING (bk) GROUP BY f.doc_id, f.lang),
       |sc AS (
       |  SELECT doc_id, lang, n_feats,
       |    sum_bits + n_feats * (SELECT nbits FROM nb) AS logw_bits

@@ -1,0 +1,97 @@
+package graft.streaming
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.functions._
+
+/** st24 — the BOUNDED stream-stream interval join (first-touch
+  * attribution). Pins the properties the 100× scale claim rests on:
+  *
+  *  - the pure state transition ([[IntervalJoin.attAdvance]]): interval
+  *    boundary inclusion, first-purchase tie-breaks, watermark-driven
+  *    seal/evict, and that state empties once the horizon passes;
+  *  - LINEAR output: emitted rows = clicks with ≥1 in-window purchase
+  *    (≤ #clicks by construction — the property the raw st4s inner join
+  *    lacks);
+  *  - stream ↔ batch-twin parity on the real corpus.
+  */
+class FirstTouchSpec extends SparkSpecBase {
+
+  private val I = IntervalJoin.intervalUs
+
+  private def ev(id: Long, us: Long, buy: Boolean): IntervalJoin.AttEv = {
+    val t = new java.sql.Timestamp(us / 1000000L * 1000L)
+    t.setNanos(((us % 1000000L) * 1000L).toInt)
+    IntervalJoin.AttEv(id, 7L, t, buy)
+  }
+
+  test("attAdvance: in-window purchases attribute, boundary inclusive") {
+    val batch = Seq(ev(1, 1000000L, buy = false),
+      ev(2, 1000000L + I, buy = true),     // exactly at click + I: included
+      ev(3, 1000000L + I + 1, buy = true)) // one µs past: excluded
+    // watermark past the click's seal point resolves it immediately
+    val (out, st, _) = IntervalJoin.attAdvance(7L, None, batch,
+      wmUs = 1000000L + I + 2)
+    assert(out == Seq(IntervalJoin.AttOut(1, 2, 7L, I)))
+    // the click is resolved; both purchases stay horizon-live (a future
+    // click inside the watermark horizon could still attribute them)
+    assert(st.exists(s => s.clicks.isEmpty && s.buys.map(_.id) == Seq(2L, 3L)))
+  }
+
+  test("attAdvance: FIRST purchase wins — earliest ts, then lowest id") {
+    val batch = Seq(ev(1, 0L, buy = false),
+      ev(9, 5000L, buy = true), ev(4, 5000L, buy = true), // ts tie → id 4
+      ev(2, 1000L, buy = true))                           // earliest ts wins
+    val (out, _, _) = IntervalJoin.attAdvance(7L, None, batch, wmUs = I + 1)
+    assert(out == Seq(IntervalJoin.AttOut(1, 2, 7L, 1000L)))
+  }
+
+  test("attAdvance: pre-click purchases never attribute; no match = no emit") {
+    val batch = Seq(ev(5, 1000L, buy = true), ev(1, 2000L, buy = false))
+    val (out, _, _) = IntervalJoin.attAdvance(7L, None, batch, wmUs = 2000L + I + 1)
+    assert(out.isEmpty)
+  }
+
+  test("attAdvance: unsealed clicks wait; a later watermark-only advance resolves them and empties state") {
+    val batch = Seq(ev(1, 1000L, buy = false), ev(2, 2000L, buy = true))
+    val (out0, st0, next0) = IntervalJoin.attAdvance(7L, None, batch, wmUs = 0L)
+    assert(out0.isEmpty, "nothing may resolve under watermark 0")
+    assert(st0.exists(s => s.clicks.nonEmpty && s.buys.nonEmpty))
+    assert(next0.contains(1000L + I + 1), "next timeout = first seal point")
+    // timeout fires: empty batch, watermark past everything
+    val (out1, st1, next1) =
+      IntervalJoin.attAdvance(7L, st0, Nil, wmUs = 2000L + 2 * I)
+    assert(out1 == Seq(IntervalJoin.AttOut(1, 2, 7L, 1000L)))
+    assert(st1.isEmpty && next1.isEmpty,
+      "state must empty once the horizon passes — bounded by construction")
+  }
+
+  test("attAdvance: purchases evict once no live or future click can reach them") {
+    val batch = Seq(ev(2, 1000L, buy = true))
+    val (_, st0, _) = IntervalJoin.attAdvance(7L, None, batch, wmUs = 0L)
+    assert(st0.exists(_.buys.nonEmpty))
+    // wm just below the eviction point: kept (a click at wm - I could
+    // still arrive with the purchase in its window)
+    val (_, stKeep, _) = IntervalJoin.attAdvance(7L, st0, Nil, wmUs = 1000L + I)
+    assert(stKeep.exists(_.buys.nonEmpty))
+    val (_, stGone, _) =
+      IntervalJoin.attAdvance(7L, stKeep, Nil, wmUs = 1000L + I + 1)
+    assert(stGone.isEmpty)
+  }
+
+  test("st24 streaming == batch twin on the corpus, and output is linear in clicks") {
+    val streamed = IntervalJoin.st24StreamFirstTouch(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    val batch = IntervalJoin
+      .st24FirstTouchBatchOf(graft.Tables.events(spark, sf))
+      .orderBy("click_id")
+      .collect().map(_.toSeq).toSeq
+    assert(streamed == batch)
+    // the linearity contract: at most one row per click — this is what
+    // the raw st4s join cannot promise under density growth
+    val nClicks = graft.Tables.events(spark, sf)
+      .filter(col("event_type") === "click").count()
+    assert(streamed.size <= nClicks)
+    assert(streamed.map(_.head).distinct.size == streamed.size,
+      "first-touch must emit at most one purchase per click")
+  }
+}
