@@ -48,6 +48,7 @@ object SparkEntry {
       _root_.graft.streaming.StreamQuality.defs ++
       _root_.graft.streaming.StreamDsir.defs ++
       _root_.graft.streaming.CdcMerge.defs ++
+      _root_.graft.streaming.CasSink.defs ++
       _root_.graft.streaming.GapDetect.defs ++
       _root_.graft.streaming.FunnelDetect.defs
 
@@ -80,6 +81,7 @@ object SparkEntry {
       _root_.graft.streaming.StreamQuality.oracle ++
       _root_.graft.streaming.StreamDsir.oracle ++
       _root_.graft.streaming.CdcMerge.oracle ++
+      _root_.graft.streaming.CasSink.oracle ++
       _root_.graft.streaming.GapDetect.oracle ++
       _root_.graft.streaming.FunnelDetect.oracle
 }

@@ -1103,7 +1103,132 @@ object Warehouse {
       |  SELECT 4, doc_id, 'language', lang, source FROM documents)
       |ORDER BY version, doc_id""".stripMargin
 
+  // ---- O19: partition evolution through snapshot commits --------------
+
+  /** Commit version `v` of an o19 table: an atomically-created
+    * (createLink CAS) `layout-v` manifest listing the version's data
+    * SEGMENTS, each with the partition spec it was written under
+    * (`token:specCol` lines). Partition evolution = a new manifest
+    * listing the old segments UNCHANGED plus new segments under the new
+    * spec — never a rewrite. This is the public Iceberg
+    * partition-spec-id mechanism: the spec travels with the FILES (per
+    * segment), not with the table. */
+  private[graft] def o19Commit(base: String, v: Int,
+      segments: Seq[(String, String)]): Boolean = {
+    import java.nio.file.{Files, Paths}
+    val body = segments.map { case (t, spec) => s"$t:$spec" }.mkString("\n")
+    val scratch = Paths.get(base, s".l-$v")
+    Files.writeString(scratch, body)
+    val target = Paths.get(base, s"layout-$v")
+    try { Files.createLink(target, scratch); true }
+    catch { case _: java.nio.file.FileAlreadyExistsException => false }
+    finally Files.deleteIfExists(scratch)
+  }
+
+  /** The segments (token, specCol) version `v` resolves to. */
+  private[graft] def o19Segments(base: String, v: Int): Seq[(String, String)] = {
+    val f = java.nio.file.Paths.get(base, s"layout-$v")
+    require(java.nio.file.Files.exists(f),
+      s"o19: version $v is not committed (no layout-$v)")
+    java.nio.file.Files.readString(f).split("\n").filter(_.nonEmpty).toSeq
+      .map { line =>
+        val Array(t, spec) = line.split(":", 2)
+        (t, spec)
+      }
+  }
+
+  /** Read version `v` across its segments: each segment scans under ITS
+    * OWN partition layout (`basePath` resurfaces the Hive-style
+    * partition column; Catalyst prunes each segment's directories by
+    * its own spec), columns re-ordered to the logical schema before the
+    * union. A filter on the OLD spec's column partition-prunes the old
+    * segments and row-filters the new ones — both correct, the exact
+    * Iceberg cross-spec read contract. */
+  private[graft] def o19Read(s: SparkSession, base: String, v: Int,
+      logical: Seq[String]): DataFrame =
+    o19Segments(base, v).map { case (t, _) =>
+      val seg = s"$base/seg-$t"
+      s.read.option("basePath", seg).parquet(seg)
+        .select(logical.map(col): _*)
+    }.reduce(_ unionByName _)
+
+  /** O19 — partition evolution (r17 verdict stretch #8): a snapshot
+    * table whose PARTITIONING changes between versions without
+    * rewriting a byte of pre-evolution data. v1 commits the corpus
+    * Hive-partitioned by `lang` (the ingest-era layout); the pipeline
+    * later re-keys its consumers by `source`, so the late-crawl appends
+    * land partitioned by `source` and v2's manifest simply lists BOTH
+    * segments, each tagged with its spec. In-op requires pin the
+    * mechanism: the old segment's files are byte-identical (names +
+    * sizes) across the evolution, the new segment carries the new
+    * spec's directories, and reads span both layouts strictly through
+    * the manifest. `PartitionEvolutionSpec` pins the pruning contract
+    * (a `lang` filter partition-prunes the old segment while the new
+    * segment row-filters) — the part a content hash cannot see.
+    *
+    * Scale shape: evolution is ONE metadata create; a 100 TB table
+    * re-keyed for new query patterns pays only for data written AFTER
+    * the change (plus optional background OPTIMIZE of old segments,
+    * o15's job), exactly why production formats version the partition
+    * spec instead of repartitioning the table.
+    */
+  def o19PartitionEvolution(s: SparkSession, d: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val dir = java.nio.file.Files.createTempDirectory("graft_o19_")
+    val base = dir.toString
+    try {
+      val cols = Seq("doc_id", "lang", "source")
+      val docs = documents(s, d).select(cols.map(col): _*)
+      val appends = documents(s, d).filter(col("doc_id") % 7 === 3)
+        .select((col("doc_id") + lit(5000000L)).as("doc_id"), col("lang"),
+          lit("late-crawl").as("source"))
+      // v1: ingest-era layout — partitioned by lang
+      docs.write.partitionBy("lang").parquet(s"$base/seg-a")
+      require(o19Commit(base, 1, Seq("a" -> "lang")), "o19: v1 commit failed")
+      val fs = new Path(base).getFileSystem(s.sparkContext.hadoopConfiguration)
+      def files(seg: String): Seq[(String, Long)] = {
+        val it = fs.listFiles(new Path(s"$base/seg-$seg"), true)
+        val b = Seq.newBuilder[(String, Long)]
+        while (it.hasNext) {
+          val st = it.next()
+          if (st.isFile && !st.getPath.getName.startsWith("_"))
+            b += ((st.getPath.toString.stripPrefix(base), st.getLen))
+        }
+        b.result().sortBy(_._1)
+      }
+      val aBefore = files("a")
+      // partition evolution: appends land under the NEW spec; v2 lists
+      // both segments, old one untouched
+      appends.write.partitionBy("source").parquet(s"$base/seg-b")
+      require(o19Commit(base, 2, Seq("a" -> "lang", "b" -> "source")),
+        "o19: v2 commit failed")
+      require(files("a") == aBefore,
+        "o19: partition evolution rewrote pre-evolution files")
+      require(fs.listStatus(new Path(s"$base/seg-b"))
+        .exists(_.getPath.getName.startsWith("source=")),
+        "o19: the new segment must carry the NEW spec's directories")
+      o19Read(s, base, 1, cols).withColumn("version", lit(1))
+        .unionByName(o19Read(s, base, 2, cols).withColumn("version", lit(2)))
+        .select(col("version"), col("doc_id"), col("lang"), col("source"))
+        .orderBy("version", "doc_id")
+        .localCheckpoint()
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+  }
+
+  val o19Sql: String =
+    """WITH b AS (SELECT doc_id, lang, source FROM documents),
+      |a AS (SELECT doc_id + 5000000 AS doc_id, lang,
+      |        'late-crawl' AS source
+      |      FROM documents WHERE doc_id % 7 = 3)
+      |SELECT 1 AS version, doc_id, lang, source FROM b
+      |UNION ALL
+      |SELECT 2 AS version, doc_id, lang, source FROM b
+      |UNION ALL
+      |SELECT 2 AS version, doc_id, lang, source FROM a
+      |ORDER BY version, doc_id""".stripMargin
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "o19_partition_evolution" -> o19PartitionEvolution,
     "o18_field_id_evolution" -> o18FieldIdEvolution,
     "o17_schema_evolution" -> o17SchemaEvolution,
     "o16_commit_conflict" -> o16CommitConflict,
@@ -1117,6 +1242,7 @@ object Warehouse {
   )
 
   val oracle: Map[String, String] = Map(
+    "o19_partition_evolution" -> o19Sql,
     "o18_field_id_evolution" -> o18Sql,
     "o17_schema_evolution" -> o17Sql,
     "o16_commit_conflict" -> o16Sql,

@@ -102,6 +102,64 @@ class OptimisticCommitSpec extends SparkSpecBase {
     } finally cleanup(base)
   }
 
+  test("N-writer contention liveness: every writer commits within its loss bound, no append lost") {
+    import spark.implicits._
+    val base = tmp()
+    try {
+      o16Stage(base, "seed", Seq((0L, "seed")).toDF("doc_id", "lang"))
+      assert(o16TryPublish(base, "seed", expected = 0))
+      val n = 6
+      // N writers in real retry-until-commit loops on real threads:
+      // read latest, re-derive (append own row to the committed state),
+      // stage under a fresh token, CAS; on loss, retry against the new
+      // state. Liveness theorem pinned below: a CAS loss means SOME
+      // competitor committed that slot, and each commits exactly once,
+      // so attempts per writer are bounded by n — no livelock possible.
+      val attempts = new java.util.concurrent.ConcurrentHashMap[Int, Int]()
+      val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      val gate = new java.util.concurrent.CountDownLatch(1)
+      val threads = (1 to n).map { i =>
+        new Thread(() => {
+          try {
+            gate.await()
+            var committed = false
+            var tries = 0
+            while (!committed) {
+              tries += 1
+              require(tries <= n + 1,
+                s"writer $i exceeded the theoretical retry bound")
+              val latest = o16Latest(base)
+              val token = s"w$i-t$tries"
+              o16Stage(base, token,
+                o16Read(spark, base, latest)
+                  .unionByName(Seq((i.toLong, s"writer-$i"))
+                    .toDF("doc_id", "lang")))
+              committed = o16TryPublish(base, token, latest)
+            }
+            attempts.put(i, tries)
+          } catch { case t: Throwable => failures.add(t) }
+        })
+      }
+      threads.foreach(_.start())
+      gate.countDown()
+      threads.foreach(_.join(120000))
+      assert(failures.isEmpty, s"writer threads failed: ${failures.peek()}")
+      assert(attempts.size == n, "every writer must eventually commit")
+      // progress: versions = seed + exactly one per writer
+      assert(o16Latest(base) == 1 + n)
+      // each writer's loss count is bounded by the others' commits
+      (1 to n).foreach(i => assert(attempts.get(i) <= n,
+        s"writer $i took ${attempts.get(i)} attempts (> bound $n)"))
+      // nothing lost: the FINAL version carries the seed and all n
+      // appended rows — every retry re-derived from the fresh state
+      val fin = o16Read(spark, base, 1 + n)
+      assert(fin.count() == 1 + n)
+      assert((0 to n).forall(k =>
+        fin.filter(col("doc_id") === k.toLong).count() == 1),
+        "a retried commit dropped a competitor's append — lost update")
+    } finally cleanup(base)
+  }
+
   test("the registered query's ledger: v3 carries every appended row") {
     val out = Warehouse.o16CommitConflict(spark, sf).cache()
     try {

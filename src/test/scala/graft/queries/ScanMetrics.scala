@@ -46,6 +46,18 @@ object ScanMetrics {
     filters.map(_.metrics("numOutputRows").value).sum
   }
 
+  /** An arbitrary file-scan metric (e.g. `numFiles` for partition-prune
+    * pins) summed over the matching scans of an ALREADY EXECUTED plan. */
+  def executedScanMetric(df: DataFrame, pathFilter: String => Boolean,
+      metric: String): Long = {
+    val scans = strip(df.queryExecution.executedPlan).collect {
+      case f: FileSourceScanExec
+          if f.relation.location.rootPaths.exists(p => pathFilter(p.toString)) => f
+    }
+    assert(scans.nonEmpty, "no matching FileSourceScan in executed plan")
+    scans.map(_.metrics(metric).value).sum
+  }
+
   /** Leaf file-scan `numOutputRows` of an ALREADY EXECUTED plan (no
     * re-execution), path-restricted like [[scanOutputRows]]. */
   def executedScanRows(df: DataFrame, pathFilter: String => Boolean): Long = {
