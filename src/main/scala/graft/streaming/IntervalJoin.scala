@@ -380,12 +380,26 @@ object IntervalJoin {
     val buys = (st.map(_.buys).getOrElse(Nil) ++
       bBuys.map(e => AttPend(e.event_id, us(e)))).sortBy(b => (b.tsUs, b.id))
     val (ripe, open) = clicks.partition(_.tsUs + intervalUs < wmUs)
+    // Buys are (ts, id)-sorted, so the FIRST in-window purchase — the
+    // min-(buy_ts, buy_id) pick — is the lower-bound element: one binary
+    // search per ripe click, O((C+B) log B) per user per invocation.
+    // (A per-click window scan would be O(C×B): quadratic in per-user
+    // density, re-importing through the back door the exact blow-up this
+    // operator exists to cap.)
+    val bv = buys.toIndexedSeq
+    def lowerBound(target: Long): Int = {
+      var lo = 0; var hi = bv.length
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        if (bv(mid).tsUs < target) lo = mid + 1 else hi = mid
+      }
+      lo
+    }
     val out = ripe.flatMap { c =>
-      buys.iterator
-        .filter(b => b.tsUs >= c.tsUs && b.tsUs <= c.tsUs + intervalUs)
-        .reduceOption((a, b) =>
-          if (a.tsUs < b.tsUs || (a.tsUs == b.tsUs && a.id <= b.id)) a else b)
-        .map(b => AttOut(c.id, b.id, user, b.tsUs - c.tsUs))
+      val i = lowerBound(c.tsUs)
+      if (i < bv.length && bv(i).tsUs <= c.tsUs + intervalUs)
+        Some(AttOut(c.id, bv(i).id, user, bv(i).tsUs - c.tsUs))
+      else None
     }
     val liveBuys = buys.filter(_.tsUs + intervalUs >= wmUs)
     val next =

@@ -450,6 +450,20 @@ object ScaleHeadroom {
           Similarity.permuteEmb(e, Similarity.opqSnakePerm(e))
             .select("vec_id", "embedding"))
       },
+      // d18 daily-crawl shape: the INDEX side is the fixed base corpus'
+      // fingerprints (all-time history — it does not grow in this
+      // model); only the NEW BATCH grows (n disjoint tagged copies).
+      // Expected: near-linear in the batch — history costs the same
+      // fixed fingerprint pass at both scales and its text is never
+      // touched by the step
+      "d18_incremental_step" -> { n =>
+        val hist = Tables.documents(spark, sfDir).select("doc_id", "text")
+        val batch = (1 to n).map { i =>
+          hist.select((col("doc_id") + lit(i * 1000000L)).as("doc_id"),
+            regexp_replace(col("text"), "(\\S+)", s"c$i$$1").as("text"))
+        }.reduce(_ unionByName _).repartition(par, col("doc_id"))
+        Dedup.d18IncrementalStep(Dedup.d4Simhash64Of(hist), batch)._1
+      },
       // full six-gate curation cascade incl. its own clustering
       "c1_curation_cascade" -> { n =>
         val full = docsFullAt(n)
