@@ -686,7 +686,95 @@ object Layout {
       |) ORDER BY codec""".stripMargin
   }
 
+  // ---- A21: manifest-level min/max file pruning ------------------------
+
+  /** Per-file (path, min, max) stats of a written layout, collected in
+    * ONE read pass via `input_file_name()` — the commit-time stats a
+    * production writer gets for free from its write-task metrics. The
+    * returned manifest is driver-sized: one row per FILE, never per
+    * row/row-group. */
+  private[graft] def a21StatsOf(s: SparkSession, path: String,
+      statCol: String): Seq[(String, Long, Long)] =
+    s.read.parquet(path)
+      .groupBy(input_file_name().as("file"))
+      .agg(min(col(statCol)).as("lo"), max(col(statCol)).as("hi"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+
+  /** The manifest-pruned read: files whose [lo, hi] envelope intersects
+    * the predicate range, selected DRIVER-SIDE from the stats manifest
+    * — no footer of a pruned file is ever opened (a14's footer skipping
+    * still opens every footer; at 100 TB with 10⁶ files, THAT is the
+    * next bottleneck, which is why production formats hoist min/max
+    * into manifest metadata — the public Iceberg scan-planning design).
+    * The residual predicate still applies: file granularity over-
+    * approximates the row set. */
+  private[graft] def a21PrunedRead(s: SparkSession,
+      stats: Seq[(String, Long, Long)], lo: Long, hi: Long): (DataFrame, Int) = {
+    val selected = stats.filter { case (_, flo, fhi) => fhi >= lo && flo <= hi }
+    (s.read.parquet(selected.map(_._1): _*), selected.size)
+  }
+
+  /** A21 — MANIFEST-level min/max pruning, completing the skipping
+    * ladder a14 (parquet footer stats) and a16 (z-order) climb: the
+    * per-file envelope lives in table METADATA, so scan planning
+    * selects the file set on the driver without opening a single
+    * pruned file. The layout is the a14 discipline (range-clustered by
+    * `event_id`, disjoint per-file envelopes); the stats manifest is
+    * collected in one pass at write time; the quarter-range slice then
+    * reads ONLY the intersecting files plus the residual row predicate.
+    * In-op requires pin that pruning genuinely engaged (selected <
+    * total, and the executed scan read exactly the selected files);
+    * the oracle replays the slice against the original table, so the
+    * hash certifies the manifest-pruned read is lossless.
+    *
+    * Scale shape: planning cost is O(files) driver metadata (at 10⁶
+    * files: one manifest scan — production formats even index the
+    * manifests; here the manifest IS the in-memory stats list); read
+    * cost is the intersecting slice only. This is the layout lever
+    * that turns "scan 100 TB" into "open 1% of the files", one rung
+    * above a14's "read 1% of the row groups after opening every
+    * footer".
+    */
+  def a21ManifestStatsPrune(s: SparkSession, d: String): DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_a21_")
+    val path = s"$dir/events_by_id"
+    try {
+      events(s, d)
+        .select(col("event_id"), col("event_type"), col("value"))
+        .repartitionByRange(PruneFileCount, col("event_id"))
+        .sortWithinPartitions("event_id")
+        .write.parquet(path)
+      val stats = a21StatsOf(s, path, "event_id")
+      require(stats.size > 1,
+        "a21: the clustered layout must materialize multiple files")
+      val maxId = stats.map(_._3).max
+      val (lo, hi) = (maxId / 4, maxId / 2)
+      val (pruned, nSel) = a21PrunedRead(s, stats, lo, hi)
+      require(nSel > 0 && nSel < stats.size,
+        s"a21: manifest pruning did not engage ($nSel of ${stats.size} files)")
+      val sliced = pruned
+        .filter(col("event_id") >= lo && col("event_id") <= hi)
+        .orderBy("event_id")
+      // the read's relation is exactly the selected files (checked
+      // BEFORE the checkpoint truncates lineage)
+      val scanned = sliced.inputFiles.length
+      require(scanned == nSel,
+        s"a21: scan reads $scanned files, manifest selected $nSel")
+      sliced.localCheckpoint()
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+  }
+
+  val a21Sql: String =
+    """WITH r AS (SELECT max(event_id) AS m FROM events)
+      |SELECT event_id, event_type, value
+      |FROM events, r
+      |WHERE event_id >= m // 4 AND event_id <= m // 2
+      |ORDER BY event_id""".stripMargin
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a21_manifest_prune" -> a21ManifestStatsPrune,
     "a20_codec_layout" -> a20CodecLayout,
     "a14_minmax_prune" -> a14MinmaxPrune,
     "a15_dynamic_prune" -> a15DynamicPrune,
@@ -697,6 +785,7 @@ object Layout {
   )
 
   val oracle: Map[String, String] = Map(
+    "a21_manifest_prune" -> a21Sql,
     "a14_minmax_prune" -> a14Sql,
     "a15_dynamic_prune" -> a15Sql,
     "a16_zorder_prune" -> a16Sql,

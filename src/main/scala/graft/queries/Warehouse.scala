@@ -944,6 +944,244 @@ object Warehouse {
       |SELECT 1 AS version, doc_id, lang, source FROM documents
       |ORDER BY version, doc_id""".stripMargin
 
+  // ---- O21: zero-copy shallow clone ------------------------------------
+
+  /** Read version `v` of an o16-protocol table whose manifest may name
+    * either a LOCAL data token or an ABSOLUTE data path (a shallow
+    * clone's manifest references the SOURCE table's files by path —
+    * the public Delta SHALLOW CLONE mechanism). */
+  private[graft] def o21Read(s: SparkSession, base: String,
+      v: Int): DataFrame = {
+    val m = java.nio.file.Paths.get(base, s"manifest-$v")
+    require(java.nio.file.Files.exists(m),
+      s"o21: version $v is not committed (no manifest-$v)")
+    val token = java.nio.file.Files.readString(m).trim
+    val dataDir = if (token.startsWith("/")) token else s"$base/data-$token"
+    s.read.parquet(dataDir)
+  }
+
+  /** Create `dstBase` as a zero-copy shallow clone of `srcBase`'s
+    * version `srcV`: the clone's v1 manifest is ONE metadata create
+    * naming the source's data directory by absolute path — no byte of
+    * data is copied or rewritten. Subsequent writes to the clone land
+    * as the clone's OWN tokens through the ordinary CAS, never
+    * touching the source. */
+  private[graft] def o21ShallowCloneOf(srcBase: String, srcV: Int,
+      dstBase: String): Boolean = {
+    val srcToken = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(srcBase, s"manifest-$srcV")).trim
+    val srcData =
+      if (srcToken.startsWith("/")) srcToken else s"$srcBase/data-$srcToken"
+    import java.nio.file.{Files, Paths}
+    val scratch = Paths.get(dstBase, ".m-clone")
+    Files.writeString(scratch, srcData)
+    val target = Paths.get(dstBase, "manifest-1")
+    try { Files.createLink(target, scratch); true }
+    catch { case _: java.nio.file.FileAlreadyExistsException => false }
+    finally Files.deleteIfExists(scratch)
+  }
+
+  /** O21 — SHALLOW CLONE (zero-copy table fork), the public Delta
+    * `CREATE TABLE ... SHALLOW CLONE` shape: an experiment/dev fork of
+    * a production table costs ONE metadata create — the clone's first
+    * manifest references the source version's data files by absolute
+    * path — and diverges copy-on-write from there (writes to the clone
+    * commit the clone's own tokens through the CAS; the source is
+    * never touched). The three contracts certified under one hash +
+    * in-op requires:
+    *
+    *  - the clone read equals the cloned source version, through ZERO
+    *    copied bytes (pinned: the clone's directory contains no data
+    *    dirs at v1);
+    *  - editing the clone (v2 rewrites a slice of `source`) leaves the
+    *    SOURCE table byte-identical (file listing pinned) and still
+    *    serving its original content;
+    *  - the clone's versions are independent: B@v1 still reads the
+    *    shared files after B@v2 lands.
+    *
+    * Scale shape: forking a 100 TB table costs one manifest create;
+    * storage is shared until rows actually diverge — the entire reason
+    * production teams clone instead of copy. (Delta documents the
+    * operational caveat this inherits: vacuuming the SOURCE can orphan
+    * shallow clones — o13's manifest-absent sweep must never run on a
+    * table that has live clones, the same public caveat.)
+    */
+  def o21ShallowClone(s: SparkSession, d: String): DataFrame = {
+    val dirA = java.nio.file.Files.createTempDirectory("graft_o21a_")
+    val dirB = java.nio.file.Files.createTempDirectory("graft_o21b_")
+    import scala.jdk.CollectionConverters._
+    try {
+      val docs = documents(s, d).select(col("doc_id"), col("lang"),
+        col("source"))
+      o16Stage(dirA.toString, "a0", docs.repartition(4))
+      require(o16TryPublish(dirA.toString, "a0", 0),
+        "o21: source v1 commit failed")
+      def listing(dir: java.nio.file.Path): Seq[(String, Long)] = {
+        java.nio.file.Files.walk(dir).iterator().asScala
+          .filter(p => java.nio.file.Files.isRegularFile(p) &&
+            !p.getFileName.toString.startsWith("_"))
+          .map(p => (p.toString, java.nio.file.Files.size(p)))
+          .toSeq.sortBy(_._1)
+      }
+      val aBefore = listing(dirA)
+      // the clone: one metadata create, zero data bytes in B's dir
+      require(o21ShallowCloneOf(dirA.toString, 1, dirB.toString),
+        "o21: clone manifest create failed")
+      require(!java.nio.file.Files.list(dirB).iterator().asScala
+        .exists(_.getFileName.toString.startsWith("data-")),
+        "o21: a SHALLOW clone must not copy data")
+      // copy-on-write divergence: the clone's v2 edits a slice
+      o16Stage(dirB.toString, "b-edit",
+        o21Read(s, dirB.toString, 1).withColumn("source",
+          when(col("doc_id") % 5 === 0, lit("edited"))
+            .otherwise(col("source"))))
+      require(o16TryPublish(dirB.toString, "b-edit", 1),
+        "o21: clone edit commit failed")
+      // the source never moved
+      require(listing(dirA) == aBefore,
+        "o21: editing the clone touched the source's files")
+      o21Read(s, dirA.toString, 1)
+        .select(lit("A").as("tbl"), lit(1).as("version"), col("doc_id"),
+          col("lang"), col("source"))
+        .unionByName(o21Read(s, dirB.toString, 1)
+          .select(lit("B").as("tbl"), lit(1).as("version"), col("doc_id"),
+            col("lang"), col("source")))
+        .unionByName(o21Read(s, dirB.toString, 2)
+          .select(lit("B").as("tbl"), lit(2).as("version"), col("doc_id"),
+            col("lang"), col("source")))
+        .orderBy("tbl", "version", "doc_id")
+        .localCheckpoint()
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(dirA.toFile)
+      org.apache.commons.io.FileUtils.deleteDirectory(dirB.toFile)
+    }
+  }
+
+  val o21Sql: String =
+    """SELECT * FROM (
+      |  SELECT 'A' AS tbl, 1 AS version, doc_id, lang, source
+      |  FROM documents
+      |  UNION ALL
+      |  SELECT 'B', 1, doc_id, lang, source FROM documents
+      |  UNION ALL
+      |  SELECT 'B', 2, doc_id, lang,
+      |    CASE WHEN doc_id % 5 = 0 THEN 'edited' ELSE source END
+      |  FROM documents)
+      |ORDER BY tbl, version, doc_id""".stripMargin
+
+  // ---- O20: change data feed (row-level version diff) ------------------
+
+  /** The row-level diff of two keyed snapshots — the public Delta
+    * Change-Data-Feed row shape: `insert` rows (key only in `next`),
+    * `delete` rows (key only in `prev`), and update PAIRS
+    * (`update_preimage` from `prev`, `update_postimage` from `next`)
+    * for keys present in both with any non-key column changed; a key
+    * whose row is value-identical across versions emits NOTHING (a
+    * no-op write is not a change). One full-outer join on the key —
+    * the diff costs the two version scans + one shuffle, never a
+    * table rewrite or a log replay.
+    */
+  private[graft] def o20Diff(prev: DataFrame, next: DataFrame,
+      key: String, cols: Seq[String]): DataFrame = {
+    val p = prev.select((key +: cols).map(c => col(c).as(s"p_$c")): _*)
+    val n = next.select((key +: cols).map(c => col(c).as(s"n_$c")): _*)
+    val j = p.join(n, col(s"p_$key") === col(s"n_$key"), "full_outer")
+    val changed = cols.map(c => !(col(s"p_$c") <=> col(s"n_$c")))
+      .reduce(_ || _)
+    def rowOf(side: String, tag: String) =
+      j.select((col(s"${side}_$key").as(key) +:
+        cols.map(c => col(s"${side}_$c").as(c))) :+
+        lit(tag).as("change_type"): _*)
+    rowOf("n", "insert").filter(col(s"p_$key").isNull)
+      .unionByName(rowOf("p", "delete").filter(col(s"n_$key").isNull))
+      .unionByName(rowOf("p", "update_preimage")
+        .filter(col(s"p_$key").isNotNull && col(s"n_$key").isNotNull && changed))
+      .unionByName(rowOf("n", "update_postimage")
+        .filter(col(s"p_$key").isNotNull && col(s"n_$key").isNotNull && changed))
+  }
+
+  /** O20 — CHANGE DATA FEED over the o12 snapshot table: the read-side
+    * contract incremental CONSUMERS need at 100 TB — a downstream job
+    * refreshes from the row-level diff between the version it last saw
+    * and the current one, instead of rescanning the table (the o11
+    * reasoning applied to arbitrary keyed tables, and the public
+    * Delta CDF / Iceberg incremental-read shape). v0 commits the
+    * customer dim, v1 commits o10's CDC merge of it; the feed is
+    * derived STRICTLY from the two committed versions read through the
+    * manifest — inserts (keys the merge created), deletes (keys the
+    * merge dropped), update pre/post image pairs (balance rewrites),
+    * and NO row for the untouched majority.
+    *
+    * The in-op require pins the feed's defining algebra — APPLYING the
+    * feed to v0 reproduces v1 exactly ((v0 − deletes − preimages) ∪
+    * inserts ∪ postimages, verified by anti-join in both directions) —
+    * so the oracle hash certifies the row set and the require
+    * certifies that the row set MEANS what a consumer assumes.
+    *
+    * Scale shape: one full-outer join on the key across two version
+    * scans; with both versions range-clustered on the key (a14/o15)
+    * the join co-partitions, and the feed's size is O(changes), so
+    * downstream incremental consumption costs O(delta) — the entire
+    * point. Production formats compute the same diff from add/remove
+    * file metadata without the join when available; the relational
+    * form here is the format-independent fallback that needs nothing
+    * but the two snapshots.
+    */
+  def o20ChangeDataFeed(s: SparkSession, d: String): DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_o20_")
+    try {
+      val base = customer(s, d).select(col("c_custkey").as("cust_id"),
+        col("c_mktsegment").as("segment"), col("c_acctbal").as("bal"))
+      o12Commit(dir.toString, 0, base)
+      o12Commit(dir.toString, 1,
+        o10Apply(o12ReadAsOf(s, dir.toString, 0), o10Changes(s, d)))
+      val v0 = o12ReadAsOf(s, dir.toString, 0)
+      val v1 = o12ReadAsOf(s, dir.toString, 1)
+      val feed = o20Diff(v0, v1, "cust_id", Seq("segment", "bal"))
+        .localCheckpoint()
+      // the defining algebra: v0 + feed == v1, exactly
+      val applied = v0
+        .join(feed.filter(col("change_type")
+            .isin("delete", "update_preimage")).select("cust_id"),
+          Seq("cust_id"), "left_anti")
+        .unionByName(feed.filter(col("change_type")
+            .isin("insert", "update_postimage"))
+          .select("cust_id", "segment", "bal"))
+      require(applied.join(v1, Seq("cust_id", "segment", "bal"),
+          "left_anti").isEmpty &&
+        v1.join(applied, Seq("cust_id", "segment", "bal"),
+          "left_anti").isEmpty,
+        "o20: applying the feed to v0 must reproduce v1 exactly")
+      feed.orderBy("cust_id", "change_type")
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+  }
+
+  val o20Sql: String =
+    s"""WITH m AS ($o10CoreSql),
+      |base AS (
+      |  SELECT c_custkey AS cust_id, c_mktsegment AS segment,
+      |    c_acctbal AS bal
+      |  FROM customer),
+      |j AS (
+      |  SELECT b.cust_id AS p_key, b.segment AS p_seg, b.bal AS p_bal,
+      |    m.cust_id AS n_key, m.segment AS n_seg, m.bal AS n_bal
+      |  FROM base b FULL JOIN m ON b.cust_id = m.cust_id)
+      |SELECT * FROM (
+      |  SELECT n_key AS cust_id, n_seg AS segment, n_bal AS bal,
+      |    'insert' AS change_type
+      |  FROM j WHERE p_key IS NULL
+      |  UNION ALL
+      |  SELECT p_key, p_seg, p_bal, 'delete' FROM j WHERE n_key IS NULL
+      |  UNION ALL
+      |  SELECT p_key, p_seg, p_bal, 'update_preimage' FROM j
+      |  WHERE p_key IS NOT NULL AND n_key IS NOT NULL
+      |    AND (p_seg IS DISTINCT FROM n_seg OR p_bal IS DISTINCT FROM n_bal)
+      |  UNION ALL
+      |  SELECT n_key, n_seg, n_bal, 'update_postimage' FROM j
+      |  WHERE p_key IS NOT NULL AND n_key IS NOT NULL
+      |    AND (p_seg IS DISTINCT FROM n_seg OR p_bal IS DISTINCT FROM n_bal))
+      |ORDER BY cust_id, change_type""".stripMargin
+
   // ---- O18: schema evolution part 2 — rename/drop via FIELD IDS -------
 
   /** One column of an o18 table version: a permanent field id, the
@@ -1228,6 +1466,8 @@ object Warehouse {
       |ORDER BY version, doc_id""".stripMargin
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "o21_shallow_clone" -> o21ShallowClone,
+    "o20_change_data_feed" -> o20ChangeDataFeed,
     "o19_partition_evolution" -> o19PartitionEvolution,
     "o18_field_id_evolution" -> o18FieldIdEvolution,
     "o17_schema_evolution" -> o17SchemaEvolution,
@@ -1242,6 +1482,8 @@ object Warehouse {
   )
 
   val oracle: Map[String, String] = Map(
+    "o21_shallow_clone" -> o21Sql,
+    "o20_change_data_feed" -> o20Sql,
     "o19_partition_evolution" -> o19Sql,
     "o18_field_id_evolution" -> o18Sql,
     "o17_schema_evolution" -> o17Sql,
