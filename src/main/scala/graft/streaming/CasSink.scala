@@ -60,8 +60,12 @@ object CasSink {
     versions(base).reverseIterator.map(v => tokenOf(base, v))
       .collectFirst {
         case t if t == s"batch-$bid" => true
+        // a foreign writer's token is skipped; only THIS stream's
+        // numeric batch tokens terminate the scan (a non-numeric
+        // "batch-…" token is foreign too, never a terminator)
         case t if t.startsWith("batch-") &&
-          t.stripPrefix("batch-").toLong < bid => false
+          scala.util.Try(t.stripPrefix("batch-").toLong)
+            .toOption.exists(_ < bid) => false
       }.getOrElse(false)
 
   private[graft] def commitBatch(base: String, bdf: DataFrame, bid: Long,
