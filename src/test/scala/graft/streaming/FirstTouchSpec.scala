@@ -78,6 +78,95 @@ class FirstTouchSpec extends SparkSpecBase {
     assert(stGone.isEmpty)
   }
 
+  test("two-wave arrival: clicks buffered across micro-batches still attribute exactly like the batch twin") {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+    import graft.Tables._
+    val s = spark
+    import s.implicits._
+    val raw = eventsRaw(s, sf)
+    val rawSchema = raw.schema
+    val dir = java.nio.file.Files.createTempDirectory("graft_st24s_")
+    val sink = "st24s_" + java.util.UUID.randomUUID().toString
+      .replace("-", "").take(12)
+    try {
+      // TIME-ordered waves (not id-parity): wave 2 must stay above the
+      // watermark wave 1 advances, or its events would be dropped as
+      // late and the parity claim would silently weaken
+      val maxUs = raw.agg(max(tsMicros(raw))).head().getLong(0)
+      val minUs = raw.agg(org.apache.spark.sql.functions.min(tsMicros(raw)))
+        .head().getLong(0)
+      val midUs = (minUs + maxUs) / 2
+      def stage(df: org.apache.spark.sql.DataFrame, name: String,
+          bump: Long): Unit = {
+        val scratch = dir.resolve(s"scratch_$name")
+        df.coalesce(1).write.parquet(scratch.toString)
+        import scala.jdk.CollectionConverters._
+        val part = java.nio.file.Files.list(scratch).iterator().asScala
+          .find(_.toString.endsWith(".parquet")).get
+        val t = dir.resolve(s"$name.parquet")
+        java.nio.file.Files.copy(part, t)
+        org.apache.commons.io.FileUtils.deleteDirectory(scratch.toFile)
+        java.nio.file.Files.setLastModifiedTime(t,
+          java.nio.file.attribute.FileTime.fromMillis(
+            System.currentTimeMillis() + bump))
+      }
+      stage(raw.filter(tsMicros(raw) <= midUs), "a_wave", 0L)
+      stage(raw.filter(tsMicros(raw) > midUs), "b_wave", 60000L)
+      val sentinelTs = tsRawValue(rawSchema,
+        maxUs + 100L * 24 * 3600 * 1000000L)
+      stage(s.createDataFrame(
+        java.util.Arrays.asList(org.apache.spark.sql.Row(
+          -101L, sentinelTs, -1L, "click", 0.0, "")), rawSchema),
+        "c_sentinel", 120000L)
+
+      CatchupConf.withBoundedStatePartitions(s) {
+        val staged = normalizeTs(s.readStream.schema(rawSchema)
+          .option("maxFilesPerTrigger", "1").parquet(dir.toString))
+        val evs = staged
+          .filter(col("event_type").isin("click", "purchase"))
+          .select(col("event_id"), col("user_id"), col("ts"),
+            (col("event_type") === "purchase").as("is_buy"))
+          .withWatermark("ts", s"${IntervalJoin.intervalHours} hours")
+          .as[IntervalJoin.AttEv]
+        val q = evs.groupByKey(_.user_id)
+          .flatMapGroupsWithState[IntervalJoin.AttState, IntervalJoin.AttOut](
+            OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+            case (user: Long, it: Iterator[IntervalJoin.AttEv],
+                state: GroupState[IntervalJoin.AttState]) =>
+              val wmUs = state.getCurrentWatermarkMs() * 1000L
+              val (out, stOut, next) = IntervalJoin.attAdvance(
+                user, state.getOption, it.toSeq, wmUs)
+              stOut match {
+                case Some(ns) =>
+                  state.update(ns)
+                  next.foreach(n => state.setTimeoutTimestamp(
+                    math.max(n / 1000L + 1,
+                      state.getCurrentWatermarkMs() + 1)))
+                case None => state.remove()
+              }
+              out.iterator
+          }
+          .writeStream.format("memory").queryName(sink)
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        CatchupConf.awaitBounded(q, "st24-spec")
+        assert(q.recentProgress.count(_.numInputRows > 0) >= 2,
+          "the waves collapsed into one micro-batch — the cross-batch " +
+            "claim would be untested")
+      }
+      val streamed = s.table(sink).filter(col("user_id") >= 0)
+        .select("click_id", "buy_id", "user_id", "lag_us")
+        .orderBy("click_id").collect().map(_.toSeq).toSeq
+      val batch = IntervalJoin
+        .st24FirstTouchBatchOf(graft.Tables.events(s, sf))
+        .orderBy("click_id").collect().map(_.toSeq).toSeq
+      assert(streamed == batch,
+        "cross-batch arrival must reproduce the batch twin exactly")
+    } finally {
+      spark.catalog.dropTempView(sink)
+      org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+    }
+  }
+
   test("st24 streaming == batch twin on the corpus, and output is linear in clicks") {
     val streamed = IntervalJoin.st24StreamFirstTouch(spark, sf)
       .collect().map(_.toSeq).toSeq
