@@ -1207,8 +1207,19 @@ object Warehouse {
   private[graft] def o18Commit(base: String, v: Int, token: String,
       fields: Seq[O18Field]): Boolean = {
     import java.nio.file.{Files, Paths}
+    // one field per line (token owns line 1): the dtype may itself
+    // contain commas/parens (decimal(10,2)); the only reserved
+    // characters are the line break and, in the name, the `:` field
+    // separator — both rejected at commit time so a read can never
+    // silently mis-split
+    fields.foreach { f =>
+      require(!f.name.contains(":") && !f.name.contains("\n") &&
+          !f.dtype.contains("\n"),
+        s"o18: field name/dtype may not contain ':' or newline " +
+          s"(got ${f.id}:${f.name}:${f.dtype})")
+    }
     val body = token + "\n" +
-      fields.map(f => s"${f.id}:${f.name}:${f.dtype}").mkString(",")
+      fields.map(f => s"${f.id}:${f.name}:${f.dtype}").mkString("\n")
     val scratch = Paths.get(base, s".s-$v-$token")
     Files.writeString(scratch, body)
     val target = Paths.get(base, s"schema-$v")
@@ -1231,7 +1242,9 @@ object Warehouse {
       s"o18: version $v is not committed (no schema-$v)")
     val Array(token, fieldSpec) =
       java.nio.file.Files.readString(f).split("\n", 2)
-    val fields = fieldSpec.trim.split(",").toSeq.map { e =>
+    // one field per line; dtype is the 3rd segment and may contain any
+    // character but a newline (split limit 3 keeps decimal(10,2) whole)
+    val fields = fieldSpec.split("\n").toSeq.filter(_.nonEmpty).map { e =>
       val Array(id, name, dtype) = e.split(":", 3)
       O18Field(id.toInt, name, dtype)
     }

@@ -14,8 +14,9 @@ import graft.queries.Warehouse
   *
   * Where st14 dedupes replays with a SIDE marker file, here the
   * TRANSACTION LOG ITSELF is the idempotence mechanism: each micro-batch
-  * stages its data under the batch-keyed token `batch-<id>` and commits
-  * one manifest naming that token through the o16 create-if-absent CAS.
+  * stages its data under the stream-and-batch-keyed token
+  * `batch-<appId>-<id>` and commits one manifest naming that token
+  * through the o16 create-if-absent CAS.
   * A batch replayed after a crash that hit AFTER its commit but BEFORE
   * Spark's checkpoint recorded it (the exact window this row injects)
   * finds a manifest already naming its token and SKIPS — no duplicate
@@ -46,39 +47,46 @@ object CasSink {
     java.nio.file.Files.readString(
       java.nio.file.Paths.get(base, s"manifest-$v")).trim
 
-  /** Idempotent per-batch commit: skip iff some manifest already names
-    * this batch's token; otherwise stage (own token — overwrite-safe on
-    * replay) and CAS-publish, retrying against newer state on conflict.
-    * `beforeCommitHook`/`afterCommitHook` are the harness's crash
-    * injection points (no-ops in production use). */
-  /** Is `bid` already committed? Newest-first scan with an early exit
-    * at the first of this stream's commits with a LOWER batch id — a
-    * serial stream commits batch ids in ascending order, so the probe
-    * is O(1) amortized (typically one manifest read), not a log scan;
-    * the Delta analogue is the per-appId txn pointer. */
-  private def committed(base: String, bid: Long): Boolean =
+  /** Is this stream's batch `bid` already committed? Tokens carry the
+    * STREAM identity (`batch-<appId>-<bid>` — Delta's SetTransaction
+    * (appId, version) keying), so N shards sharing one table never
+    * mistake each other's batches for their own. Newest-first scan
+    * with an early exit at the first of THIS stream's commits with a
+    * LOWER batch id — a serial stream commits batch ids in ascending
+    * order, so the probe is O(1) amortized (typically one manifest
+    * read), not a log scan. Foreign tokens — another appId's batches,
+    * non-batch writers, malformed suffixes — are skipped, never
+    * matched and never terminators. */
+  private def committed(base: String, appId: String, bid: Long): Boolean =
     versions(base).reverseIterator.map(v => tokenOf(base, v))
       .collectFirst {
-        case t if t == s"batch-$bid" => true
-        // a foreign writer's token is skipped; only THIS stream's
-        // numeric batch tokens terminate the scan (a non-numeric
-        // "batch-…" token is foreign too, never a terminator)
-        case t if t.startsWith("batch-") &&
-          scala.util.Try(t.stripPrefix("batch-").toLong)
+        case t if t == s"batch-$appId-$bid" => true
+        case t if t.startsWith(s"batch-$appId-") &&
+          scala.util.Try(t.stripPrefix(s"batch-$appId-").toLong)
             .toOption.exists(_ < bid) => false
       }.getOrElse(false)
 
-  private[graft] def commitBatch(base: String, bdf: DataFrame, bid: Long,
+  /** Idempotent per-batch commit for stream `appId`: skip iff some
+    * manifest already names this (appId, batch) token; otherwise stage
+    * (own token — overwrite-safe on replay) and CAS-publish, retrying
+    * against newer state on conflict. Each retry RE-CHECKS the log
+    * first: a zombie/duplicate attempt of the same batch racing this
+    * loop loses the CAS to its twin and must then SEE the twin's
+    * manifest and stand down — re-publishing would union the batch's
+    * data twice. `afterCommitHook` is the harness's crash injection
+    * point (a no-op in production use). */
+  private[graft] def commitBatch(base: String, appId: String,
+      bdf: DataFrame, bid: Long,
       afterCommitHook: () => Unit = () => ()): Unit = {
-    val token = s"batch-$bid"
-    if (committed(base, bid)) return
+    val token = s"batch-$appId-$bid"
+    if (committed(base, appId, bid)) return
     Warehouse.o16Stage(base, token, bdf)
     var done = false
-    while (!done) {
+    while (!done && !committed(base, appId, bid)) {
       val latest = Warehouse.o16Latest(base)
       done = Warehouse.o16TryPublish(base, token, latest)
     }
-    afterCommitHook()
+    if (done) afterCommitHook()
   }
 
   /** Read the table through the manifest chain: union of every
@@ -104,7 +112,7 @@ object CasSink {
         s"$bid\n".getBytes(java.nio.charset.StandardCharsets.UTF_8),
         java.nio.file.StandardOpenOption.CREATE,
         java.nio.file.StandardOpenOption.APPEND)
-      commitBatch(base, bdf.select(col("ts"), col("event_type"),
+      commitBatch(base, "st25", bdf.select(col("ts"), col("event_type"),
           col("value")), bid,
         // the injected crash fires AFTER the manifest commit but BEFORE
         // Spark's checkpoint records the batch — the window only the
@@ -157,8 +165,9 @@ object CasSink {
       // batch 0 detected its own prior commit in the manifest chain
       require(versions(base) == Seq(1, 2),
         s"st25: expected versions {1,2}, got ${versions(base)}")
-      require(tokenOf(base, 1) == "batch-0" && tokenOf(base, 2) == "batch-1",
-        "st25: version chain must map 1:1 onto batch ids")
+      require(tokenOf(base, 1) == "batch-st25-0" &&
+          tokenOf(base, 2) == "batch-st25-1",
+        "st25: version chain must map 1:1 onto (appId, batch) tokens")
       readLog(s, base)
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"),

@@ -88,4 +88,36 @@ class FieldIdEvolutionSpec extends SparkSpecBase {
         "schema-version create must be CAS, not last-writer-wins")
     } finally org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
   }
+
+  test("schema serialization survives delimiter-bearing dtypes and rejects reserved names") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_o18s_")
+    val base = dir.toString
+    try {
+      // decimal(10,2) carries a comma — the r18 ADVICE corruption case
+      // under the old comma-separated field list
+      val fields = Seq(Warehouse.O18Field(1, "k", "bigint"),
+        Warehouse.O18Field(2, "price", "decimal(10,2)"))
+      import spark.implicits._
+      Warehouse.o18Stage(base, "t0",
+        Seq((1L, BigDecimal("12.34")), (2L, BigDecimal("0.99")))
+          .toDF("k", "price"), fields)
+      assert(Warehouse.o18Commit(base, 0, "t0", fields))
+      val v0 = Warehouse.o18Read(spark, base, 0)
+      assert(v0.schema("price").dataType ==
+        org.apache.spark.sql.types.DecimalType(10, 2),
+        "a comma-bearing dtype must round-trip the schema file intact")
+      assert(v0.orderBy("k").select("price").collect()
+        .map(_.getDecimal(0).toPlainString).toSeq == Seq("12.34", "0.99"))
+      // a name carrying the ':' separator (or a newline) is rejected at
+      // COMMIT time, never silently mis-split at read time
+      assertThrows[IllegalArgumentException] {
+        Warehouse.o18Commit(base, 1, "t0",
+          Seq(Warehouse.O18Field(1, "k:bad", "bigint")))
+      }
+      assertThrows[IllegalArgumentException] {
+        Warehouse.o18Commit(base, 1, "t0",
+          Seq(Warehouse.O18Field(1, "k", "big\nint")))
+      }
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+  }
 }
