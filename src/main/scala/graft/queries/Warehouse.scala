@@ -1478,7 +1478,209 @@ object Warehouse {
       |SELECT 2 AS version, doc_id, lang, source FROM a
       |ORDER BY version, doc_id""".stripMargin
 
+  // ---- O22: row-level deletes via deletion vectors ---------------------
+
+  /** An o22 manifest: the version's immutable data token plus the
+    * OPTIONAL deletion-vector token masking it. The DV — not a rewrite
+    * — is what makes a 100-row delete on a 100 TB table affordable:
+    * data files never move; the delete commits O(deleted rows) of
+    * metadata naming (file, position) pairs the read subtracts. */
+  private[graft] case class O22Manifest(token: String, dv: Option[String])
+
+  /** CAS-commit version `v` (the o16 createLink primitive): line 1 is
+    * the data token, an optional line 2 `dv:<token>` names the mask. */
+  private[graft] def o22Commit(base: String, v: Int, token: String,
+      dv: Option[String]): Boolean = {
+    import java.nio.file.{Files, Paths}
+    val body = token + dv.map(t => s"\ndv:$t").getOrElse("")
+    val scratch = Paths.get(base, s".m22-$v-$token")
+    Files.writeString(scratch, body)
+    val target = Paths.get(base, s"manifest-$v")
+    try { Files.createLink(target, scratch); true }
+    catch { case _: java.nio.file.FileAlreadyExistsException => false }
+    finally Files.deleteIfExists(scratch)
+  }
+
+  private[graft] def o22ManifestOf(base: String, v: Int): O22Manifest = {
+    val m = java.nio.file.Paths.get(base, s"manifest-$v")
+    require(java.nio.file.Files.exists(m),
+      s"o22: version $v is not committed (no manifest-$v)")
+    val lines = java.nio.file.Files.readString(m).split("\n").toSeq
+    O22Manifest(lines.head.trim,
+      lines.drop(1).find(_.startsWith("dv:")).map(_.stripPrefix("dv:").trim))
+  }
+
+  /** The version's data scan CARRYING each row's physical address —
+    * (`__dv_file`, `__dv_pos`) from the parquet scan's own
+    * `_metadata.file_path`/`row_index` (Spark's native row-position
+    * metadata; positions are the row's ordinal in its immutable file,
+    * exactly Iceberg's positional-delete coordinates). */
+  private def o22ScanWithPos(s: SparkSession, base: String,
+      token: String): DataFrame =
+    s.read.parquet(s"$base/data-$token")
+      .withColumn("__dv_file", col("_metadata.file_path"))
+      .withColumn("__dv_pos", col("_metadata.row_index"))
+
+  /** Read version `v` strictly through its manifest, APPLYING the
+    * deletion vector when one is named: one broadcast anti-join on the
+    * (file, position) address — the DV is O(deleted rows) by
+    * construction, so the mask never shuffles the data side and the
+    * scan plan (pushdown, pruning, clustering) survives untouched. */
+  private[graft] def o22Read(s: SparkSession, base: String,
+      v: Int): DataFrame = {
+    val m = o22ManifestOf(base, v)
+    val scan = o22ScanWithPos(s, base, m.token)
+    val masked = m.dv match {
+      case None => scan
+      case Some(dvTok) =>
+        val dv = s.read.parquet(s"$base/dv-$dvTok")
+        scan.join(broadcast(dv),
+          scan("__dv_file") === dv("file_path") &&
+            scan("__dv_pos") === dv("pos"),
+          "left_anti")
+    }
+    masked.drop("__dv_file", "__dv_pos")
+  }
+
+  /** DELETE WHERE `pred` at the current version, WITHOUT rewriting a
+    * data file: evaluate the predicate over the masked current read,
+    * record the victims' (file, position) addresses, union them into
+    * the cumulative vector (deletes compose — an already-masked row
+    * can't re-match because the predicate ran over the masked view),
+    * and CAS-commit a manifest naming the SAME data token + the new
+    * vector. Returns the new version. Cost: one scan to find victims +
+    * O(deleted) metadata written — never O(table) bytes. */
+  private[graft] def o22Delete(s: SparkSession, base: String,
+      pred: org.apache.spark.sql.Column, dvToken: String): Int = {
+    val v = o16Latest(base)
+    val m = o22ManifestOf(base, v)
+    val scan = o22ScanWithPos(s, base, m.token)
+    val prior = m.dv.map(t => s.read.parquet(s"$base/dv-$t"))
+    val masked = prior.fold(scan) { dv =>
+      scan.join(broadcast(dv),
+        scan("__dv_file") === dv("file_path") &&
+          scan("__dv_pos") === dv("pos"), "left_anti")
+    }
+    val victims = masked.filter(pred)
+      .select(col("__dv_file").as("file_path"), col("__dv_pos").as("pos"))
+    val newDv = prior.fold(victims)(p => p.unionByName(victims))
+    newDv.coalesce(1).write.mode("overwrite").parquet(s"$base/dv-$dvToken")
+    require(o22Commit(base, v + 1, m.token, Some(dvToken)),
+      s"o22: delete commit at version ${v + 1} lost the CAS race")
+    v + 1
+  }
+
+  /** OPTIMIZE: materialize the current masked read into a fresh data
+    * token (the o15 rewrite job) and commit it with NO vector — the
+    * mask retires, the deleted rows' bytes are finally gone. This is
+    * the background job that keeps read-side mask cost bounded; until
+    * it runs, every version's read stays correct through its DV. */
+  private[graft] def o22Optimize(s: SparkSession, base: String,
+      newToken: String): Int = {
+    val v = o16Latest(base)
+    o16Stage(base, newToken, o22Read(s, base, v).coalesce(2))
+    require(o22Commit(base, v + 1, newToken, None),
+      s"o22: optimize commit at version ${v + 1} lost the CAS race")
+    v + 1
+  }
+
+  /** O22 — row-level DELETE via deletion vectors / positional deletes
+    * (r18 verdict ask #1; the public Delta deletion-vector / Iceberg
+    * positional-delete mechanism): at 100 TB, a right-to-be-forgotten
+    * delete of 100 rows must not rewrite petabytes. A delete commits a
+    * per-file POSITION list as metadata; data files stay immutable;
+    * reads subtract the mask through the manifest; a later OPTIMIZE
+    * materializes the mask and retires it. The version ladder driven
+    * here:
+    *
+    *  - v1: the corpus, 4-file layout;
+    *  - v2: DELETE doc_id % 10 = 3 — same data token, vector dv-a
+    *    (in-op require: not one data file changed);
+    *  - v3: DELETE lang = 'de' — same data token, CUMULATIVE vector
+    *    dv-b (deletes compose; the predicate ran over the masked view);
+    *  - v4: OPTIMIZE — fresh token, NO vector; read equals v3's.
+    *
+    * In-op requires pin what the oracle hash cannot see: the deleted
+    * rows stay PHYSICALLY present in the shared data token through v3
+    * (the raw dir scan still counts them — unreachability is the mask,
+    * not absent bytes), data files are byte-identical across the two
+    * deletes, v4's raw files genuinely no longer carry the victims
+    * (the vector retired by materialization, not by still being
+    * applied), and every version time-travels faithfully (v1 reads the
+    * victims forever). The oracle certifies all four versions' visible
+    * row sets under one hash. `DeletionVectorSpec` pins the mechanism
+    * edges in isolation.
+    *
+    * Scale shape: delete cost is one scan (victim addressing) plus
+    * O(deleted) metadata; the masked read is the ordinary scan + one
+    * BROADCAST anti-join on (file, pos) — no shuffle of the data side,
+    * pushdown/pruning untouched; OPTIMIZE is the only step that pays
+    * data bytes, exactly when a background job chooses to.
+    */
+  def o22DeletionVectors(s: SparkSession, d: String): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val dir = java.nio.file.Files.createTempDirectory("graft_o22_")
+    val base = dir.toString
+    try {
+      val docs = documents(s, d).select(col("doc_id"), col("lang"),
+        col("source"))
+      o16Stage(base, "w0", docs.repartition(4))
+      require(o22Commit(base, 1, "w0", None), "o22: v1 commit failed")
+      def dataFiles(): Seq[(String, Long)] =
+        java.nio.file.Files.walk(dir).iterator().asScala
+          .filter(p => java.nio.file.Files.isRegularFile(p) &&
+            p.toString.contains("/data-") &&
+            !p.getFileName.toString.startsWith("_"))
+          .map(p => (p.toString, java.nio.file.Files.size(p)))
+          .toSeq.sortBy(_._1)
+      val before = dataFiles()
+      val v2 = o22Delete(s, base, col("doc_id") % 10 === 3, "a")
+      val v3 = o22Delete(s, base, col("lang") === "de", "b")
+      require(v2 == 2 && v3 == 3, "o22: version ladder out of order")
+      // deletes moved ZERO data bytes — both vectors mask the same
+      // immutable token
+      require(dataFiles() == before,
+        "o22: a deletion-vector delete must not touch data files")
+      require(o22ManifestOf(base, 2).token == "w0" &&
+          o22ManifestOf(base, 3).token == "w0",
+        "o22: deletes must reuse the immutable data token")
+      // the victims are PHYSICALLY present yet unreachable: the raw
+      // dir scan still counts them, the masked read does not
+      val rawN = s.read.parquet(s"$base/data-w0").count()
+      val fullN = docs.count()
+      require(rawN == fullN,
+        s"o22: deleted rows' bytes must stay in the files ($rawN/$fullN)")
+      val v4 = o22Optimize(s, base, "w1")
+      require(o22ManifestOf(base, v4).dv.isEmpty,
+        "o22: OPTIMIZE must retire the vector")
+      // the rewrite genuinely dropped the victims' bytes
+      require(s.read.parquet(s"$base/data-w1").count() ==
+          o22Read(s, base, 3).count(),
+        "o22: the materialized token must carry exactly the masked rows")
+      (1 to 4).map(v => o22Read(s, base, v).withColumn("version", lit(v)))
+        .reduce(_ unionByName _)
+        .select(col("version"), col("doc_id"), col("lang"), col("source"))
+        .orderBy("version", "doc_id")
+        .localCheckpoint()
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+  }
+
+  val o22Sql: String =
+    """SELECT * FROM (
+      |  SELECT 1 AS version, doc_id, lang, source FROM documents
+      |  UNION ALL
+      |  SELECT 2, doc_id, lang, source FROM documents
+      |  WHERE doc_id % 10 <> 3
+      |  UNION ALL
+      |  SELECT 3, doc_id, lang, source FROM documents
+      |  WHERE doc_id % 10 <> 3 AND lang <> 'de'
+      |  UNION ALL
+      |  SELECT 4, doc_id, lang, source FROM documents
+      |  WHERE doc_id % 10 <> 3 AND lang <> 'de')
+      |ORDER BY version, doc_id""".stripMargin
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "o22_deletion_vectors" -> o22DeletionVectors,
     "o21_shallow_clone" -> o21ShallowClone,
     "o20_change_data_feed" -> o20ChangeDataFeed,
     "o19_partition_evolution" -> o19PartitionEvolution,
@@ -1495,6 +1697,7 @@ object Warehouse {
   )
 
   val oracle: Map[String, String] = Map(
+    "o22_deletion_vectors" -> o22Sql,
     "o21_shallow_clone" -> o21Sql,
     "o20_change_data_feed" -> o20Sql,
     "o19_partition_evolution" -> o19Sql,
