@@ -362,13 +362,17 @@ object IntervalJoin {
     * Ingests a batch (any order), resolves every click whose interval the
     * watermark has sealed (`click_ts + interval < wm`: no earlier-in-
     * window purchase can still arrive) to its FIRST purchase — minimal
-    * (buy_ts, buy_id) in `[click_ts, click_ts + interval]` — and evicts
-    * purchases no live or future click can use (`buy_ts + interval <
-    * wm`: a future click is never below the watermark, so its window
-    * cannot reach back past `wm − interval`). Returns (emissions,
-    * new state, next timeout in µs — the earliest instant more work
-    * unlocks: the first unsealed click seal point, else the last
-    * purchase's eviction point).
+    * (buy_ts, buy_id) in `[click_ts, click_ts + interval]` — or, when
+    * the sealed window holds no purchase, to the UNATTRIBUTED row
+    * (`buy_id = −1, lag_us = −1`): the outer emission a real
+    * attribution table needs (every click appears exactly once, matched
+    * or not — still ≤1 row per click, the bound the operator exists
+    * for). Evicts purchases no live or future click can use
+    * (`buy_ts + interval < wm`: a future click is never below the
+    * watermark, so its window cannot reach back past `wm − interval`).
+    * Returns (emissions, new state, next timeout in µs — the earliest
+    * instant more work unlocks: the first unsealed click seal point,
+    * else the last purchase's eviction point).
     */
   private[graft] def attAdvance(user: Long, st: Option[AttState],
       batch: Seq[AttEv], wmUs: Long): (Seq[AttOut], Option[AttState], Option[Long]) = {
@@ -395,11 +399,14 @@ object IntervalJoin {
       }
       lo
     }
-    val out = ripe.flatMap { c =>
+    val out = ripe.map { c =>
       val i = lowerBound(c.tsUs)
       if (i < bv.length && bv(i).tsUs <= c.tsUs + intervalUs)
-        Some(AttOut(c.id, bv(i).id, user, bv(i).tsUs - c.tsUs))
-      else None
+        AttOut(c.id, bv(i).id, user, bv(i).tsUs - c.tsUs)
+      // seal time IS the proof of no match — the outer row emits here,
+      // once, exactly like the matched row (never a downstream anti-join
+      // that would rescan the click set)
+      else AttOut(c.id, -1L, user, -1L)
     }
     val liveBuys = buys.filter(_.tsUs + intervalUs >= wmUs)
     val next =
@@ -414,11 +421,13 @@ object IntervalJoin {
 
   /** ST24 — the BOUNDED stream-stream interval join: first-touch
     * attribution, the production mitigation for st4s's quadratic output
-    * (SCALE.md names it; this registers it). Each click emits AT MOST
-    * ONE row — its first purchase within the interval — so emitted
-    * output is ≤ #clicks, LINEAR in the input under the fixed-entity
-    * 100× enlargement where the raw inner join's pair count grows
-    * quadratically with per-user density.
+    * (SCALE.md names it; this registers it). Each click emits EXACTLY
+    * ONE row — its first purchase within the interval, or the
+    * unattributed row (`buy_id = −1`) once the watermark seals a
+    * matchless window (the full attribution table, r18 ask #4) — so
+    * emitted output is ≤ #clicks, LINEAR in the input under the
+    * fixed-entity 100× enlargement where the raw inner join's pair
+    * count grows quadratically with per-user density.
     *
     * The cap cannot live downstream of a stream-stream join (the
     * quadratic pairs would still be emitted and buffered); it has to
@@ -518,24 +527,31 @@ object IntervalJoin {
 
   /** ST24's batch twin (spec parity + scale-headroom counterpart): the
     * st4 binned equi-join capped to first-touch by a per-click min —
-    * every true pair meets in exactly one bin, so the groupBy is exact. */
+    * every true pair meets in exactly one bin, so the groupBy is exact —
+    * then the unattributed clicks reattached by one left join on the
+    * click key (`buy_id = −1 / lag_us = −1`, the st11 no-NULLs
+    * convention), mirroring the streaming form's outer emission. */
   private[graft] def st24FirstTouchBatchOf(ev: DataFrame): DataFrame = {
     def binOf(tsCol: String): Column =
       expr(s"unix_micros($tsCol) div ${intervalUs}L")
     val cbins = clicksOf(ev).withColumn("bin",
       explode(sequence(binOf("click_ts"), binOf("click_ts") + lit(1L))))
     val bbins = buysOf(ev).withColumn("bin", binOf("buy_ts"))
-    cbins.join(bbins,
+    val firstTouch = cbins.join(bbins,
         cbins("bin") === bbins("bin") &&
           col("user_id") === col("buy_user_id") &&
           withinInterval(col("click_ts"), col("buy_ts")))
-      .groupBy(col("click_id"), col("user_id"))
+      .groupBy(col("click_id"))
       .agg(min(struct(
         (unix_micros(col("buy_ts")) - unix_micros(col("click_ts")))
           .as("lag_us"),
         col("buy_id"))).as("first"))
       .select(col("click_id"), col("first.buy_id").as("buy_id"),
-        col("user_id"), col("first.lag_us").as("lag_us"))
+        col("first.lag_us").as("lag_us"))
+    clicksOf(ev).select(col("click_id"), col("user_id"))
+      .join(firstTouch, Seq("click_id"), "left")
+      .select(col("click_id"), coalesce(col("buy_id"), lit(-1L)).as("buy_id"),
+        col("user_id"), coalesce(col("lag_us"), lit(-1L)).as("lag_us"))
   }
 
   val st24Sql: String =
@@ -550,10 +566,12 @@ object IntervalJoin {
       |    epoch_us(b.buy_ts) - epoch_us(c.click_ts) AS lag_us,
       |    row_number() OVER (PARTITION BY c.click_id
       |      ORDER BY b.buy_ts, b.buy_id) AS rn
-      |  FROM c JOIN b ON c.user_id = b.user_id
+      |  FROM c LEFT JOIN b ON c.user_id = b.user_id
       |    AND b.buy_ts >= c.click_ts
       |    AND epoch_us(b.buy_ts) - epoch_us(c.click_ts) <= $intervalUs)
-      |SELECT click_id, buy_id, user_id, lag_us FROM j WHERE rn = 1
+      |SELECT click_id, coalesce(buy_id, -1) AS buy_id, user_id,
+      |  coalesce(lag_us, -1) AS lag_us
+      |FROM j WHERE rn = 1
       |ORDER BY click_id""".stripMargin
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -9,9 +9,9 @@ import org.apache.spark.sql.functions._
   *  - the pure state transition ([[IntervalJoin.attAdvance]]): interval
   *    boundary inclusion, first-purchase tie-breaks, watermark-driven
   *    seal/evict, and that state empties once the horizon passes;
-  *  - LINEAR output: emitted rows = clicks with ≥1 in-window purchase
-  *    (≤ #clicks by construction — the property the raw st4s inner join
-  *    lacks);
+  *  - LINEAR output: exactly one row per click — first purchase or the
+  *    seal-time unattributed row (≤ #clicks by construction — the
+  *    property the raw st4s inner join lacks);
   *  - stream ↔ batch-twin parity on the real corpus.
   */
 class FirstTouchSpec extends SparkSpecBase {
@@ -45,10 +45,27 @@ class FirstTouchSpec extends SparkSpecBase {
     assert(out == Seq(IntervalJoin.AttOut(1, 2, 7L, 1000L)))
   }
 
-  test("attAdvance: pre-click purchases never attribute; no match = no emit") {
+  test("attAdvance: pre-click purchases never attribute; a sealed matchless click emits the outer row") {
     val batch = Seq(ev(5, 1000L, buy = true), ev(1, 2000L, buy = false))
     val (out, _, _) = IntervalJoin.attAdvance(7L, None, batch, wmUs = 2000L + I + 1)
-    assert(out.isEmpty)
+    // the pre-click purchase is not a match, and the seal is the proof
+    // none can come — the click emits its unattributed (-1, -1) row
+    // exactly once, at seal time (the full attribution table's outer
+    // emission; still one row for this click, never zero, never two)
+    assert(out == Seq(IntervalJoin.AttOut(1, -1L, 7L, -1L)))
+  }
+
+  test("attAdvance: the outer row emits only at seal time, never while a match could still arrive") {
+    val batch = Seq(ev(1, 1000L, buy = false))
+    // watermark short of the seal point: silence, not a premature -1
+    val (out0, st0, _) = IntervalJoin.attAdvance(7L, None, batch,
+      wmUs = 1000L + I)
+    assert(out0.isEmpty && st0.exists(_.clicks.nonEmpty),
+      "an unsealed click must stay buffered, not emit an outer row")
+    // one µs later the window is sealed: the outer row emits, state empties
+    val (out1, st1, _) = IntervalJoin.attAdvance(7L, st0, Nil,
+      wmUs = 1000L + I + 1)
+    assert(out1 == Seq(IntervalJoin.AttOut(1, -1L, 7L, -1L)) && st1.isEmpty)
   }
 
   test("attAdvance: unsealed clicks wait; a later watermark-only advance resolves them and empties state") {
@@ -175,12 +192,14 @@ class FirstTouchSpec extends SparkSpecBase {
       .orderBy("click_id")
       .collect().map(_.toSeq).toSeq
     assert(streamed == batch)
-    // the linearity contract: at most one row per click — this is what
-    // the raw st4s join cannot promise under density growth
+    // the linearity contract, tightened by the outer emission: EXACTLY
+    // one row per click (matched or buy_id = -1) — this is what the raw
+    // st4s join cannot promise under density growth
     val nClicks = graft.Tables.events(spark, sf)
       .filter(col("event_type") === "click").count()
-    assert(streamed.size <= nClicks)
+    assert(streamed.size == nClicks,
+      "the full attribution table carries every click exactly once")
     assert(streamed.map(_.head).distinct.size == streamed.size,
-      "first-touch must emit at most one purchase per click")
+      "first-touch must emit at most one row per click")
   }
 }
