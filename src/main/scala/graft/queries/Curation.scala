@@ -133,7 +133,9 @@ object Curation {
     * under the oracle (r6 verdict #5). Reference semantics: the seen-set
     * dedup of `nba_props_scraper.py:189-205` / `run_scraper.py:124-134`
     * — drop re-scraped duplicates before anything downstream sees them.
-    * The +1,000,000 offset keeps clone ids disjoint from real ids and ≡
+    * The +1,000,000,000 offset keeps clone ids disjoint from real ids
+    * AND from the enlargement tool's minted copies (ids +i*1e6, up to
+    * ~99e6 at 100x - see tools/EnlargeTestdata; the d18 discipline) and ≡
     * base mod 4/20/50/1000, so the deterministic PII tails and shard
     * assignments of a clone match its source exactly.
     */
@@ -141,7 +143,7 @@ object Curation {
     val base = documents(s, d)
     base.unionByName(
       base.filter(col("doc_id") % 20 === 0)
-        .withColumn("doc_id", col("doc_id") + lit(1000000L)))
+        .withColumn("doc_id", col("doc_id") + lit(1000000000L)))
   }
 
   /** C1b — the identical six-gate cascade over the dup-injected corpus:
@@ -170,7 +172,7 @@ object Curation {
     """WITH docs_dup AS (
       |  SELECT * FROM documents
       |  UNION ALL
-      |  SELECT doc_id + 1000000 AS doc_id, text, lang, source, n_chars
+      |  SELECT doc_id + 1000000000 AS doc_id, text, lang, source, n_chars
       |  FROM documents WHERE doc_id % 20 = 0)
       |""".stripMargin +
       c1SqlOver("docs_dup")
@@ -347,7 +349,7 @@ object Curation {
     s"""WITH docs_dup AS (
       |  SELECT * FROM documents
       |  UNION ALL
-      |  SELECT doc_id + 1000000 AS doc_id, text, lang, source, n_chars
+      |  SELECT doc_id + 1000000000 AS doc_id, text, lang, source, n_chars
       |  FROM documents WHERE doc_id % 20 = 0),
       |sets AS (
       |  SELECT doc_id, list_distinct(${ngramsSql("w", 3)}) AS shingles

@@ -371,19 +371,19 @@ object EndToEnd {
     val base = documents(s, d).select(col("doc_id"), col("text"))
     val withW = base.withColumn("w", split(trim(col("text")), "\\s+"))
     val ec = base.filter(col("doc_id") % 13 === 0)
-      .select((col("doc_id") + lit(4000000L)).as("doc_id"), col("text"))
+      .select((col("doc_id") + lit(4000000000L)).as("doc_id"), col("text"))
     val nc = base.filter(col("doc_id") % 17 === 0)
-      .select((col("doc_id") + lit(5000000L)).as("doc_id"),
+      .select((col("doc_id") + lit(5000000000L)).as("doc_id"),
         concat(col("text"), lit(" zz"), col("doc_id")).as("text"))
     val pq = withW.filter(col("doc_id") % 19 === 0 && size(col("w")) >= 48)
-      .select((col("doc_id") + lit(6000000L)).as("doc_id"),
+      .select((col("doc_id") + lit(6000000000L)).as("doc_id"),
         concat_ws(" ", concat(lit("rs"), col("doc_id")),
           lit("share forward copy via feed link post"),
           array_join(slice(col("w"), 1, 16), " "),
           array_join(reverse(expr("slice(w, size(w) - 23, 24)")), " "))
           .as("text"))
     val tq = withW.filter(col("doc_id") % 23 === 0 && size(col("w")) >= 24)
-      .select((col("doc_id") + lit(7000000L)).as("doc_id"),
+      .select((col("doc_id") + lit(7000000000L)).as("doc_id"),
         concat_ws(" ", concat(lit("rt"), col("doc_id")),
           lit("share forward copy via feed link post"),
           array_join(slice(col("w"), 1, 24), " ")).as("text"))
@@ -430,12 +430,12 @@ object EndToEnd {
     s"""WITH base AS (SELECT doc_id, text FROM documents),
       |ww AS (SELECT doc_id, text,
       |       string_split_regex(trim(text), '\\s+') AS w FROM base),
-      |ec AS (SELECT doc_id + 4000000 AS doc_id, text FROM base
+      |ec AS (SELECT doc_id + 4000000000 AS doc_id, text FROM base
       |       WHERE doc_id % 13 = 0),
-      |nc AS (SELECT doc_id + 5000000 AS doc_id,
+      |nc AS (SELECT doc_id + 5000000000 AS doc_id,
       |         text || ' zz' || CAST(doc_id AS VARCHAR) AS text
       |       FROM base WHERE doc_id % 17 = 0),
-      |pq AS (SELECT doc_id + 6000000 AS doc_id,
+      |pq AS (SELECT doc_id + 6000000000 AS doc_id,
       |         'rs' || CAST(doc_id AS VARCHAR) ||
       |         ' share forward copy via feed link post ' ||
       |         array_to_string(list_slice(w, 1, 16), ' ') || ' ' ||
@@ -443,7 +443,7 @@ object EndToEnd {
       |           list_reverse(list_slice(w, len(w) - 23, len(w))), ' ')
       |           AS text
       |       FROM ww WHERE doc_id % 19 = 0 AND len(w) >= 48),
-      |tq AS (SELECT doc_id + 7000000 AS doc_id,
+      |tq AS (SELECT doc_id + 7000000000 AS doc_id,
       |         'rt' || CAST(doc_id AS VARCHAR) ||
       |         ' share forward copy via feed link post ' ||
       |         array_to_string(list_slice(w, 1, 24), ' ') AS text

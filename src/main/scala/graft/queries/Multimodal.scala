@@ -133,7 +133,7 @@ object Multimodal {
     import s.implicits._
     val origin = Media.fromDocuments(documentsSpread(s, d))
     val ds = origin.union(origin.filter(_.media_id % 7 == 0)
-      .map(r => r.copy(media_id = r.media_id + 1000000L)))
+      .map(r => r.copy(media_id = r.media_id + 1000000000L)))
     val ids = ds.toDF().select(col("media_id"), md5(col("payload")).as("pmd5"))
     val feats = Media.extractFeatures(ds).toDF()
       .select(col("media_id"), col("kind"), col("format"),
@@ -175,7 +175,7 @@ object Multimodal {
       |m AS (
       |  SELECT * FROM b
       |  UNION ALL
-      |  SELECT media_id + 1000000, kind, format, text, rate, w, h
+      |  SELECT media_id + 1000000000, kind, format, text, rate, w, h
       |  FROM b WHERE media_id % 7 = 0)
       |SELECT media_id, kind, format,
       |  min(media_id) OVER (PARTITION BY format, text, rate, w, h)
@@ -223,7 +223,7 @@ object Multimodal {
     import s.implicits._
     val origin = Media.fromDocuments(documentsSpread(s, d))
     val ds = origin.union(origin.filter(_.media_id % 7 == 0)
-      .map(r => r.copy(media_id = r.media_id + 1000000L)))
+      .map(r => r.copy(media_id = r.media_id + 1000000000L)))
     val body = ds.map { r =>
       val hdr = Media.decodeHeader(r.payload)
       (r.media_id, hdr.format,
@@ -266,7 +266,7 @@ object Multimodal {
       |m AS (
       |  SELECT * FROM b
       |  UNION ALL
-      |  SELECT media_id + 1000000 AS media_id, format, text
+      |  SELECT media_id + 1000000000 AS media_id, format, text
       |  FROM b WHERE media_id % 7 = 0),
       |blks AS (
       |  SELECT media_id, format, unnest(list_distinct(

@@ -814,7 +814,7 @@ object Warehouse {
       val docs = documents(s, d)
         .select(col("doc_id"), col("lang"), col("source"))
       val appends = documents(s, d).filter(col("doc_id") % 7 === 3)
-        .select((col("doc_id") + lit(5000000L)).as("doc_id"), col("lang"),
+        .select((col("doc_id") + lit(5000000000L)).as("doc_id"), col("lang"),
           lit("late-crawl").as("source"))
       // v1: initial fragmented commit (no contention yet)
       o16Stage(base, "ingest-0", docs.repartition(8))
@@ -877,7 +877,7 @@ object Warehouse {
 
   val o16Sql: String =
     """WITH b AS (SELECT doc_id, lang, source FROM documents),
-      |a AS (SELECT doc_id + 5000000 AS doc_id, lang,
+      |a AS (SELECT doc_id + 5000000000 AS doc_id, lang,
       |        'late-crawl' AS source
       |      FROM documents WHERE doc_id % 7 = 3),
       |m AS (SELECT * FROM b UNION ALL SELECT * FROM a)
@@ -1431,7 +1431,7 @@ object Warehouse {
       val cols = Seq("doc_id", "lang", "source")
       val docs = documents(s, d).select(cols.map(col): _*)
       val appends = documents(s, d).filter(col("doc_id") % 7 === 3)
-        .select((col("doc_id") + lit(5000000L)).as("doc_id"), col("lang"),
+        .select((col("doc_id") + lit(5000000000L)).as("doc_id"), col("lang"),
           lit("late-crawl").as("source"))
       // v1: ingest-era layout — partitioned by lang
       docs.write.partitionBy("lang").parquet(s"$base/seg-a")
@@ -1468,7 +1468,7 @@ object Warehouse {
 
   val o19Sql: String =
     """WITH b AS (SELECT doc_id, lang, source FROM documents),
-      |a AS (SELECT doc_id + 5000000 AS doc_id, lang,
+      |a AS (SELECT doc_id + 5000000000 AS doc_id, lang,
       |        'late-crawl' AS source
       |      FROM documents WHERE doc_id % 7 = 3)
       |SELECT 1 AS version, doc_id, lang, source FROM b

@@ -36,7 +36,7 @@ object StreamDedup {
       .unionByName(
         graft.Tables.documents(s, d).select("doc_id", "text")
           .filter(col("doc_id") % 20 === 0)
-          .withColumn("doc_id", col("doc_id") + lit(1000000L)))
+          .withColumn("doc_id", col("doc_id") + lit(1000000000L)))
     val dir = java.nio.file.Files.createTempDirectory("graft_st6_")
     val stage = dir.resolve("stage").toString
     val sink = "st6_out_" +

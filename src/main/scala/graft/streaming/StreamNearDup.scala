@@ -41,7 +41,7 @@ object StreamNearDup {
     val b0 = docs.filter(col("doc_id") < 250)
     val b1 = docs.filter(col("doc_id") >= 250)
       .unionByName(docs.filter(col("doc_id") % 20 === 0)
-        .withColumn("doc_id", col("doc_id") + lit(1000000L)))
+        .withColumn("doc_id", col("doc_id") + lit(1000000000L)))
     val dir = java.nio.file.Files.createTempDirectory("graft_st18_")
     val inDir = dir.resolve("in")
     java.nio.file.Files.createDirectories(inDir)

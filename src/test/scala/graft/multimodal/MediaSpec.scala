@@ -76,14 +76,14 @@ class MediaSpec extends SparkSpecBase {
   test("m4: injected clones pair at hamming 0 within their format") {
     val pairs = graft.queries.Multimodal.m4PayloadNearDup(spark, sf).collect()
     assert(pairs.nonEmpty)
-    // every injected clone (media_id % 7 == 0 → +1000000) must surface
+    // every injected clone (media_id % 7 == 0 → +1e9) must surface
     // as an exact payload-level pair with its origin
     val exact = pairs.filter(_.getAs[Int]("hamming") == 0)
       .map(r => (r.getAs[Long]("media_a"), r.getAs[Long]("media_b"))).toSet
     val expected = Tables.documents(spark, sf)
       .filter(pmod(col("doc_id"), lit(7)) === 0)
       .select("doc_id").collect()
-      .map(r => (r.getLong(0), r.getLong(0) + 1000000L)).toSet
+      .map(r => (r.getLong(0), r.getLong(0) + 1000000000L)).toSet
     assert(expected.subsetOf(exact),
       s"missing clone pairs: ${(expected -- exact).take(5)}")
     // pigeonhole bound respected: nothing above hamming 3 leaks through

@@ -76,13 +76,14 @@ class CurationPipelineSpec extends SparkSpecBase {
       .select(col("doc_id"), col("reason").as("base_reason"))
     val c1b = Curation.c1DupInject(spark, d).persist()
     try {
-      // every injected clone (id >= 1,000,000) fails the FIRST gate with
+      // every injected clone (id >= 1e9, the clone-offset discipline)
+      // fails the FIRST gate with
       // its source as the keeper — regardless of how the source scores
       val clones = c1b.filter(col("doc_id") >= 1000000L)
       assert(clones.count() == 25)
       assert(clones.filter(col("reason") =!= "exact_dup").count() == 0)
       assert(clones.filter(
-        col("exact_keep_id") =!= col("doc_id") - 1000000L).count() == 0)
+        col("exact_keep_id") =!= col("doc_id") - 1000000000L).count() == 0)
       // original docs are untouched by the injection: same reason as the
       // base cascade for every one of the 500 (clusters recompute on the
       // injected frame, but a clone only ever attaches to its source's

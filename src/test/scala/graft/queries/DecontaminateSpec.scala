@@ -17,8 +17,8 @@ class DecontaminateSpec extends SparkSpecBase {
   test("every clone of a bench doc is flagged contaminated at overlap 1.0") {
     val c4 = Curation.c4Decontaminate(spark, d).persist()
     try {
-      // clones are bench_doc + 1000000 with identical text -> full overlap
-      val clonePairs = c4.filter(col("train_doc") === col("bench_doc") + 1000000L)
+      // clones are bench_doc + 1e9 with identical text -> full overlap
+      val clonePairs = c4.filter(col("train_doc") === col("bench_doc") + 1000000000L)
       val n = clonePairs.count()
       assert(n > 0, "no clone pairs surfaced — injection not reaching c4")
       assert(clonePairs.filter(!col("contaminated")).count() == 0)

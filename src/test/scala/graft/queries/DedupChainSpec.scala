@@ -14,25 +14,25 @@ class DedupChainSpec extends SparkSpecBase {
     val got = EndToEnd.e2eDedupPipeline(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3),
         r.getLong(4)))
-    def cls(lo: Long) = got.filter(r => r._1 >= lo && r._1 < lo + 1000000L)
+    def cls(lo: Long) = got.filter(r => r._1 >= lo && r._1 < lo + 1000000000L)
 
-    val exact = cls(4000000L)
+    val exact = cls(4000000000L)
     assert(exact.nonEmpty && exact.forall(_._3 == "exact_dup"),
       "every exact clone must die at stage 1")
-    exact.foreach(r => assert(r._4 === r._1 - 4000000L,
+    exact.foreach(r => assert(r._4 === r._1 - 4000000000L,
       s"exact dup_of must be the original: $r"))
 
-    val near = cls(5000000L)
+    val near = cls(5000000000L)
     assert(near.nonEmpty && near.forall(_._3 == "near_dup"),
       "every near-clone must die at stage 2")
     // dup_of is the LOWEST-id partner: usually the original, but a
     // clone of a doc that itself has a natural earlier near-dup
     // attributes to that earlier doc (keep-lowest is transitive-ish
     // by construction)
-    near.foreach(r => assert(r._4 >= 0L && r._4 <= r._1 - 5000000L,
+    near.foreach(r => assert(r._4 >= 0L && r._4 <= r._1 - 5000000000L,
       s"near dup_of must be an earlier base doc: $r"))
 
-    val partial = cls(6000000L)
+    val partial = cls(6000000000L)
     assert(partial.nonEmpty && partial.forall(_._3 == "kept"),
       "partial re-posts must SURVIVE all three stages")
     partial.foreach { r =>
@@ -42,7 +42,7 @@ class DedupChainSpec extends SparkSpecBase {
       assert(r._5 * 2 >= r._2, s"but keep at least half its words: $r")
     }
 
-    val thin = cls(7000000L)
+    val thin = cls(7000000000L)
     assert(thin.nonEmpty && thin.forall(_._3 == "paragraph_thin"),
       "thin re-posts must be caught by stage 3 - stages 1/2 miss them " +
         "by construction")

@@ -45,7 +45,7 @@ class LeakageSplitSpec extends SparkSpecBase {
     val docs = graft.Tables.documents(spark, sf)
       .select("doc_id", "text")
     val copies = docs.filter(col("doc_id") % 20 === 0)
-      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+      .select((col("doc_id") + 1000000000L).as("doc_id"), col("text"))
     val injected = docs.unionByName(copies).localCheckpoint()
     val after = Curation.c14Of(Dedup.neardupClustersOfShared(injected))
       .localCheckpoint()

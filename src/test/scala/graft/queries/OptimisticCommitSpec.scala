@@ -175,7 +175,7 @@ class OptimisticCommitSpec extends SparkSpecBase {
       assert(v2.join(v3, Seq("doc_id", "lang", "source"), "left_anti")
         .isEmpty, "the OPTIMIZE retry lost ingested rows - lost update")
       // appended keys live above the re-key offset
-      assert(v3.filter(col("doc_id") >= 5000000L).count() == nApp)
+      assert(v3.filter(col("doc_id") >= 5000000000L).count() == nApp)
     } finally out.unpersist()
   }
 }

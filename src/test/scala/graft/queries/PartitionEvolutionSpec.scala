@@ -24,7 +24,7 @@ class PartitionEvolutionSpec extends SparkSpecBase {
     docs.write.partitionBy("lang").parquet(s"$base/seg-a")
     assert(Warehouse.o19Commit(base, 1, Seq("a" -> "lang")))
     docs.filter(col("doc_id") % 7 === 3)
-      .select((col("doc_id") + lit(5000000L)).as("doc_id"), col("lang"),
+      .select((col("doc_id") + lit(5000000000L)).as("doc_id"), col("lang"),
         lit("late-crawl").as("source"))
       .write.partitionBy("source").parquet(s"$base/seg-b")
     assert(Warehouse.o19Commit(base, 2, Seq("a" -> "lang", "b" -> "source")))

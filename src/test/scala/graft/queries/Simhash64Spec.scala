@@ -24,9 +24,9 @@ class Simhash64Spec extends SparkSpecBase {
     val base = docs.select("doc_id", "text")
     val cloned = base.unionByName(
       base.filter(col("doc_id") % 50 === 0)
-        .select((col("doc_id") + lit(1000000L)).as("doc_id"), col("text")))
+        .select((col("doc_id") + lit(1000000000L)).as("doc_id"), col("text")))
     val pairs = Dedup.d9PairsOf(cloned)
-      .filter(col("doc_b") >= 1000000L && col("doc_a") === col("doc_b") - 1000000L)
+      .filter(col("doc_b") >= 1000000000L && col("doc_a") === col("doc_b") - 1000000000L)
       .persist()
     try {
       val expected = base.filter(col("doc_id") % 50 === 0).count()
