@@ -49,6 +49,7 @@ object SparkEntry {
       _root_.graft.streaming.StreamDsir.defs ++
       _root_.graft.streaming.CdcMerge.defs ++
       _root_.graft.streaming.CasSink.defs ++
+      _root_.graft.streaming.CdfStream.defs ++
       _root_.graft.streaming.GapDetect.defs ++
       _root_.graft.streaming.FunnelDetect.defs
 
@@ -82,6 +83,7 @@ object SparkEntry {
       _root_.graft.streaming.StreamDsir.oracle ++
       _root_.graft.streaming.CdcMerge.oracle ++
       _root_.graft.streaming.CasSink.oracle ++
+      _root_.graft.streaming.CdfStream.oracle ++
       _root_.graft.streaming.GapDetect.oracle ++
       _root_.graft.streaming.FunnelDetect.oracle
 }

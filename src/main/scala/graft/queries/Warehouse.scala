@@ -137,7 +137,7 @@ object Warehouse {
       |    value AS new_bal
       |  FROM ranked WHERE rn = 1)""".stripMargin
 
-  private val o10CoreSql: String =
+  private[graft] val o10CoreSql: String =
     s"""WITH $o10ChgSql,
       |base AS (
       |  SELECT c_custkey AS cust_id, c_mktsegment AS segment,
