@@ -433,13 +433,12 @@ object Similarity {
       .select(col("vec_id"), col("embedding"), col("nrm"),
         try_element_at(col("top"), lit(1)).getField("id").as("cent_id"))
 
-  /** Probe a read-back IVF index through read-back centroids — the
-    * query-time phase shared by s8 and s17: queries assign to their
-    * cell (k=1), cell-probe the index, top-3 per query.
-    */
-  private def ivfProbeIndex(e: DataFrame, index: DataFrame,
-      cents: DataFrame): DataFrame = {
-    val q = e.filter(col("vec_id") >= 8 && col("vec_id") < 13)
+  /** The query batch's cell assignment (k=1 against broadcast
+    * centroids) — factored from [[ivfProbeIndex]] so the manifest-
+    * routed probe (s27) can resolve its cells DRIVER-side before
+    * touching the index. */
+  private def ivfQueryAssign(e: DataFrame, cents: DataFrame): DataFrame =
+    e.filter(col("vec_id") >= 8 && col("vec_id") < 13)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
         col("nrm").as("qnrm"))
       .crossJoin(broadcast(cents))
@@ -450,6 +449,10 @@ object Similarity {
         expr("graft_topk(ccos, cent_id, 1)").as("top"))
       .select(col("query_id"), col("qe"), col("qnrm"),
         try_element_at(col("top"), lit(1)).getField("id").as("qcell"))
+
+  /** Score an index against an assigned query batch: cell-keyed
+    * broadcast join, exact cosine, top-3 per query. */
+  private def ivfScoreCells(index: DataFrame, q: DataFrame): DataFrame =
     index.join(broadcast(q),
         col("cent_id") === col("qcell") && col("vec_id") =!= col("query_id"))
       .withColumn("cos",
@@ -460,7 +463,14 @@ object Similarity {
       .select(col("query_id"), col("t.id").as("neighbor_id"),
         (col("pos") + 1).cast("int").as("rank"),
         r6(col("t.score")).as("cos_sim"))
-  }
+
+  /** Probe a read-back IVF index through read-back centroids — the
+    * query-time phase shared by s8 and s17: queries assign to their
+    * cell (k=1), cell-probe the index, top-3 per query.
+    */
+  private def ivfProbeIndex(e: DataFrame, index: DataFrame,
+      cents: DataFrame): DataFrame =
+    ivfScoreCells(index, ivfQueryAssign(e, cents))
 
   def s8IvfPersisted(s: SparkSession, d: String): DataFrame = {
     val e = withNorm(s, d)
@@ -525,6 +535,70 @@ object Similarity {
     } finally {
       org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
     }
+  }
+
+  /** S27 — MANIFEST-ROUTED IVF probe (r18 verdict stretch #7; a21's
+    * scan-planning mechanism composed onto s8's persisted index): the
+    * IVF cells persist as a cell-partitioned layout with a per-cell
+    * FILE manifest, and the probe selects its cells' files DRIVER-side
+    * from that manifest — at 10⁶ cell files a probe plans its scan from
+    * metadata and opens ONLY its nprobe cells' files, never listing or
+    * footer-probing the rest (the public Iceberg scan-planning design
+    * applied to the ANN read path; partition-dir listing à la s8 still
+    * costs a directory walk per probe at that scale).
+    *
+    * In-op requires pin the mechanism the hash cannot see: routing
+    * genuinely pruned (selected files < manifest files), and the
+    * EXECUTED scan's `inputFiles` set equals the manifest-selected set
+    * exactly — not one extra file opened. The oracle is s4's relational
+    * answer: routing changes which files are read, never the result.
+    *
+    * Scale shape: build = one broadcast-assign pass + one
+    * cell-clustered write; probe = centroid broadcast (driver), one
+    * manifest lookup (driver metadata), then a scan of exactly the
+    * routed files with the cell-keyed broadcast join — probe I/O is
+    * O(cells probed), independent of index file count.
+    */
+  def s27ManifestIvf(s: SparkSession, d: String): DataFrame = {
+    val e = withNorm(s, d)
+    val dir = java.nio.file.Files.createTempDirectory("graft_s27_")
+    try {
+      val cent = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cent_id"), col("embedding").as("ce"),
+          col("nrm").as("cnrm"))
+      val path = s"$dir/ivf_cells"
+      // cell-clustered layout: co-partition by cell so each cell's rows
+      // land in few files (the a14 discipline on the cell axis)
+      ivfAssignTo(e, cent).repartition(8, col("cent_id"))
+        .write.partitionBy("cent_id").parquet(path)
+      cent.write.parquet(s"$dir/centroids")
+      // the per-cell FILE manifest — driver-sized: one row per file,
+      // collected once at build time (a21's commit-time stats shape)
+      val manifest: Seq[(Long, String)] =
+        s.read.option("basePath", path).parquet(path)
+          .groupBy(col("cent_id").cast("long").as("cell"),
+            input_file_name().as("file"))
+          .count()
+          .collect().map(r => (r.getLong(0), r.getString(1)))
+          .sortBy(_._2).toSeq
+
+      // ---- probe phase: centroids + manifest are the only metadata ----
+      val centsBack = s.read.parquet(s"$dir/centroids")
+      val q = ivfQueryAssign(e, centsBack).localCheckpoint()
+      // the probe batch is bounded by construction — its cell set is
+      // driver metadata, like a21's file selection
+      val qcells = q.select(col("qcell").cast("long"))
+        .distinct().collect().map(_.getLong(0)).toSet
+      val selected = manifest.filter(m => qcells(m._1)).map(_._2)
+      require(selected.nonEmpty && selected.size < manifest.size,
+        s"s27: routing must prune (${selected.size} of ${manifest.size} files)")
+      val index = s.read.option("basePath", path).parquet(selected: _*)
+      require(index.inputFiles.toSet == selected.toSet,
+        "s27: the executed scan must open exactly the routed cell files")
+      ivfScoreCells(index.withColumn("cent_id", col("cent_id").cast("long")), q)
+        .localCheckpoint()
+        .orderBy("query_id", "rank")
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
   }
 
   /** The S4 relation over any source relation `src(vec_id, embedding)`,
@@ -2897,6 +2971,7 @@ object Similarity {
     "s3_embedding_neardup" -> s3EmbeddingNearDup,
     "s4_ivf_topk" -> s4IvfTopK,
     "s8_ivf_persisted" -> s8IvfPersisted,
+    "s27_manifest_ivf" -> s27ManifestIvf,
     "s17_ivf_incremental" -> s17IvfIncremental,
   )
 
@@ -2924,6 +2999,8 @@ object Similarity {
     // the persisted AND the incrementally-appended index must both
     // reproduce the EXACT all-at-once IVF answer
     "s8_ivf_persisted" -> s4Sql,
+    // routing changes which FILES are read, never the result
+    "s27_manifest_ivf" -> s4Sql,
     "s17_ivf_incremental" -> s4Sql,
   )
 }
