@@ -773,7 +773,129 @@ object Layout {
       |WHERE event_id >= m // 4 AND event_id <= m // 2
       |ORDER BY event_id""".stripMargin
 
+  // ---- A22: manifest-level BLOOM-FILTER file skipping -------------------
+
+  private[queries] val A22Bits = 8192L
+  private[queries] val A22K = 3
+
+  /** The key's [[A22K]] bloom bit positions — xxhash64 seeded per probe,
+    * the standard k-hash construction. Shared between manifest build
+    * and lookup so the two sides can never disagree. */
+  private[graft] def a22Positions(key: Column): Column =
+    array((0 until A22K).map(i =>
+      pmod(xxhash64(key, lit(i)), lit(A22Bits))): _*)
+
+  /** Per-file bloom manifest over `keyCol`, collected in ONE read pass:
+    * (file → set bit positions). Driver-sized by design — each file
+    * contributes at most [[A22Bits]] positions (1 KB of bitmap in a
+    * production encoding), one manifest ROW per file, never per row. */
+  private[graft] def a22BloomManifest(s: SparkSession, path: String,
+      keyCol: String): Seq[(String, Set[Long])] =
+    s.read.parquet(path)
+      .select(input_file_name().as("file"),
+        explode(a22Positions(col(keyCol))).as("bit"))
+      .groupBy("file").agg(collect_set(col("bit")).as("bits"))
+      .collect()
+      .map(r => (r.getString(0),
+        r.getSeq[Long](1).toSet))
+      .sortBy(_._1).toSeq
+
+  /** The bloom-pruned file set for a batch of point-lookup keys: a file
+    * qualifies iff ALL of some key's positions are set — may-contain
+    * semantics, false positives possible, false negatives impossible. */
+  private[graft] def a22Select(manifest: Seq[(String, Set[Long])],
+      keyBits: Seq[Seq[Long]]): Seq[String] =
+    manifest.filter { case (_, bits) =>
+      keyBits.exists(_.forall(bits.contains))
+    }.map(_._1)
+
+  /** A22 — manifest-level BLOOM file skipping, the rung a21's min/max
+    * envelope cannot reach: a POINT lookup on a uniformly distributed
+    * key (here a content hash — the "is this document already stored?"
+    * probe every dedup pipeline runs) finds every file's [lo, hi]
+    * envelope spanning the whole hash domain, so envelope pruning
+    * selects ALL files (an in-op require proves exactly that on this
+    * layout). The public mechanism (parquet bloom filters / Delta's
+    * bloom index, hoisted manifest-side like Iceberg scan planning):
+    * each file carries a compact membership bitmap over the key; a
+    * lookup probes the bitmaps DRIVER-side and opens only may-contain
+    * files.
+    *
+    * The query stores the corpus content-addressed (md5(text), hash-
+    * clustered into [[PruneFileCount]]×2 files), builds the per-file
+    * bloom manifest in one pass, then probes three content hashes. In-
+    * op requires: the min/max envelope selection is ALL files for every
+    * probe (the motivating failure), the bloom selection is under half
+    * the layout, and the executed scan reads EXACTLY the selected files.
+    * The oracle replays the lookup relationally — the hash certifies
+    * may-contain pruning is lossless (no false negatives).
+    *
+    * Scale shape: planning is O(files × k) driver bitmap probes over
+    * ~1 KB/file of manifest metadata (10⁶ files ≈ 1 GB, shardable);
+    * the read opens the true file(s) plus a vanishing false-positive
+    * tail (fp ≈ (set_bits/[[A22Bits]])^[[A22K]] per file). min/max,
+    * z-order, and bloom compose: envelopes prune ranges, blooms prune
+    * points. */
+  def a22BloomPrune(s: SparkSession, d: String): DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_a22_")
+    val path = s"$dir/docs_by_hash"
+    try {
+      documents(s, d)
+        .select(col("doc_id"), md5(col("text")).as("content_key"),
+          col("lang"), col("source"))
+        .repartition(PruneFileCount * 2, col("content_key"))
+        .write.parquet(path)
+      val manifest = a22BloomManifest(s, path, "content_key")
+      require(manifest.size > 1,
+        "a22: the hash-clustered layout must materialize multiple files")
+      // the probes: content hashes of three known documents (collected
+      // as bounded driver literals — the lookup's input, not a scan)
+      val probeKeys = documents(s, d)
+        .filter(col("doc_id").isin(7L, 23L, 55L))
+        .select(md5(col("text"))).collect().map(_.getString(0)).toSeq
+      require(probeKeys.size == 3, "a22: probe documents missing")
+      // min/max envelopes are USELESS here: every probe's key falls
+      // inside every file's [lo, hi] hash-string envelope
+      val envelopes = s.read.parquet(path)
+        .groupBy(input_file_name().as("file"))
+        .agg(min(col("content_key")).as("lo"), max(col("content_key")).as("hi"))
+        .collect().map(r => (r.getString(1), r.getString(2)))
+      probeKeys.foreach { k =>
+        require(envelopes.count { case (lo, hi) => lo <= k && k <= hi }
+            == envelopes.length,
+          "a22: min/max unexpectedly pruned a uniform hash key — " +
+            "the layout no longer motivates the bloom manifest")
+      }
+      // probe positions through the SAME expression as the manifest
+      // build (a 3-row local relation — never a table scan), so the
+      // two sides cannot drift
+      import s.implicits._
+      val keyBits = probeKeys.toDF("k")
+        .select(a22Positions(col("k"))).collect()
+        .map(_.getSeq[Long](0).toSeq).toSeq
+      val selected = a22Select(manifest, keyBits)
+      require(selected.nonEmpty && selected.size <= manifest.size / 2,
+        s"a22: bloom skipping did not engage " +
+          s"(${selected.size} of ${manifest.size} files)")
+      val read = s.read.parquet(selected: _*)
+        .filter(col("content_key").isin(probeKeys: _*))
+        .select(col("doc_id"), col("lang"), col("source"))
+        .orderBy("doc_id")
+      val scanned = read.inputFiles.length
+      require(scanned == selected.size,
+        s"a22: scan reads $scanned files, bloom selected ${selected.size}")
+      read.localCheckpoint()
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+  }
+
+  val a22Sql: String =
+    """SELECT doc_id, lang, source FROM documents
+      |WHERE md5(text) IN (
+      |  SELECT md5(text) FROM documents WHERE doc_id IN (7, 23, 55))
+      |ORDER BY doc_id""".stripMargin
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a22_bloom_prune" -> a22BloomPrune,
     "a21_manifest_prune" -> a21ManifestStatsPrune,
     "a20_codec_layout" -> a20CodecLayout,
     "a14_minmax_prune" -> a14MinmaxPrune,
@@ -785,6 +907,7 @@ object Layout {
   )
 
   val oracle: Map[String, String] = Map(
+    "a22_bloom_prune" -> a22Sql,
     "a21_manifest_prune" -> a21Sql,
     "a14_minmax_prune" -> a14Sql,
     "a15_dynamic_prune" -> a15Sql,
