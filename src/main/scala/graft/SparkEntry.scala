@@ -50,6 +50,7 @@ object SparkEntry {
       _root_.graft.streaming.CdcMerge.defs ++
       _root_.graft.streaming.CasSink.defs ++
       _root_.graft.streaming.CdfStream.defs ++
+      _root_.graft.streaming.DvFeedStream.defs ++
       _root_.graft.streaming.GapDetect.defs ++
       _root_.graft.streaming.FunnelDetect.defs
 
@@ -84,6 +85,7 @@ object SparkEntry {
       _root_.graft.streaming.CdcMerge.oracle ++
       _root_.graft.streaming.CasSink.oracle ++
       _root_.graft.streaming.CdfStream.oracle ++
+      _root_.graft.streaming.DvFeedStream.oracle ++
       _root_.graft.streaming.GapDetect.oracle ++
       _root_.graft.streaming.FunnelDetect.oracle
 }

@@ -775,25 +775,40 @@ object Layout {
 
   // ---- A22: manifest-level BLOOM-FILTER file skipping -------------------
 
-  private[queries] val A22Bits = 8192L
   private[queries] val A22K = 3
+  private[queries] val A22BitsPerKey = 16L
+
+  /** Bloom size for a layout: [[A22BitsPerKey]] bits per expected key
+    * per file (k=[[A22K]] → ~19% fill → fp ≈ 0.19³ ≈ 0.7% per probe),
+    * rounded up to a power of two, floored at 8192. Sizing MUST follow
+    * the data — the first cut of this operator fixed 8192 bits and
+    * died at the 10× composition bench (6k keys/file → 90% fill → fp
+    * ≈ 0.73: bloom "skipping" selected 12 of 16 files). Production
+    * formats size exactly this way (parquet bloom filters take an
+    * expected-NDV + target-fpp pair; Delta's bloom index the same). */
+  private[graft] def a22BitsFor(nRows: Long, nFiles: Int): Long = {
+    val perFile = math.max(1L, (nRows + nFiles - 1) / nFiles)
+    java.lang.Long.highestOneBit(
+      math.max(8192L, perFile * A22BitsPerKey) * 2 - 1)
+  }
 
   /** The key's [[A22K]] bloom bit positions — xxhash64 seeded per probe,
     * the standard k-hash construction. Shared between manifest build
     * and lookup so the two sides can never disagree. */
-  private[graft] def a22Positions(key: Column): Column =
+  private[graft] def a22Positions(key: Column, bits: Long): Column =
     array((0 until A22K).map(i =>
-      pmod(xxhash64(key, lit(i)), lit(A22Bits))): _*)
+      pmod(xxhash64(key, lit(i)), lit(bits))): _*)
 
   /** Per-file bloom manifest over `keyCol`, collected in ONE read pass:
     * (file → set bit positions). Driver-sized by design — each file
-    * contributes at most [[A22Bits]] positions (1 KB of bitmap in a
-    * production encoding), one manifest ROW per file, never per row. */
+    * contributes at most `bits` positions ([[A22BitsPerKey]]/8 bytes
+    * per row of bitmap in a production encoding), one manifest ROW per
+    * file, never per row. */
   private[graft] def a22BloomManifest(s: SparkSession, path: String,
-      keyCol: String): Seq[(String, Set[Long])] =
+      keyCol: String, bits: Long): Seq[(String, Set[Long])] =
     s.read.parquet(path)
       .select(input_file_name().as("file"),
-        explode(a22Positions(col(keyCol))).as("bit"))
+        explode(a22Positions(col(keyCol), bits)).as("bit"))
       .groupBy("file").agg(collect_set(col("bit")).as("bits"))
       .collect()
       .map(r => (r.getString(0),
@@ -831,21 +846,27 @@ object Layout {
     * may-contain pruning is lossless (no false negatives).
     *
     * Scale shape: planning is O(files × k) driver bitmap probes over
-    * ~1 KB/file of manifest metadata (10⁶ files ≈ 1 GB, shardable);
-    * the read opens the true file(s) plus a vanishing false-positive
-    * tail (fp ≈ (set_bits/[[A22Bits]])^[[A22K]] per file). min/max,
-    * z-order, and bloom compose: envelopes prune ranges, blooms prune
-    * points. */
+    * [[A22BitsPerKey]]/8 bytes-per-row of manifest metadata (2 B/row —
+    * at 10⁶ files of 1 M rows each, 2 MB per file, shardable; compare
+    * the 100 TB it skips); the read opens the true file(s) plus a
+    * vanishing false-positive tail (fp ≈ fill^[[A22K]] ≈ 0.7% per
+    * probe at the sized fill). Bits are sized FROM THE LAYOUT
+    * ([[a22BitsFor]]) — a fixed-size bloom saturates as files grow and
+    * silently stops skipping, measured at this repo's own 10×
+    * composition bench. min/max, z-order, and bloom compose: envelopes
+    * prune ranges, blooms prune points. */
   def a22BloomPrune(s: SparkSession, d: String): DataFrame = {
     val dir = java.nio.file.Files.createTempDirectory("graft_a22_")
     val path = s"$dir/docs_by_hash"
     try {
+      val nDocs = documents(s, d).count()
+      val bits = a22BitsFor(nDocs, PruneFileCount * 2)
       documents(s, d)
         .select(col("doc_id"), md5(col("text")).as("content_key"),
           col("lang"), col("source"))
         .repartition(PruneFileCount * 2, col("content_key"))
         .write.parquet(path)
-      val manifest = a22BloomManifest(s, path, "content_key")
+      val manifest = a22BloomManifest(s, path, "content_key", bits)
       require(manifest.size > 1,
         "a22: the hash-clustered layout must materialize multiple files")
       // the probes: content hashes of three known documents (collected
@@ -871,7 +892,7 @@ object Layout {
       // two sides cannot drift
       import s.implicits._
       val keyBits = probeKeys.toDF("k")
-        .select(a22Positions(col("k"))).collect()
+        .select(a22Positions(col("k"), bits)).collect()
         .map(_.getSeq[Long](0).toSeq).toSeq
       val selected = a22Select(manifest, keyBits)
       require(selected.nonEmpty && selected.size <= manifest.size / 2,
