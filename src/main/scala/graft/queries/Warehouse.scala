@@ -2180,7 +2180,136 @@ object Warehouse {
       |WHERE NOT (lang = 'de' AND doc_id % 3 = 0)
       |ORDER BY doc_id""".stripMargin
 
+  // ---- O26: reference-counted vacuum for shared-token (DV) tables ------
+
+  /** Expire all but the newest `retain` versions, then delete exactly
+    * the files NO retained version references. Returns
+    * (expired versions, deleted token dirs).
+    *
+    * o13's vacuum unlinks per-VERSION directories — correct for o12
+    * layouts where each version owns its files, and silently wrong for
+    * o22 layouts where versions SHARE a data token (a DV delete commits
+    * a vector, not a copy): unlinking an expired version's "directory"
+    * would tear bytes out from under every retained read of the same
+    * token. The public semantics (Delta VACUUM / Iceberg
+    * expire_snapshots + remove_orphan_files): the live set is the
+    * union over RETAINED manifests of {data token, dv token};
+    * everything else is debris. Ordering is o13's: expired manifests
+    * unlink FIRST (a reader of an expired version fails loudly before
+    * any byte moves), then unreferenced tokens delete; a crash between
+    * the two completes on re-run — both steps are idempotent.
+    *
+    * The o21 caveat applies unchanged: a shallow clone references the
+    * SOURCE's tokens by path, and this vacuum counts only THIS table's
+    * manifests — vacuuming a cloned-from table can break clones, which
+    * is why o21 documents clone-then-vacuum as the loud operational
+    * hazard (the same caveat Delta ships). */
+  private[graft] def o26Vacuum(base: String,
+      retain: Int): (Seq[Int], Seq[String]) = {
+    import java.nio.file.{Files, Paths}
+    val vs = Option(new java.io.File(base).list()).toSeq.flatten
+      .filter(_.startsWith("manifest-"))
+      .map(_.stripPrefix("manifest-").toInt).sorted
+    val keep = vs.takeRight(retain)
+    val expired = vs.filterNot(keep.contains)
+    // step 1: expired versions become unreadable BEFORE bytes move
+    expired.foreach(v => Files.deleteIfExists(Paths.get(base, s"manifest-$v")))
+    // step 2: live = every token a retained manifest names
+    val live: Set[String] = keep.flatMap { v =>
+      val m = o22ManifestOf(base, v)
+      s"data-${m.token}" +: m.dv.map(t => s"dv-$t").toSeq
+    }.toSet
+    val debris = Option(new java.io.File(base).listFiles()).toSeq.flatten
+      .filter(f => f.isDirectory &&
+        (f.getName.startsWith("data-") || f.getName.startsWith("dv-")) &&
+        !live.contains(f.getName))
+      .sortBy(_.getName)
+    debris.foreach(org.apache.commons.io.FileUtils.deleteDirectory)
+    (expired, debris.map(_.getName))
+  }
+
+  /** O26 — retention vacuum over the deletion-vector table, reference-
+    * counted (the o22×o13 composition): drives the o22 ladder (v1 =
+    * corpus under token w0; v2/v3 = DV deletes SHARING w0; v4 =
+    * OPTIMIZE into w1), vacuums down to the newest two, and pins the
+    * shared-token contract o13 cannot express:
+    *
+    *  - expired versions (v1, v2) become unreadable, manifests-first;
+    *  - **data-w0 SURVIVES** — v3 (retained) still references it; a
+    *    per-version unlink would have destroyed v3's data;
+    *  - dv-a (referenced only by expired v2) is the ONLY debris —
+    *    dv-b survives with v3;
+    *  - an immediate re-run expires and deletes nothing (idempotent);
+    *  - a second vacuum to retain=1 retires w0 and dv-b together
+    *    (nothing references them once v3 expires) while v4 reads on.
+    *
+    * The oracle certifies the retained versions' visible rows after
+    * the first vacuum under one hash.
+    *
+    * Scale shape: expiry is O(expired) manifest unlinks; the live-set
+    * walk is O(retained versions) manifest reads + one directory
+    * listing; deletion is the debris bytes only. Nothing ever rewrites
+    * a retained file — at 100 TB, vacuum cost is the garbage's size,
+    * not the table's. */
+  def o26DvVacuum(s: SparkSession, d: String): DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_o26_")
+    val base = dir.toString
+    try {
+      val docs = documents(s, d).select(col("doc_id"), col("lang"),
+        col("source"))
+      o16Stage(base, "w0", docs.repartition(4))
+      require(o22Commit(base, 1, "w0", None), "o26: v1 commit failed")
+      o22Delete(s, base, col("doc_id") % 10 === 3, "a")
+      o22Delete(s, base, col("lang") === "de", "b")
+      o22Optimize(s, base, "w1")
+      def dirExists(n: String) =
+        java.nio.file.Files.isDirectory(dir.resolve(n))
+      val (expired, debris) = o26Vacuum(base, retain = 2)
+      require(expired == Seq(1, 2) && debris == Seq("dv-a"),
+        s"o26: expected to expire {1,2} and delete only dv-a, " +
+          s"got $expired / $debris")
+      // the shared data token survives: retained v3 references it
+      require(dirExists("data-w0") && dirExists("dv-b") && dirExists("data-w1"),
+        "o26: a token referenced by a retained version was deleted")
+      // expired versions fail loudly
+      intercept22(s, base, 1); intercept22(s, base, 2)
+      // idempotent: an immediate re-run finds nothing
+      require(o26Vacuum(base, retain = 2) == ((Seq(), Seq())),
+        "o26: a repeat vacuum must be a no-op")
+      val out = Seq(3, 4).map(v =>
+          o22Read(s, base, v).withColumn("version", lit(v)))
+        .reduce(_ unionByName _)
+        .select(col("version"), col("doc_id"), col("lang"), col("source"))
+        .orderBy("version", "doc_id")
+        .localCheckpoint()
+      // retiring v3 retires the shared token and its vector together
+      val (e2, d2) = o26Vacuum(base, retain = 1)
+      require(e2 == Seq(3) && d2 == Seq("data-w0", "dv-b"),
+        s"o26: expected v3's retirement to free w0+dv-b, got $e2 / $d2")
+      require(o22Read(s, base, 4).count() == out.filter(col("version") === 4).count(),
+        "o26: the surviving version must read on after the deep vacuum")
+      out
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+  }
+
+  /** Loud-failure probe shared by o26's requires: reading an expired
+    * version must throw (manifest gone). */
+  private def intercept22(s: SparkSession, base: String, v: Int): Unit = {
+    val ok = scala.util.Try(o22Read(s, base, v)).isFailure
+    require(ok, s"o26: expired version $v is still readable")
+  }
+
+  val o26Sql: String =
+    """SELECT * FROM (
+      |  SELECT 3 AS version, doc_id, lang, source FROM documents
+      |  WHERE doc_id % 10 <> 3 AND lang <> 'de'
+      |  UNION ALL
+      |  SELECT 4, doc_id, lang, source FROM documents
+      |  WHERE doc_id % 10 <> 3 AND lang <> 'de')
+      |ORDER BY version, doc_id""".stripMargin
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "o26_dv_vacuum" -> o26DvVacuum,
     "o25_partition_conflicts" -> o25PartitionConflicts,
     "o24_dv_change_feed" -> o24DvChangeFeed,
     "o23_manifest_checkpoint" -> o23ManifestCheckpoint,
@@ -2201,6 +2330,7 @@ object Warehouse {
   )
 
   val oracle: Map[String, String] = Map(
+    "o26_dv_vacuum" -> o26Sql,
     "o25_partition_conflicts" -> o25Sql,
     "o24_dv_change_feed" -> o24Sql,
     "o23_manifest_checkpoint" -> o23Sql,
