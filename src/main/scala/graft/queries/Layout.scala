@@ -921,7 +921,109 @@ object Layout {
       |  SELECT md5(text) FROM documents WHERE doc_id IN (7, 23, 55))
       |ORDER BY doc_id""".stripMargin
 
+  // ---- A23: HIDDEN partitioning (transform partitions, raw-column reads)
+
+  private[queries] val A23Buckets = 8
+
+  /** The two partition transforms, applied at write AND derived at
+    * plan time from raw-column predicates — one definition so the two
+    * sides can never disagree (the Iceberg hidden-partitioning
+    * contract: transforms live in table metadata, not in queries). */
+  private[graft] def a23DayOf(ts: Column): Column = to_date(ts)
+  private[graft] def a23BucketOf(user: Column): Column =
+    pmod(xxhash64(user), lit(A23Buckets.toLong))
+
+  /** A23 — HIDDEN partitioning: the table is laid out by TRANSFORMS of
+    * its columns (`day(ts)` × `bucket(8, user_id)` — the Iceberg
+    * partition-transform design), and the READER never mentions either:
+    * it filters the RAW columns (`ts` range, `user_id` equality) and
+    * scan planning derives the partition predicates from the transform
+    * definitions — day ∈ [day(lo), day(hi)], bucket = hash(user) mod 8
+    * — selecting partition directories driver-side.
+    *
+    * This closes the classic Hive failure the public design exists
+    * for: with explicit partition columns, a query that filters
+    * `ts >= X` but forgets `day >= date(X)` silently full-scans; with
+    * hidden partitioning there is nothing to forget — the transform is
+    * table metadata, and every raw predicate prunes. a15's DPP prunes
+    * by a JOINED dim at runtime; a23 prunes by TRANSFORM DERIVATION at
+    * plan time; they compose.
+    *
+    * In-op requires: the derived selection is a strict subset of the
+    * layout's partition directories (pruning engaged on BOTH
+    * dimensions: 3 of ~30 days × 1 of 8 buckets), and the executed
+    * scan reads ONLY files under the selected directories. The oracle
+    * replays the raw-column filter over the unpartitioned table — the
+    * hash certifies the derivation is lossless.
+    *
+    * Scale shape: planning is O(matching days × 1) driver metadata
+    * (the bucket transform maps equality to exactly one bucket; the
+    * day transform maps the range to its day interval); the read is
+    * the matching slice only. At 100 TB with day × bucket(1024)
+    * layout, a one-user-one-week probe opens 7 directories of ~1/7000
+    * of the table — without the query knowing the layout exists. */
+  def a23HiddenPartitioning(s: SparkSession, d: String): DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_a23_")
+    val path = s"$dir/events_hidden"
+    try {
+      val ev = events(s, d)
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"))
+      ev.withColumn("day", a23DayOf(col("ts")))
+        .withColumn("bucket", a23BucketOf(col("user_id")))
+        .write.partitionBy("day", "bucket").parquet(path)
+      // the probe: one user, one ts range — RAW columns only
+      val user = 7L
+      val (tsLo, tsHi) = (PruneLo, PruneHi)
+      // derive partition predicates through the SAME transforms (a
+      // 1-row local relation, the a22 discipline)
+      import s.implicits._
+      val derived = Seq((tsLo, tsHi, user)).toDF("lo", "hi", "u")
+        .select(
+          a23DayOf(col("lo").cast("timestamp")).cast("string").as("dlo"),
+          a23DayOf(col("hi").cast("timestamp") - expr("INTERVAL 1 MICROSECOND"))
+            .cast("string").as("dhi"),
+          a23BucketOf(col("u")).as("b"))
+        .head()
+      val (dLo, dHi, bucket) = (derived.getString(0), derived.getString(1),
+        derived.getLong(2))
+      val allDirs = Option(new java.io.File(path).listFiles()).toSeq.flatten
+        .filter(f => f.isDirectory && f.getName.startsWith("day="))
+        .flatMap(dayDir => Option(dayDir.listFiles()).toSeq.flatten
+          .filter(b => b.isDirectory && b.getName.startsWith("bucket="))
+          .map(b => (dayDir.getName.stripPrefix("day="),
+            b.getName.stripPrefix("bucket=").toLong, b.toString)))
+      val selected = allDirs.filter { case (day, b, _) =>
+        day >= dLo && day <= dHi && b == bucket
+      }.map(_._3).sorted
+      require(selected.nonEmpty && selected.size * 4 <= allDirs.size,
+        s"a23: transform derivation did not prune " +
+          s"(${selected.size} of ${allDirs.size} partition dirs)")
+      val read = s.read.option("basePath", path).parquet(selected: _*)
+        // residual RAW predicates — day/bucket never appear in the query
+        .filter(col("user_id") === user &&
+          col("ts") >= lit(tsLo).cast("timestamp") &&
+          col("ts") < lit(tsHi).cast("timestamp"))
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"))
+        .orderBy("event_id")
+      val leaked = read.inputFiles.filterNot(f =>
+        selected.exists(sel => f.contains(sel.substring(sel.indexOf("day=")))))
+      require(leaked.isEmpty,
+        s"a23: the scan read outside the derived partitions: " +
+          leaked.take(3).mkString(", "))
+      read.localCheckpoint()
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+  }
+
+  val a23Sql: String =
+    s"""SELECT event_id, user_id, event_type, value FROM events
+      |WHERE user_id = 7
+      |  AND ts >= TIMESTAMP '$PruneLo' AND ts < TIMESTAMP '$PruneHi'
+      |ORDER BY event_id""".stripMargin
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a23_hidden_partitioning" -> a23HiddenPartitioning,
     "a22_bloom_prune" -> a22BloomPrune,
     "a21_manifest_prune" -> a21ManifestStatsPrune,
     "a20_codec_layout" -> a20CodecLayout,
@@ -934,6 +1036,7 @@ object Layout {
   )
 
   val oracle: Map[String, String] = Map(
+    "a23_hidden_partitioning" -> a23Sql,
     "a22_bloom_prune" -> a22Sql,
     "a21_manifest_prune" -> a21Sql,
     "a14_minmax_prune" -> a14Sql,
