@@ -94,6 +94,45 @@ class PartitionConflictSpec extends SparkSpecBase {
     } finally org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
   }
 
+  test("N disjoint writers race for real: all commit, attempts bounded, every entry lands") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_o25s_")
+    val base = dir.toString
+    try {
+      val n = 6
+      val parts = (0 until n).map(i => s"p$i")
+      parts.foreach(p => Warehouse.o25Stage(base, p, "base",
+        df(Seq(1L -> "a"))))
+      assert(Warehouse.o25Commit(base, 1, parts.toSet,
+        parts.map(_ -> "base").toMap))
+      // every writer reads v1, stages ONCE, then races the commit —
+      // real threads, real CAS contention, disjoint footprints
+      parts.foreach(p => Warehouse.o25Stage(base, p, "w",
+        df(Seq(2L -> p))))
+      val results = new java.util.concurrent.ConcurrentHashMap[
+        String, Either[Seq[Int], (Int, Int)]]()
+      val threads = parts.map { p =>
+        new Thread(() => {
+          results.put(p,
+            Warehouse.o25CommitDelta(base, 1, Set(p), Map(p -> "w")))
+        })
+      }
+      threads.foreach(_.start()); threads.foreach(_.join(60000))
+      import scala.jdk.CollectionConverters._
+      val rs = results.asScala.toMap
+      assert(rs.size == n, s"only ${rs.size} writers finished")
+      // all commit (disjoint footprints can never semantically conflict)
+      assert(rs.values.forall(_.isRight), s"a disjoint writer failed: $rs")
+      val versions = rs.values.collect { case Right((v, _)) => v }.toSeq
+      assert(versions.sorted == (2 to n + 1),
+        s"versions must be the dense range 2..${n + 1}: $versions")
+      // each CAS loss implies someone else committed: attempts ≤ n
+      assert(rs.values.collect { case Right((_, a)) => a }.forall(_ <= n))
+      // the final snapshot carries EVERY writer's entry — no lost update
+      assert(Warehouse.o25SnapshotOf(base, n + 1).entries ==
+        parts.map(_ -> "w").toMap)
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+  }
+
   test("manifest delimiters in partition or token are refused at stage time") {
     val dir = java.nio.file.Files.createTempDirectory("graft_o25s_")
     try {
