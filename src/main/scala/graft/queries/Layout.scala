@@ -1007,8 +1007,12 @@ object Layout {
         .select(col("event_id"), col("user_id"), col("event_type"),
           col("value"))
         .orderBy("event_id")
+      // anchor the match on a directory boundary: a bare substring of
+      // "day=X/bucket=N" would also accept "bucket=N0..N9" files and
+      // silently weaken the guard if A23Buckets ever grows past 10
       val leaked = read.inputFiles.filterNot(f =>
-        selected.exists(sel => f.contains(sel.substring(sel.indexOf("day=")))))
+        selected.exists(sel =>
+          f.contains(sel.substring(sel.indexOf("day=")) + "/")))
       require(leaked.isEmpty,
         s"a23: the scan read outside the derived partitions: " +
           leaked.take(3).mkString(", "))

@@ -1480,20 +1480,57 @@ object Warehouse {
 
   // ---- O22: row-level deletes via deletion vectors ---------------------
 
-  /** An o22 manifest: the version's immutable data token plus the
-    * OPTIONAL deletion-vector token masking it. The DV — not a rewrite
-    * — is what makes a 100-row delete on a 100 TB table affordable:
-    * data files never move; the delete commits O(deleted rows) of
-    * metadata naming (file, position) pairs the read subtracts. */
-  private[graft] case class O22Manifest(token: String, dv: Option[String])
+  /** An o22 manifest: the version's PRIMARY immutable data token, any
+    * ADDITIONAL data tokens (`add:` lines — the delta files a MERGE or
+    * append commits next to the base without rewriting it), the
+    * OPTIONAL positional deletion-vector token masking the data
+    * (`dv:`), any EQUALITY-delete entries (`eq:<tok>=<dataTokCsv>` —
+    * a key file plus the data tokens it masks; recording the applies-to
+    * set per entry is the Iceberg v2 sequence-number rule made
+    * explicit, so a data file committed AFTER an equality delete is
+    * never masked by it and a re-inserted key survives), and the
+    * OPTIONAL `rewriteOf:<v>` marker stamping the commit as a pure
+    * physical rewrite of version v (OPTIMIZE — dataChange=false in the
+    * public Delta protocol). The marker is what lets o24 emit an EMPTY
+    * feed for a token-changing commit WITHOUT guessing: an unmarked
+    * token change is an ordinary overwrite and must be refused, not
+    * silently fed as zero changes.
+    *
+    * The DV — not a rewrite — is what makes a 100-row delete on a
+    * 100 TB table affordable: data files never move; the delete commits
+    * O(deleted rows) of metadata naming (file, position) pairs the read
+    * subtracts. Equality entries go one step further: O(deleted KEYS)
+    * of metadata with ZERO table scans — the CDC delete path. */
+  private[graft] case class O22Manifest(token: String, dv: Option[String],
+      adds: Seq[String] = Nil, eqs: Seq[(String, Seq[String])] = Nil,
+      rewriteOf: Option[Int] = None) {
+    /** Every data token the version reads, primary first. */
+    def dataTokens: Seq[String] = token +: adds
+  }
 
   /** CAS-commit version `v` (the o16 createLink primitive): line 1 is
-    * the data token, an optional line 2 `dv:<token>` names the mask. */
+    * the primary data token; optional `add:`/`dv:`/`eq:`/`rewriteOf:`
+    * lines follow (see [[O22Manifest]]). The scratch name carries a
+    * per-attempt nonce — DV commits REUSE the shared data token, so
+    * (version, token) alone is not writer-unique and two concurrent
+    * deleters racing one version would otherwise share a scratch inode
+    * (the o25 lesson applied here too). */
   private[graft] def o22Commit(base: String, v: Int, token: String,
-      dv: Option[String]): Boolean = {
+      dv: Option[String], adds: Seq[String] = Nil,
+      eqs: Seq[(String, Seq[String])] = Nil,
+      rewriteOf: Option[Int] = None): Boolean = {
     import java.nio.file.{Files, Paths}
-    val body = token + dv.map(t => s"\ndv:$t").getOrElse("")
-    val scratch = Paths.get(base, s".m22-$v-$token")
+    require((token +: adds).forall(t => !t.exists(":=,\n".contains(_))) &&
+      eqs.forall { case (t, ap) =>
+        !t.exists(":=,\n".contains(_)) &&
+          ap.nonEmpty && ap.forall(a => !a.exists(":=,\n".contains(_))) },
+      "o22: tokens may not carry manifest delimiters")
+    val body = (Seq(token) ++ adds.map(t => s"add:$t") ++
+      dv.map(t => s"dv:$t").toSeq ++
+      eqs.map { case (t, ap) => s"eq:$t=${ap.mkString(",")}" } ++
+      rewriteOf.map(pv => s"rewriteOf:$pv").toSeq).mkString("\n")
+    val nonce = java.util.UUID.randomUUID().toString.take(8)
+    val scratch = Paths.get(base, s".m22-$v-$nonce")
     Files.writeString(scratch, body)
     val target = Paths.get(base, s"manifest-$v")
     try { Files.createLink(target, scratch); true }
@@ -1506,8 +1543,17 @@ object Warehouse {
     require(java.nio.file.Files.exists(m),
       s"o22: version $v is not committed (no manifest-$v)")
     val lines = java.nio.file.Files.readString(m).split("\n").toSeq
-    O22Manifest(lines.head.trim,
-      lines.drop(1).find(_.startsWith("dv:")).map(_.stripPrefix("dv:").trim))
+      .map(_.trim).filter(_.nonEmpty)
+    O22Manifest(
+      token = lines.head,
+      dv = lines.find(_.startsWith("dv:")).map(_.stripPrefix("dv:")),
+      adds = lines.filter(_.startsWith("add:")).map(_.stripPrefix("add:")),
+      eqs = lines.filter(_.startsWith("eq:")).map { l =>
+        val Array(t, ap) = l.stripPrefix("eq:").split("=", 2)
+        (t, ap.split(",").filter(_.nonEmpty).toSeq)
+      },
+      rewriteOf = lines.find(_.startsWith("rewriteOf:"))
+        .map(_.stripPrefix("rewriteOf:").toInt))
   }
 
   /** The version's data scan CARRYING each row's physical address —
@@ -1521,16 +1567,24 @@ object Warehouse {
       .withColumn("__dv_file", col("_metadata.file_path"))
       .withColumn("__dv_pos", col("_metadata.row_index"))
 
-  /** Read version `v` strictly through its manifest, APPLYING the
-    * deletion vector when one is named: one broadcast anti-join on the
-    * (file, position) address — the DV is O(deleted rows) by
-    * construction, so the mask never shuffles the data side and the
-    * scan plan (pushdown, pruning, clustering) survives untouched. */
-  private[graft] def o22Read(s: SparkSession, base: String,
+  /** The version's FULL data scan — every data token, each row carrying
+    * its physical address (`__dv_file`, `__dv_pos`) and source token
+    * (`__tok`) — with BOTH delete kinds applied: the positional vector
+    * masks (file, position) across all tokens (one broadcast
+    * anti-join; the DV is O(deleted rows) by construction, so the data
+    * side never shuffles and pushdown/pruning survive untouched); each
+    * equality entry key-anti-joins ONLY the data tokens it names — the
+    * Iceberg v2 sequence rule: a file committed after the equality
+    * delete is never masked by it. Callers that need the addresses
+    * (delete, conversion, CDF) keep the meta columns; [[o22Read]]
+    * drops them. */
+  private[graft] def o22MaskedWithPos(s: SparkSession, base: String,
       v: Int): DataFrame = {
     val m = o22ManifestOf(base, v)
-    val scan = o22ScanWithPos(s, base, m.token)
-    val masked = m.dv match {
+    val scan = m.dataTokens.map(t =>
+        o22ScanWithPos(s, base, t).withColumn("__tok", lit(t)))
+      .reduce(_ unionByName _)
+    val posMasked = m.dv match {
       case None => scan
       case Some(dvTok) =>
         val dv = s.read.parquet(s"$base/dv-$dvTok")
@@ -1539,47 +1593,56 @@ object Warehouse {
             scan("__dv_pos") === dv("pos"),
           "left_anti")
     }
-    masked.drop("__dv_file", "__dv_pos")
+    m.eqs.foldLeft(posMasked) { case (acc, (eqTok, applies)) =>
+      val keys = s.read.parquet(s"$base/eq-$eqTok")
+      val cond = keys.columns.map(c => acc(c) === keys(c))
+        .reduce(_ && _) && acc("__tok").isin(applies: _*)
+      acc.join(broadcast(keys), cond, "left_anti")
+    }
   }
+
+  /** Read version `v` strictly through its manifest, with every named
+    * mask (positional vector + equality entries) applied. */
+  private[graft] def o22Read(s: SparkSession, base: String,
+      v: Int): DataFrame =
+    o22MaskedWithPos(s, base, v).drop("__dv_file", "__dv_pos", "__tok")
 
   /** DELETE WHERE `pred` at the current version, WITHOUT rewriting a
     * data file: evaluate the predicate over the masked current read,
     * record the victims' (file, position) addresses, union them into
     * the cumulative vector (deletes compose — an already-masked row
     * can't re-match because the predicate ran over the masked view),
-    * and CAS-commit a manifest naming the SAME data token + the new
-    * vector. Returns the new version. Cost: one scan to find victims +
-    * O(deleted) metadata written — never O(table) bytes. */
+    * and CAS-commit a manifest naming the SAME data tokens + the new
+    * vector (equality entries carry over untouched). Returns the new
+    * version. Cost: one scan to find victims + O(deleted) metadata
+    * written — never O(table) bytes. */
   private[graft] def o22Delete(s: SparkSession, base: String,
       pred: org.apache.spark.sql.Column, dvToken: String): Int = {
     val v = o16Latest(base)
     val m = o22ManifestOf(base, v)
-    val scan = o22ScanWithPos(s, base, m.token)
-    val prior = m.dv.map(t => s.read.parquet(s"$base/dv-$t"))
-    val masked = prior.fold(scan) { dv =>
-      scan.join(broadcast(dv),
-        scan("__dv_file") === dv("file_path") &&
-          scan("__dv_pos") === dv("pos"), "left_anti")
-    }
-    val victims = masked.filter(pred)
+    val victims = o22MaskedWithPos(s, base, v).filter(pred)
       .select(col("__dv_file").as("file_path"), col("__dv_pos").as("pos"))
-    val newDv = prior.fold(victims)(p => p.unionByName(victims))
+    val newDv = m.dv.map(t => s.read.parquet(s"$base/dv-$t"))
+      .fold(victims)(p => p.unionByName(victims))
     newDv.coalesce(1).write.mode("overwrite").parquet(s"$base/dv-$dvToken")
-    require(o22Commit(base, v + 1, m.token, Some(dvToken)),
+    require(o22Commit(base, v + 1, m.token, Some(dvToken), m.adds, m.eqs),
       s"o22: delete commit at version ${v + 1} lost the CAS race")
     v + 1
   }
 
   /** OPTIMIZE: materialize the current masked read into a fresh data
-    * token (the o15 rewrite job) and commit it with NO vector — the
-    * mask retires, the deleted rows' bytes are finally gone. This is
-    * the background job that keeps read-side mask cost bounded; until
-    * it runs, every version's read stays correct through its DV. */
+    * token (the o15 rewrite job) and commit it with NO masks and the
+    * `rewriteOf:<v>` marker — the masks retire, the deleted rows'
+    * bytes are finally gone, and the marker RECORDS that no visible
+    * row changed (what lets o24 feed the commit as empty instead of
+    * guessing). This is the background job that keeps read-side mask
+    * cost bounded; until it runs, every version's read stays correct
+    * through its masks. */
   private[graft] def o22Optimize(s: SparkSession, base: String,
       newToken: String): Int = {
     val v = o16Latest(base)
     o16Stage(base, newToken, o22Read(s, base, v).coalesce(2))
-    require(o22Commit(base, v + 1, newToken, None),
+    require(o22Commit(base, v + 1, newToken, None, rewriteOf = Some(v)),
       s"o22: optimize commit at version ${v + 1} lost the CAS race")
     v + 1
   }
@@ -1884,28 +1947,83 @@ object Warehouse {
     * metadata-readable step and must fall back to [[o20Diff]]; the
     * require refuses loudly rather than guessing. */
   private[graft] def o24FeedOf(s: SparkSession, base: String,
-      v: Int, cols: Seq[String]): DataFrame = {
+      v: Int, cols: Seq[String], key: Option[String] = None): DataFrame = {
     val prev = o22ManifestOf(base, v)
     val next = o22ManifestOf(base, v + 1)
-    if (next.token == prev.token) {
-      require(next.dv.isDefined,
-        s"o24: same-token step $v->${v + 1} carries no new vector")
-      val scan = o22ScanWithPos(s, base, next.token)
-      val newDv = s.read.parquet(s"$base/dv-${next.dv.get}")
-      val delta = prev.dv match {
-        case None => newDv
-        case Some(t) => newDv.join(s.read.parquet(s"$base/dv-$t"),
-          Seq("file_path", "pos"), "left_anti")
+    // the new mask positions this commit added (next vector minus prev)
+    lazy val dvDelta: Option[DataFrame] = next.dv match {
+      case None => None
+      case Some(nd) if prev.dv.contains(nd) => None
+      case Some(nd) =>
+        val newDv = s.read.parquet(s"$base/dv-$nd")
+        Some(prev.dv match {
+          case None => newDv
+          case Some(t) => newDv.join(s.read.parquet(s"$base/dv-$t"),
+            Seq("file_path", "pos"), "left_anti")
+        })
+    }
+    lazy val prevMasked = o22MaskedWithPos(s, base, v)
+    def leftViaDv(delta: DataFrame): DataFrame =
+      prevMasked.join(broadcast(delta),
+        prevMasked("__dv_file") === delta("file_path") &&
+          prevMasked("__dv_pos") === delta("pos"), "left_semi")
+    if (next.token == prev.token && next.adds == prev.adds) {
+      // pure delete commit: the vector grew and/or equality entries
+      // appeared — the feed is the rows LEAVING, addressed by the
+      // mask delta alone (O(delta) metadata + one semi-joined scan)
+      val newEqs = next.eqs.filterNot(prev.eqs.contains)
+      require(dvDelta.isDefined || newEqs.nonEmpty,
+        s"o24: same-token step $v->${v + 1} carries no new mask")
+      val viaEq = newEqs.map { case (eqTok, applies) =>
+        val keys = s.read.parquet(s"$base/eq-$eqTok")
+        val cond = keys.columns.map(c => prevMasked(c) === keys(c))
+          .reduce(_ && _) && prevMasked("__tok").isin(applies: _*)
+        prevMasked.join(broadcast(keys), cond, "left_semi")
       }
-      scan.join(broadcast(delta),
-          scan("__dv_file") === delta("file_path") &&
-            scan("__dv_pos") === delta("pos"), "left_semi")
-        .select(cols.map(col): _*)
+      (dvDelta.map(leftViaDv).toSeq ++ viaEq)
+        .map(_.select(cols.map(col): _*))
+        .reduce(_ unionByName _)
         .withColumn("change_type", lit("delete"))
+    } else if (next.token == prev.token && next.eqs == prev.eqs &&
+        next.adds.startsWith(prev.adds) && next.rewriteOf.isEmpty) {
+      // DV-aware MERGE commit (the o28 shape): the dv delta masks
+      // matched rows' OLD positions, the new add token(s) carry
+      // inserts + update postimages. Classification is one key join
+      // of the two DELTA-sized sides: a masked old row whose key
+      // re-appears in the new files is an update preimage (else a
+      // delete); a new row whose key was masked is the postimage
+      // (else an insert). Never a snapshot join.
+      val k = key.getOrElse(sys.error(
+        s"o24: merge step $v->${v + 1} needs the merge key to classify " +
+          "updates vs inserts"))
+      val newRows = next.adds.drop(prev.adds.size)
+        .map(t => s.read.parquet(s"$base/data-$t"))
+        .reduce(_ unionByName _).select(cols.map(col): _*)
+      val preRows = dvDelta.map(leftViaDv)
+        .getOrElse(prevMasked.limit(0)).select(cols.map(col): _*)
+      val newKeys = newRows.select(k).distinct
+      val preKeys = preRows.select(k).distinct
+      preRows.join(broadcast(newKeys), Seq(k), "left_semi")
+        .withColumn("change_type", lit("update_preimage"))
+        .unionByName(preRows.join(broadcast(newKeys), Seq(k), "left_anti")
+          .withColumn("change_type", lit("delete")))
+        .unionByName(newRows.join(broadcast(preKeys), Seq(k), "left_semi")
+          .withColumn("change_type", lit("update_postimage")))
+        .unionByName(newRows.join(broadcast(preKeys), Seq(k), "left_anti")
+          .withColumn("change_type", lit("insert")))
     } else {
-      require(next.dv.isEmpty,
-        s"o24: token-changing step $v->${v + 1} with a vector is not " +
-          "a metadata-readable commit — fall back to the o20 diff")
+      // a token-changing commit feeds EMPTY only when the writer
+      // STAMPED it as a pure rewrite — an unmarked token change is an
+      // ordinary overwrite (constructible as o16Stage + o22Commit with
+      // a fresh token and no vector) and guessing "no change" for it
+      // would silently feed nothing for a commit that changed
+      // everything
+      require(next.rewriteOf.contains(v),
+        s"o24: token-changing step $v->${v + 1} carries no " +
+          s"rewriteOf:$v marker — not a metadata-readable commit, " +
+          "fall back to the o20 diff")
+      require(next.dv.isEmpty && next.eqs.isEmpty,
+        s"o24: rewrite commit ${v + 1} must retire every mask")
       // OPTIMIZE: no visible change; an empty frame in the feed schema
       o22Read(s, base, v + 1).select(cols.map(col): _*)
         .withColumn("change_type", lit("delete")).limit(0)
@@ -2005,13 +2123,21 @@ object Warehouse {
   }
 
   /** CAS-commit version `v` (the o16 createLink primitive): line 1 is
-    * `touched:<csv>`, each following line one `part=token` entry. */
+    * `touched:<csv>`, each following line one `part=token` entry. The
+    * scratch name carries a per-attempt nonce — (version, touched)
+    * alone is NOT writer-unique: two writers with the SAME footprint
+    * racing the same version would share one scratch inode, and the
+    * loser's rewrite could hand the winner's hardlinked manifest a
+    * half-written or foreign body (the o16TryPublish completeness
+    * guarantee, kept here the same way: a name no other writer can
+    * touch). */
   private[graft] def o25Commit(base: String, v: Int, touched: Set[String],
       entries: Map[String, String]): Boolean = {
     import java.nio.file.{Files, Paths}
     val body = s"touched:${touched.toSeq.sorted.mkString(",")}\n" +
       entries.toSeq.sorted.map { case (p, t) => s"$p=$t" }.mkString("\n")
-    val scratch = Paths.get(base, s".m25-$v-${touched.toSeq.sorted.mkString("_")}")
+    val nonce = java.util.UUID.randomUUID().toString.take(8)
+    val scratch = Paths.get(base, s".m25-$v-$nonce")
     Files.writeString(scratch, body)
     try { Files.createLink(Paths.get(base, s"manifest-$v"), scratch); true }
     catch { case _: java.nio.file.FileAlreadyExistsException => false }
@@ -2203,9 +2329,18 @@ object Warehouse {
     * SOURCE's tokens by path, and this vacuum counts only THIS table's
     * manifests — vacuuming a cloned-from table can break clones, which
     * is why o21 documents clone-then-vacuum as the loud operational
-    * hazard (the same caveat Delta ships). */
-  private[graft] def o26Vacuum(base: String,
-      retain: Int): (Seq[Int], Seq[String]) = {
+    * hazard (the same caveat Delta ships).
+    *
+    * `minAgeMs` is the retention window against CONCURRENT writers: a
+    * token staged but not yet committed is named by NO manifest and
+    * would otherwise be classified as debris; skipping candidates
+    * younger than the floor (Delta's `deletedFileRetentionDuration` /
+    * Iceberg's `older_than` shape) keeps an in-flight writer's staging
+    * safe as long as stage→commit completes within the window.
+    * `VacuumRetentionSpec` pins the guard; callers with provably no
+    * concurrent writers may pass 0. */
+  private[graft] def o26Vacuum(base: String, retain: Int,
+      minAgeMs: Long = 0L): (Seq[Int], Seq[String]) = {
     import java.nio.file.{Files, Paths}
     val vs = Option(new java.io.File(base).list()).toSeq.flatten
       .filter(_.startsWith("manifest-"))
@@ -2214,15 +2349,25 @@ object Warehouse {
     val expired = vs.filterNot(keep.contains)
     // step 1: expired versions become unreadable BEFORE bytes move
     expired.foreach(v => Files.deleteIfExists(Paths.get(base, s"manifest-$v")))
-    // step 2: live = every token a retained manifest names
+    // step 2: live = every token a retained manifest names — data
+    // tokens (primary + adds), the vector, every equality key file
     val live: Set[String] = keep.flatMap { v =>
       val m = o22ManifestOf(base, v)
-      s"data-${m.token}" +: m.dv.map(t => s"dv-$t").toSeq
+      m.dataTokens.map(t => s"data-$t") ++ m.dv.map(t => s"dv-$t").toSeq ++
+        m.eqs.map { case (t, _) => s"eq-$t" }
     }.toSet
+    // the age floor protects a CONCURRENT writer's staged-but-
+    // uncommitted token (the o16 protocol stages data before any
+    // manifest names it — a zero-floor vacuum racing an in-flight
+    // writer would destroy its staging and let the later CAS commit a
+    // manifest naming missing data; the public Delta/Iceberg
+    // retention-window guard)
+    val floor = System.currentTimeMillis() - minAgeMs
     val debris = Option(new java.io.File(base).listFiles()).toSeq.flatten
       .filter(f => f.isDirectory &&
-        (f.getName.startsWith("data-") || f.getName.startsWith("dv-")) &&
-        !live.contains(f.getName))
+        (f.getName.startsWith("data-") || f.getName.startsWith("dv-") ||
+          f.getName.startsWith("eq-")) &&
+        !live.contains(f.getName) && f.lastModified() <= floor)
       .sortBy(_.getName)
     debris.foreach(org.apache.commons.io.FileUtils.deleteDirectory)
     (expired, debris.map(_.getName))

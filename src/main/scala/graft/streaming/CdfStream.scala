@@ -89,10 +89,22 @@ object CdfStream {
           .select(col("_metadata.file_path").as("path"))
         val q = manifests.writeStream
           .foreachBatch { (bdf: DataFrame, _: Long) =>
-            // driver-sized by construction: one row per NEW manifest
+            // driver-sized by construction: one row per LINE of a new
+            // manifest — single-line today, but `.distinct` keeps the
+            // version list one-per-commit if the format ever grows a
+            // line (the st27 discipline)
             val vs = bdf.collect().map(_.getString(0)
-              .replaceAll(".*manifest-", "").toInt).sorted
-            vs.foreach { v =>
+              .replaceAll(".*manifest-", "").toInt).distinct.sorted
+            // replay idempotence: a batch re-fired after a crash between
+            // the feed write and the checkpoint commit must not re-diff —
+            // the attempts ledger doubles as the processed-version set
+            val fed: Set[Int] =
+              if (java.nio.file.Files.exists(attempts))
+                new String(java.nio.file.Files.readAllBytes(attempts),
+                  java.nio.charset.StandardCharsets.UTF_8)
+                  .split("\n").filter(_.nonEmpty).map(_.toInt).toSet
+              else Set.empty
+            vs.filterNot(fed).foreach { v =>
               java.nio.file.Files.write(attempts,
                 s"$v\n".getBytes(java.nio.charset.StandardCharsets.UTF_8),
                 java.nio.file.StandardOpenOption.CREATE,

@@ -87,7 +87,16 @@ object DvFeedStream {
             // list must dedupe or the version would feed twice
             val vs = bdf.collect().map(_.getString(0)
               .replaceAll(".*manifest-", "").toInt).distinct.sorted
-            vs.foreach { v =>
+            // replay idempotence: a batch re-fired after a crash between
+            // the feed write and the checkpoint commit must not re-feed —
+            // the attempts ledger doubles as the processed-version set
+            val fed: Set[Int] =
+              if (java.nio.file.Files.exists(attempts))
+                new String(java.nio.file.Files.readAllBytes(attempts),
+                  java.nio.charset.StandardCharsets.UTF_8)
+                  .split("\n").filter(_.nonEmpty).map(_.toInt).toSet
+              else Set.empty
+            vs.filterNot(fed).foreach { v =>
               java.nio.file.Files.write(attempts,
                 s"$v\n".getBytes(java.nio.charset.StandardCharsets.UTF_8),
                 java.nio.file.StandardOpenOption.CREATE,
