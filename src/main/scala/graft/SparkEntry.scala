@@ -38,6 +38,7 @@ object SparkEntry {
       _root_.graft.queries.Sketches.defs ++
       _root_.graft.queries.Layout.defs ++
       _root_.graft.queries.Warehouse.defs ++
+      _root_.graft.queries.WarehouseDeletes.defs ++
       _root_.graft.queries.EndToEnd.defs ++
       _root_.graft.streaming.EventWindows.defs ++
       _root_.graft.streaming.Sessionize.defs ++
@@ -73,6 +74,7 @@ object SparkEntry {
       _root_.graft.queries.Sketches.oracle ++
       _root_.graft.queries.Layout.oracle ++
       _root_.graft.queries.Warehouse.oracle ++
+      _root_.graft.queries.WarehouseDeletes.oracle ++
       _root_.graft.queries.EndToEnd.oracle ++
       _root_.graft.streaming.EventWindows.oracle ++
       _root_.graft.streaming.Sessionize.oracle ++

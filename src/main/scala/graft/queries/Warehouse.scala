@@ -1561,7 +1561,7 @@ object Warehouse {
     * `_metadata.file_path`/`row_index` (Spark's native row-position
     * metadata; positions are the row's ordinal in its immutable file,
     * exactly Iceberg's positional-delete coordinates). */
-  private def o22ScanWithPos(s: SparkSession, base: String,
+  private[graft] def o22ScanWithPos(s: SparkSession, base: String,
       token: String): DataFrame =
     s.read.parquet(s"$base/data-$token")
       .withColumn("__dv_file", col("_metadata.file_path"))
@@ -2001,8 +2001,8 @@ object Warehouse {
         .reduce(_ unionByName _).select(cols.map(col): _*)
       val preRows = dvDelta.map(leftViaDv)
         .getOrElse(prevMasked.limit(0)).select(cols.map(col): _*)
-      val newKeys = newRows.select(k).distinct
-      val preKeys = preRows.select(k).distinct
+      val newKeys = newRows.select(k).distinct()
+      val preKeys = preRows.select(k).distinct()
       preRows.join(broadcast(newKeys), Seq(k), "left_semi")
         .withColumn("change_type", lit("update_preimage"))
         .unionByName(preRows.join(broadcast(newKeys), Seq(k), "left_anti")
