@@ -39,6 +39,7 @@ object SparkEntry {
       _root_.graft.queries.Layout.defs ++
       _root_.graft.queries.Warehouse.defs ++
       _root_.graft.queries.WarehouseDeletes.defs ++
+      _root_.graft.queries.WarehouseSafety.defs ++
       _root_.graft.queries.EndToEnd.defs ++
       _root_.graft.streaming.EventWindows.defs ++
       _root_.graft.streaming.Sessionize.defs ++
@@ -75,6 +76,7 @@ object SparkEntry {
       _root_.graft.queries.Layout.oracle ++
       _root_.graft.queries.Warehouse.oracle ++
       _root_.graft.queries.WarehouseDeletes.oracle ++
+      _root_.graft.queries.WarehouseSafety.oracle ++
       _root_.graft.queries.EndToEnd.oracle ++
       _root_.graft.streaming.EventWindows.oracle ++
       _root_.graft.streaming.Sessionize.oracle ++
