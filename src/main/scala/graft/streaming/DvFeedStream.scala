@@ -40,8 +40,9 @@ object DvFeedStream {
   private val cols = Seq("doc_id", "lang", "source")
 
   /** One version's arrival: the metadata-derived feed, tagged and
-    * appended. v=1 is the bootstrap append — every row an insert. */
-  private def feedVersion(s: SparkSession, base: String, v: Int,
+    * appended. v=1 is the bootstrap append — every row an insert.
+    * (Shared with st28's retention-guarded consumer.) */
+  private[streaming] def feedVersion(s: SparkSession, base: String, v: Int,
       feedDir: String): Unit = {
     val feed =
       if (v == 1)
@@ -97,6 +98,9 @@ object DvFeedStream {
                   .split("\n").filter(_.nonEmpty).map(_.toInt).toSet
               else Set.empty
             vs.filterNot(fed).foreach { v =>
+              // the st28 retention guard: an unread version vacuumed
+              // from under the consumer fails loudly, never skips
+              FeedRetention.requireNoGap(base, fed, v)
               java.nio.file.Files.write(attempts,
                 s"$v\n".getBytes(java.nio.charset.StandardCharsets.UTF_8),
                 java.nio.file.StandardOpenOption.CREATE,
