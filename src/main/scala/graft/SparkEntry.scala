@@ -40,6 +40,7 @@ object SparkEntry {
       _root_.graft.queries.Warehouse.defs ++
       _root_.graft.queries.WarehouseDeletes.defs ++
       _root_.graft.queries.WarehouseSafety.defs ++
+      _root_.graft.queries.RowTracking.defs ++
       _root_.graft.queries.EndToEnd.defs ++
       _root_.graft.streaming.EventWindows.defs ++
       _root_.graft.streaming.Sessionize.defs ++
@@ -78,6 +79,7 @@ object SparkEntry {
       _root_.graft.queries.Warehouse.oracle ++
       _root_.graft.queries.WarehouseDeletes.oracle ++
       _root_.graft.queries.WarehouseSafety.oracle ++
+      _root_.graft.queries.RowTracking.oracle ++
       _root_.graft.queries.EndToEnd.oracle ++
       _root_.graft.streaming.EventWindows.oracle ++
       _root_.graft.streaming.Sessionize.oracle ++
