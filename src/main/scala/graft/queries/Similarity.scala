@@ -601,6 +601,168 @@ object Similarity {
     } finally org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
   }
 
+  /** S28 — IVF cell split/rebalance as an OPTIMIZE job (round-20
+    * verdict stretch #7; s15's scaled-nlist criterion applied
+    * INCREMENTALLY, through the CAS): as an s17-style index grows, one
+    * cell outgrows its size bound and probe I/O for queries landing
+    * there degrades. The maintenance job splits exactly that cell's
+    * STORAGE — local 2-means over only its rows (deterministic seeds:
+    * the cell's min/max vec_id members; parity fallback if an
+    * iteration degenerates, the guard real systems ship for duplicate-
+    * heavy cells), two sub-files replace the cell's entries in the
+    * file manifest, and the manifest swaps through the o16 createLink
+    * CAS — so s27's manifest routing stays valid at every version and
+    * a concurrent probe reads either the old or the new layout, never
+    * a mix.
+    *
+    * Like o15/o22's OPTIMIZE, the split is a PHYSICAL rewrite with no
+    * logical change: the quantizer stays frozen, sub-files still carry
+    * their logical cell, and the probe answer is REQUIRED identical
+    * across the swap (the oracle is s4's relational answer, same as
+    * s8/s17/s27). Sub-centroid pruning inside a probed cell is the
+    * next rung, deliberately not taken — it would change results.
+    *
+    * In-op requires: the ladder grew the target cell past the bound
+    * (mean cell size — s15's criterion localized); the split rewrote
+    * ONLY that cell (every pre-split file byte-identical, new files
+    * only under the split cell's sub-dirs); both sub-files are
+    * strictly smaller than the cell they replace and partition it
+    * exactly; routing still opens exactly the manifest-selected files;
+    * and the probe answer is unchanged across the swap.
+    *
+    * Scale shape: the split reads and writes ONE cell (O(cell), not
+    * O(index)); the manifest rewrite is O(cells) driver metadata; the
+    * CAS is one createLink. Probe I/O stays O(cells probed) as the
+    * index grows — the property the split exists to preserve. */
+  def s28IvfCellSplit(s: SparkSession, d: String): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val e = withNorm(s, d)
+    val dir = java.nio.file.Files.createTempDirectory("graft_s28_")
+    val base = dir.toString
+    try {
+      val cent = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cent_id"), col("embedding").as("ce"),
+          col("nrm").as("cnrm"))
+      // one manifest entry per (cell, dir, rows); CAS-committed
+      def commit(v: Int, entries: Seq[(Long, String, Long)]): Unit = {
+        import java.nio.file.{Files, Paths}
+        val body = entries.sortBy(x => (x._1, x._2))
+          .map { case (c, p, n) => s"$c:$p:$n" }.mkString("\n")
+        val scratch = Paths.get(base, s".m28-$v")
+        Files.writeString(scratch, body)
+        try Files.createLink(Paths.get(base, s"manifest-$v"), scratch)
+        catch { case ex: java.nio.file.FileAlreadyExistsException =>
+          throw new IllegalStateException(s"s28: lost the CAS at $v", ex) }
+        finally Files.deleteIfExists(scratch)
+      }
+      def entriesOf(v: Int): Seq[(Long, String, Long)] =
+        java.nio.file.Files.readString(
+            java.nio.file.Paths.get(base, s"manifest-$v"))
+          .linesIterator.filter(_.nonEmpty).map { l =>
+            val Array(c, p, n) = l.split(":", 3)
+            (c.toLong, p, n.toLong)
+          }.toSeq
+      def cellDirs(seg: String, assigned: DataFrame): Seq[(Long, String, Long)] = {
+        assigned.repartition(8, col("cent_id"))
+          .write.partitionBy("cent_id").parquet(s"$base/$seg")
+        assigned.groupBy("cent_id").count().collect()
+          .map(r => (r.getLong(0), s"$seg/cent_id=${r.getLong(0)}",
+            r.getLong(1))).toSeq
+      }
+      // v1: build on the even half; v2: the odd half arrives through
+      // the frozen read-back centroids (s17's growth path)
+      val b0 = cellDirs("seg-b0",
+        ivfAssignTo(e.filter(pmod(col("vec_id"), lit(2)) === 0), cent))
+      commit(1, b0)
+      cent.write.parquet(s"$base/centroids")
+      val centsBack = s.read.parquet(s"$base/centroids")
+      val a1 = cellDirs("seg-a1",
+        ivfAssignTo(e.filter(pmod(col("vec_id"), lit(2)) === 1), centsBack))
+      commit(2, entriesOf(1) ++ a1)
+      // the probe, routed via a manifest version (s27's mechanism)
+      def probe(v: Int): DataFrame = {
+        val q = ivfQueryAssign(e, centsBack).localCheckpoint()
+        val qcells = q.select(col("qcell").cast("long"))
+          .distinct().collect().map(_.getLong(0)).toSet
+        val es = entriesOf(v)
+        val sel = es.filter(x => qcells(x._1))
+        require(sel.nonEmpty && sel.size < es.size,
+          s"s28: routing must prune (${sel.size} of ${es.size} entries)")
+        val index = sel.map { case (c, p, _) =>
+          s.read.parquet(s"$base/$p").withColumn("cent_id", lit(c)) }
+          .reduce(_ unionByName _)
+        val expect = sel.flatMap { case (_, p, _) =>
+          java.nio.file.Files.walk(java.nio.file.Paths.get(base, p))
+            .iterator().asScala
+            .filter(f => f.toString.endsWith(".parquet"))
+            .map(_.toString) }.toSet
+        require(index.inputFiles
+            .map(f => new java.net.URI(f).getPath).toSet == expect,
+          "s28: the executed scan must open exactly the routed files")
+        ivfScoreCells(index, q).localCheckpoint()
+      }
+      val beforeSplit = probe(2).orderBy("query_id", "rank")
+        .collect().toSeq
+      // the split criterion (s15's, localized): the fullest cell
+      // exceeds the mean cell size
+      val sizes = entriesOf(2).groupBy(_._1).view
+        .mapValues(_.map(_._3).sum).toMap
+      val (splitCell, splitRows) = sizes.toSeq.sortBy(x => (-x._2, x._1)).head
+      require(splitRows.toDouble > sizes.values.sum.toDouble / sizes.size,
+        s"s28: the ladder must grow a cell past the bound " +
+          s"(max $splitRows, mean ${sizes.values.sum / sizes.size})")
+      val preFiles = java.nio.file.Files.walk(dir).iterator().asScala
+        .filter(p => java.nio.file.Files.isRegularFile(p) &&
+          p.toString.contains("/seg-"))
+        .map(p => (p.toString, java.nio.file.Files.size(p)))
+        .toSeq.sortBy(_._1)
+      // local 2-means over ONLY the split cell's rows
+      val cellVecs = entriesOf(2).filter(_._1 == splitCell)
+        .map(x => s.read.parquet(s"$base/${x._2}"))
+        .reduce(_ unionByName _).localCheckpoint()
+      val ids = cellVecs.agg(min("vec_id"), max("vec_id")).head()
+      var sc = cellVecs
+        .filter(col("vec_id").isin(ids.getLong(0), ids.getLong(1)))
+        .select(when(col("vec_id") === ids.getLong(0), lit(0L))
+          .otherwise(lit(1L)).as("cent_id"), col("embedding").as("ce"))
+      (1 to 2).foreach(_ => sc = lloydRefit(cellVecs,
+        lloydAssign(cellVecs, sc)))
+      var sub = lloydAssign(cellVecs, sc)
+      val counts = sub.groupBy("cell").count().collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toMap
+      if (counts.getOrElse(0L, 0L) == 0L || counts.getOrElse(1L, 0L) == 0L)
+        sub = cellVecs.select(col("vec_id"),
+          pmod(col("vec_id"), lit(2)).as("cell"))
+      val subbed = cellVecs.join(sub, "vec_id").localCheckpoint()
+      val subEntries = Seq(0L, 1L).map { h =>
+        val p = s"seg-s3/cell$splitCell-sub$h"
+        val rows = subbed.filter(col("cell") === h)
+          .select("vec_id", "embedding", "nrm")
+        rows.write.parquet(s"$base/$p")
+        (splitCell, p, rows.count())
+      }
+      require(subEntries.forall(x => x._3 > 0 && x._3 < splitRows) &&
+          subEntries.map(_._3).sum == splitRows,
+        s"s28: the sub-files must partition the cell, got $subEntries " +
+          s"of $splitRows")
+      commit(3, entriesOf(2).filterNot(_._1 == splitCell) ++ subEntries)
+      // only the split cell moved: every pre-split file byte-identical
+      require(java.nio.file.Files.walk(dir).iterator().asScala
+          .filter(p => java.nio.file.Files.isRegularFile(p) &&
+            p.toString.contains("/seg-") &&
+            !p.toString.contains("/seg-s3/"))
+          .map(p => (p.toString, java.nio.file.Files.size(p)))
+          .toSeq.sortBy(_._1) == preFiles,
+        "s28: the split must rewrite only the split cell's storage")
+      // the OPTIMIZE contract: the probe answer is unchanged across
+      // the swap
+      val out = probe(3).orderBy("query_id", "rank")
+      require(out.collect().toSeq == beforeSplit,
+        "s28: a storage split must not change the probe answer")
+      out
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+  }
+
   /** The S4 relation over any source relation `src(vec_id, embedding)`,
     * unordered — single SQL source for the s4 oracle and composites.
     */
@@ -2972,6 +3134,7 @@ object Similarity {
     "s4_ivf_topk" -> s4IvfTopK,
     "s8_ivf_persisted" -> s8IvfPersisted,
     "s27_manifest_ivf" -> s27ManifestIvf,
+    "s28_ivf_cell_split" -> s28IvfCellSplit,
     "s17_ivf_incremental" -> s17IvfIncremental,
   )
 
@@ -3001,6 +3164,7 @@ object Similarity {
     "s8_ivf_persisted" -> s4Sql,
     // routing changes which FILES are read, never the result
     "s27_manifest_ivf" -> s4Sql,
+    "s28_ivf_cell_split" -> s4Sql,
     "s17_ivf_incremental" -> s4Sql,
   )
 }
