@@ -55,6 +55,7 @@ object SparkEntry {
       _root_.graft.streaming.CdfStream.defs ++
       _root_.graft.streaming.DvFeedStream.defs ++
       _root_.graft.streaming.FeedRetention.defs ++
+      _root_.graft.streaming.CdcEqDelete.defs ++
       _root_.graft.streaming.GapDetect.defs ++
       _root_.graft.streaming.FunnelDetect.defs
 
@@ -94,6 +95,7 @@ object SparkEntry {
       _root_.graft.streaming.CdfStream.oracle ++
       _root_.graft.streaming.DvFeedStream.oracle ++
       _root_.graft.streaming.FeedRetention.oracle ++
+      _root_.graft.streaming.CdcEqDelete.oracle ++
       _root_.graft.streaming.GapDetect.oracle ++
       _root_.graft.streaming.FunnelDetect.oracle
 }

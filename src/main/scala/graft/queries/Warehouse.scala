@@ -1503,10 +1503,23 @@ object Warehouse {
     * of metadata with ZERO table scans — the CDC delete path. */
   private[graft] case class O22Manifest(token: String, dv: Option[String],
       adds: Seq[String] = Nil, eqs: Seq[(String, Seq[String])] = Nil,
-      rewriteOf: Option[Int] = None) {
+      rewriteOf: Option[Int] = None, minReader: Int = 1) {
     /** Every data token the version reads, primary first. */
     def dataTokens: Seq[String] = token +: adds
   }
+
+  /** The protocol version THIS reader supports (the public Delta
+    * minReaderVersion / Iceberg format-version gate). Version 1 is the
+    * token+vector grammar; version 2 adds `add:`/`eq:` lines — lines a
+    * v1 parser would SILENTLY IGNORE, resurrecting equality-deleted
+    * rows and dropping merged delta files. A commit that uses a
+    * reader-impacting feature stamps `minReader:2` and every consumer
+    * gates on it in [[o22ManifestOf]], so an old reader fails LOUDLY
+    * naming the version gap instead of returning wrong rows.
+    * (`rewriteOf:` deliberately does NOT bump the gate — a v1 plain
+    * read that ignores it is still correct; it only informs the CDF,
+    * whose consumers are v2 by construction.) */
+  private[graft] val O22ReaderVersion = 2
 
   /** CAS-commit version `v` (the o16 createLink primitive): line 1 is
     * the primary data token; optional `add:`/`dv:`/`eq:`/`rewriteOf:`
@@ -1525,7 +1538,13 @@ object Warehouse {
         !t.exists(":=,\n".contains(_)) &&
           ap.nonEmpty && ap.forall(a => !a.exists(":=,\n".contains(_))) },
       "o22: tokens may not carry manifest delimiters")
-    val body = (Seq(token) ++ adds.map(t => s"add:$t") ++
+    // reader-impacting features stamp the protocol gate: a v1 parser
+    // ignoring add:/eq: lines would read WRONG rows, so commits using
+    // them must be unreadable-by-refusal to v1 readers, never
+    // readable-and-wrong
+    val gate =
+      if (adds.nonEmpty || eqs.nonEmpty) Seq("minReader:2") else Seq.empty
+    val body = (Seq(token) ++ gate ++ adds.map(t => s"add:$t") ++
       dv.map(t => s"dv:$t").toSeq ++
       eqs.map { case (t, ap) => s"eq:$t=${ap.mkString(",")}" } ++
       rewriteOf.map(pv => s"rewriteOf:$pv").toSeq).mkString("\n")
@@ -1538,12 +1557,22 @@ object Warehouse {
     finally Files.deleteIfExists(scratch)
   }
 
-  private[graft] def o22ManifestOf(base: String, v: Int): O22Manifest = {
+  private[graft] def o22ManifestOf(base: String, v: Int,
+      maxReader: Int = O22ReaderVersion): O22Manifest = {
     val m = java.nio.file.Paths.get(base, s"manifest-$v")
     require(java.nio.file.Files.exists(m),
       s"o22: version $v is not committed (no manifest-$v)")
     val lines = java.nio.file.Files.readString(m).split("\n").toSeq
       .map(_.trim).filter(_.nonEmpty)
+    val minReader = lines.find(_.startsWith("minReader:"))
+      .map(_.stripPrefix("minReader:").toInt).getOrElse(1)
+    // the protocol gate: refuse loudly BEFORE interpreting any feature
+    // line — a reader that ignored lines it doesn't know would return
+    // wrong rows, silently
+    require(minReader <= maxReader,
+      s"o22: version $v requires reader protocol $minReader, this " +
+        s"reader supports $maxReader — refusing (reading anyway would " +
+        "silently drop feature lines and return wrong rows)")
     O22Manifest(
       token = lines.head,
       dv = lines.find(_.startsWith("dv:")).map(_.stripPrefix("dv:")),
@@ -1553,7 +1582,8 @@ object Warehouse {
         (t, ap.split(",").filter(_.nonEmpty).toSeq)
       },
       rewriteOf = lines.find(_.startsWith("rewriteOf:"))
-        .map(_.stripPrefix("rewriteOf:").toInt))
+        .map(_.stripPrefix("rewriteOf:").toInt),
+      minReader = minReader)
   }
 
   /** The version's data scan CARRYING each row's physical address —

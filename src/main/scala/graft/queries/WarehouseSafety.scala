@@ -457,13 +457,134 @@ object WarehouseSafety {
       |    AND NOT (doc_id % 4 = 2 AND doc_id % 7 = 0))
       |ORDER BY version, doc_id""".stripMargin
 
+  // ---- O32: protocol version gating (reader feature flags) -------------
+
+  /** O32 — protocol/feature gating (the public Delta minReaderVersion /
+    * Iceberg format-version mechanism), closing the hazard THIS round's
+    * grammar extension created: the o22 manifest grew `add:`/`eq:`
+    * lines, and a round-19-era parser (line 1 = token, optional `dv:`)
+    * reading such a manifest would SILENTLY ignore them — resurrecting
+    * every equality-deleted row and dropping every merged delta file.
+    * Wrong rows, no error. The fix every public format ships: commits
+    * that use a reader-impacting feature stamp `minReader:2`, and every
+    * reader gates BEFORE interpreting a single feature line
+    * ([[Warehouse.o22ManifestOf]]), so an old reader refuses loudly
+    * naming the version gap.
+    *
+    * The ladder: v1 plain → v2 DV delete (still protocol-1 grammar —
+    * no gratuitous lockout: a v1 reader reads DV tables fine) → v3
+    * equality delete (stamps minReader:2). In-op requires:
+    *
+    *  - v1/v2 carry NO gate and parse under maxReader=1 — old readers
+    *    keep working on old-grammar tables;
+    *  - v3 carries minReader:2 and a maxReader=1 parse REFUSES, the
+    *    message naming both versions;
+    *  - the prevented corruption, demonstrated: the legacy GRAMMAR
+    *    applied to v3's manifest resolves exactly (token, dv) — its
+    *    read equals v2's visible rows, resurrecting every eq-deleted
+    *    row (pinned row-for-row). The gate turns that silent wrong
+    *    answer into the loud refusal above;
+    *  - forward-compat: a forged future manifest (minReader:3) is
+    *    refused by THIS reader too — the gate is symmetric in time.
+    *
+    * The oracle certifies the three versions' visible rows. Scale
+    * shape: the gate is one metadata line and one integer compare per
+    * manifest read — free — and it is what makes every OTHER grammar
+    * extension on this ladder deployable to a fleet of readers that
+    * upgrade at different times. */
+  def o32ProtocolGate(s: SparkSession, d: String): DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_o32_")
+    val base = dir.toString
+    try {
+      import java.nio.file.{Files, Paths}
+      val cust = customer(s, d).select(col("c_custkey").as("cust_id"),
+        col("c_mktsegment").as("segment"), col("c_acctbal").as("bal"))
+      Warehouse.o16Stage(base, "w0", cust.repartition(4))
+      require(Warehouse.o22Commit(base, 1, "w0", None),
+        "o32: v1 commit failed")
+      require(Warehouse.o22Delete(s, base, col("cust_id") % 10 === 7, "a")
+          == 2, "o32: v2 delete landed at the wrong version")
+      val delKeys = customer(s, d)
+        .filter(col("c_custkey") % 6 === 1)
+        .select(col("c_custkey").as("cust_id"))
+      require(WarehouseDeletes.o27EqDelete(s, base, delKeys, "k") == 3,
+        "o32: v3 eq delete landed at the wrong version")
+      // old-grammar versions carry no gate; a v1 reader reads them
+      require(Warehouse.o22ManifestOf(base, 1, maxReader = 1)
+          .minReader == 1 &&
+        Warehouse.o22ManifestOf(base, 2, maxReader = 1).minReader == 1,
+        "o32: protocol-1 commits must stay readable by protocol-1 " +
+          "readers")
+      // the feature commit stamps the gate; an old reader refuses,
+      // naming both versions
+      require(Warehouse.o22ManifestOf(base, 3).minReader == 2,
+        "o32: an eq commit must stamp minReader:2")
+      val refused = scala.util.Try(
+        Warehouse.o22ManifestOf(base, 3, maxReader = 1))
+      require(refused.isFailure &&
+          refused.failed.get.getMessage.contains("protocol 2") &&
+          refused.failed.get.getMessage.contains("supports 1"),
+        s"o32: a v1 reader must refuse the v2 manifest by name, " +
+          s"got $refused")
+      // the corruption the gate prevents: the legacy grammar sees only
+      // (token, dv) in v3's manifest — its read IS v2's row set, every
+      // eq-deleted row resurrected
+      val legacyLines = Files.readString(Paths.get(base, "manifest-3"))
+        .split("\n").map(_.trim).filter(_.nonEmpty)
+      val legacyScan = Warehouse.o22ScanWithPos(s, base, legacyLines.head)
+      val legacyDv = s.read.parquet(s"$base/dv-" + legacyLines
+        .find(_.startsWith("dv:")).get.stripPrefix("dv:"))
+      val legacyRead = legacyScan.join(broadcast(legacyDv),
+          legacyScan("__dv_file") === legacyDv("file_path") &&
+            legacyScan("__dv_pos") === legacyDv("pos"), "left_anti")
+        .drop("__dv_file", "__dv_pos")
+      val v2Read = Warehouse.o22Read(s, base, 2)
+      val v3Read = Warehouse.o22Read(s, base, 3)
+      require(legacyRead.join(v2Read,
+          Seq("cust_id", "segment", "bal"), "left_anti").isEmpty &&
+        v2Read.join(legacyRead,
+          Seq("cust_id", "segment", "bal"), "left_anti").isEmpty &&
+        legacyRead.count() > v3Read.count(),
+        "o32: the legacy grammar must demonstrably resurrect the " +
+          "eq-deleted rows — the silent corruption the gate prevents")
+      // forward-compat: a future feature refuses against THIS reader
+      Files.writeString(Paths.get(base, "manifest-4"),
+        "w0\nminReader:3\nfutureFeature:x")
+      val future = scala.util.Try(Warehouse.o22ManifestOf(base, 4))
+      require(future.isFailure &&
+          future.failed.get.getMessage.contains("protocol 3"),
+        s"o32: a future-protocol manifest must refuse, got $future")
+      (1 to 3).map(v =>
+          Warehouse.o22Read(s, base, v).withColumn("version", lit(v)))
+        .reduce(_ unionByName _)
+        .select(col("version"), col("cust_id"), col("segment"), col("bal"))
+        .orderBy("version", "cust_id")
+        .localCheckpoint()
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+  }
+
+  val o32Sql: String =
+    """WITH base AS (
+      |  SELECT c_custkey AS cust_id, c_mktsegment AS segment,
+      |    c_acctbal AS bal
+      |  FROM customer),
+      |v2 AS (SELECT * FROM base WHERE cust_id % 10 <> 7),
+      |v3 AS (SELECT * FROM v2 WHERE cust_id % 6 <> 1)
+      |SELECT * FROM (
+      |  SELECT 1 AS version, cust_id, segment, bal FROM base
+      |  UNION ALL SELECT 2, cust_id, segment, bal FROM v2
+      |  UNION ALL SELECT 3, cust_id, segment, bal FROM v3)
+      |ORDER BY version, cust_id""".stripMargin
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "o29_retention_checkpoint" -> o29RetentionCheckpoint,
     "o30_file_conflicts" -> o30FileConflicts,
+    "o32_protocol_gate" -> o32ProtocolGate,
   )
 
   val oracle: Map[String, String] = Map(
     "o29_retention_checkpoint" -> o29Sql,
     "o30_file_conflicts" -> o30Sql,
+    "o32_protocol_gate" -> o32Sql,
   )
 }
