@@ -71,6 +71,32 @@ class FileConflictSpec extends SparkSpecBase {
     } finally org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
   }
 
+  test("an optimize losing to an APPEND re-derives: the appended rows would vanish") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_o30s_")
+    val base = dir.toString
+    try {
+      import spark.implicits._
+      stage(base)
+      // an optimize stages at v1; an append commits v2 first
+      Warehouse.o16Stage(base, "wStale",
+        Warehouse.o22Read(spark, base, 1).coalesce(1))
+      Seq(21L -> "x").toDF("k", "v").write.parquet(s"$base/data-a1")
+      val m1 = Warehouse.o22ManifestOf(base, 1)
+      assert(Warehouse.o22Commit(base, 2, m1.token, m1.dv,
+        m1.adds :+ "a1", m1.eqs))
+      // the append invalidated nothing, but the stale materialization
+      // does not CARRY it — blind-committing would silently drop row 21
+      assert(WarehouseSafety.o30CommitOptimize(spark, base, 1, "wStale")
+        == Left(Seq(2)))
+      Warehouse.o16Stage(base, "w1",
+        Warehouse.o22Read(spark, base, 2).coalesce(1))
+      assert(WarehouseSafety.o30CommitOptimize(spark, base, 2, "w1")
+        == Right((3, 1)))
+      assert(ks(3, base) == Seq(1L, 2L, 3L, 4L, 11L, 12L, 13L, 14L, 21L),
+        "the re-derived rewrite must carry the appended row")
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+  }
+
   test("delete first: the stale optimize re-derives; optimize first: the stale deleter does") {
     val dir = java.nio.file.Files.createTempDirectory("graft_o30s_")
     val base = dir.toString
