@@ -124,7 +124,14 @@ object Incremental {
       Sinks.writeEnveloped(merged, s"$base/env", "s9_roundtrip",
         "1970-01-01T00:00:00Z")
       val data = s.read.parquet(s"$base/env/data")
-      val meta = s.read.json(s"$base/env/_meta")
+      // explicit sidecar schema: schemaless json() runs a whole extra
+      // inference job over the sidecar (two scans of it per read — at
+      // scale, of every sidecar); the envelope schema is fixed by
+      // Sinks.writeEnveloped, so supply it
+      val meta = s.read
+        .schema("record_count BIGINT, source STRING, scraped_at STRING, " +
+          "columns STRING")
+        .json(s"$base/env/_meta")
         .select(col("record_count").as("meta_rows"),
           col("columns").as("meta_cols"))
       data.crossJoin(broadcast(meta))

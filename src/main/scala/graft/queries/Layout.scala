@@ -969,8 +969,16 @@ object Layout {
       val ev = events(s, d)
         .select(col("event_id"), col("ts"), col("user_id"),
           col("event_type"), col("value"))
+      // Cluster by the partition transforms before the fan-out write
+      // (guide §6 / Iceberg write.distribution-mode=hash): without it the
+      // scan's task count bounds write parallelism — the single-split
+      // test file made ONE task create all ~240 partition files
+      // sequentially, and at 100 TB every task would write a file per
+      // (day, bucket) it happens to hold (N×P small files). Clustered,
+      // each directory gets exactly one writer.
       ev.withColumn("day", a23DayOf(col("ts")))
         .withColumn("bucket", a23BucketOf(col("user_id")))
+        .repartition(col("day"), col("bucket"))
         .write.partitionBy("day", "bucket").parquet(path)
       // the probe: one user, one ts range — RAW columns only
       val user = 7L

@@ -65,7 +65,7 @@ object RowTracking {
     * file-name order. O(files) driver metadata from ONE column-pruned
     * count pass; no global sort anywhere. */
   private[graft] def o31Ingest(s: SparkSession, base: String,
-      token: String, df: DataFrame): Unit = {
+      token: String, df: DataFrame): Long = {
     Warehouse.o16Stage(base, token, df)
     val counts = s.read.parquet(s"$base/data-$token")
       .groupBy(col("_metadata.file_path").as("file_path")).count()
@@ -75,6 +75,9 @@ object RowTracking {
     import s.implicits._
     counts.map(_._1).zip(bases).toSeq.toDF("file_path", "rid_base")
       .coalesce(1).write.mode("overwrite").parquet(s"$base/ridbase-$token")
+    // total staged rows — already in the sidecar pass, so callers whose
+    // proofs need the corpus count never pay another scan for it
+    counts.map(_._2).sum
   }
 
   /** UPDATE ... WHERE pred, row-tracking style: victims' old positions
@@ -184,63 +187,61 @@ object RowTracking {
     try {
       val docs = documents(s, d).select(col("doc_id"), col("lang"),
         col("source"))
-      o31Ingest(s, base, "w0", docs.repartition(4))
+      // the staged row count rides o31Ingest's sidecar pass — the
+      // uniqueness require below otherwise re-scanned the corpus twice
+      val nDocs = o31Ingest(s, base, "w0", docs.repartition(4))
       require(Warehouse.o22Commit(base, 1, "w0", None),
         "o31: v1 commit failed")
-      def rids(v: Int): DataFrame =
-        o31Masked(s, base, v).select(col("__rid"), col("doc_id"))
-          .localCheckpoint()
-      val v1Rids = rids(1)
-      require(v1Rids.count() == docs.count() &&
-          v1Rids.select("__rid").distinct().count() == docs.count(),
+      // ONE materialization per version: the ladder's requires otherwise
+      // re-derive each version's masked scan 2-4× (every isEmpty/count
+      // action is its own pass over the table at any scale)
+      val snaps = scala.collection.mutable.Map[Int, DataFrame]()
+      def snap(v: Int): DataFrame = snaps.getOrElseUpdate(v,
+        o31Masked(s, base, v)
+          .select(col("__rid"), col("doc_id"), col("lang"), col("source"))
+          .localCheckpoint())
+      def rids(v: Int): DataFrame = snap(v).select("__rid", "doc_id")
+      // uniqueness + cardinality in ONE aggregate action (was 4 actions:
+      // two counts of the read, two corpus counts)
+      val v1Stats = snap(1)
+        .agg(count(lit(1)), count_distinct(col("__rid"))).head()
+      require(v1Stats.getLong(0) == nDocs && v1Stats.getLong(1) == nDocs,
         "o31: ingest ids must be unique, one per row")
       require(Warehouse.o22Delete(s, base, col("doc_id") % 10 === 6, "a")
           == 2, "o31: v2 delete landed at the wrong version")
-      val v2Rids = rids(2)
       // first OPTIMIZE: every row moves, no id changes
       require(o31Optimize(s, base, "w1") == 3,
         "o31: optimize landed at the wrong version")
       require(s.read.parquet(s"$base/data-w1").columns.contains("__rid"),
         "o31: the rewrite must MATERIALIZE the id column")
-      val v3Rids = rids(3)
-      require(v3Rids.join(v2Rids, Seq("__rid", "doc_id"), "left_anti")
-          .isEmpty &&
-        v2Rids.join(v3Rids, Seq("__rid", "doc_id"), "left_anti").isEmpty,
+      require(Warehouse.symEqual(rids(3), rids(2), Seq("__rid", "doc_id")),
         "o31: the first rewrite changed a row id")
       // row-tracked UPDATE, then the rid-paired CDF equals the o20 diff
       require(o31Update(s, base, col("doc_id") % 12 === 5,
           "source" -> lit("relabeled"), "m1", "b") == 4,
         "o31: update landed at the wrong version")
-      val v4Rids = rids(4)
-      require(v4Rids.join(v3Rids, Seq("__rid", "doc_id"), "left_anti")
-          .isEmpty &&
-        v3Rids.join(v4Rids, Seq("__rid", "doc_id"), "left_anti").isEmpty,
+      require(Warehouse.symEqual(rids(4), rids(3), Seq("__rid", "doc_id")),
         "o31: the update changed a row id")
       val feed = o31FeedOf(s, base, 3, cols).localCheckpoint()
       val diff = Warehouse.o20Diff(
-          o31Masked(s, base, 3).select(cols.map(col): _*),
-          o31Masked(s, base, 4).select(cols.map(col): _*),
+          snap(3).select(cols.map(col): _*),
+          snap(4).select(cols.map(col): _*),
           "doc_id", Seq("lang", "source"))
         .select((cols.map(col) :+ col("change_type")): _*)
-      require(feed.join(diff, cols :+ "change_type", "left_anti").isEmpty &&
-        diff.join(feed, cols :+ "change_type", "left_anti").isEmpty,
+      require(Warehouse.symEqual(feed, diff, cols :+ "change_type"),
         "o31: the rid-paired update CDF must equal the o20 key diff")
-      require(feed.filter(col("change_type") === "update_postimage")
-          .count() > 0,
+      require(!feed.filter(col("change_type") === "update_postimage")
+          .isEmpty,
         "o31: the harness must exercise real updates")
       // generation 2: ids survive a rewrite OF a rewrite
       require(o31Optimize(s, base, "w2") == 5,
         "o31: second optimize landed at the wrong version")
-      val v5 = o31Masked(s, base, 5)
-        .select(col("__rid"), col("doc_id"), col("source"))
-      val v4Full = o31Masked(s, base, 4)
-        .select(col("__rid"), col("doc_id"), col("source"))
-      require(v5.join(v4Full, Seq("__rid", "doc_id", "source"),
-          "left_anti").isEmpty &&
-        v4Full.join(v5, Seq("__rid", "doc_id", "source"), "left_anti")
-          .isEmpty,
+      require(Warehouse.symEqual(
+          snap(5).select("__rid", "doc_id", "source"),
+          snap(4).select("__rid", "doc_id", "source"),
+          Seq("__rid", "doc_id", "source")),
         "o31: the second rewrite generation changed a row id")
-      (1 to 5).map(v => o31Masked(s, base, v).withColumn("version", lit(v)))
+      (1 to 5).map(v => snap(v).withColumn("version", lit(v)))
         .reduce(_ unionByName _)
         .select(col("version"), col("doc_id"), col("lang"), col("source"))
         .orderBy("version", "doc_id")

@@ -665,7 +665,12 @@ object Similarity {
       def cellDirs(seg: String, assigned: DataFrame): Seq[(Long, String, Long)] = {
         assigned.repartition(8, col("cent_id"))
           .write.partitionBy("cent_id").parquet(s"$base/$seg")
-        assigned.groupBy("cent_id").count().collect()
+        // per-cell counts from the WRITTEN layout (a partition-column-only
+        // scan of what was just written), not a second evaluation of
+        // `assigned` — the assignment is a corpus×centroid scoring join,
+        // and re-running it for manifest counts doubles the build cost
+        s.read.parquet(s"$base/$seg")
+          .groupBy(col("cent_id").cast("long")).count().collect()
           .map(r => (r.getLong(0), s"$seg/cent_id=${r.getLong(0)}",
             r.getLong(1))).toSeq
       }
@@ -679,11 +684,14 @@ object Similarity {
       val a1 = cellDirs("seg-a1",
         ivfAssignTo(e.filter(pmod(col("vec_id"), lit(2)) === 1), centsBack))
       commit(2, entriesOf(1) ++ a1)
-      // the probe, routed via a manifest version (s27's mechanism)
+      // the probe, routed via a manifest version (s27's mechanism).
+      // The query assignment is version-independent — computed ONCE for
+      // both probes (each probe previously re-ran the query×centroid
+      // scoring join and its cell collect)
+      val q = ivfQueryAssign(e, centsBack).localCheckpoint()
+      val qcells = q.select(col("qcell").cast("long"))
+        .distinct().collect().map(_.getLong(0)).toSet
       def probe(v: Int): DataFrame = {
-        val q = ivfQueryAssign(e, centsBack).localCheckpoint()
-        val qcells = q.select(col("qcell").cast("long"))
-          .distinct().collect().map(_.getLong(0)).toSet
         val es = entriesOf(v)
         val sel = es.filter(x => qcells(x._1))
         require(sel.nonEmpty && sel.size < es.size,

@@ -745,6 +745,29 @@ object Warehouse {
       df: DataFrame): Unit =
     df.write.mode("overwrite").parquet(s"$base/data-$token")
 
+  /** [[o16Stage]] that also returns the staged row count, collected by
+    * an Observation riding the write job itself (the Sinks.writeEnveloped
+    * one-pass discipline) — for callers whose in-op proofs need the
+    * count, so they never pay a second full scan of the staged frame. */
+  private[graft] def o16StageCounted(base: String, token: String,
+      df: DataFrame): Long = {
+    val obs = org.apache.spark.sql.Observation(
+      "o16stage_" + java.util.UUID.randomUUID().toString.take(8))
+    df.observe(obs, count(lit(1)).as("n"))
+      .write.mode("overwrite").parquet(s"$base/data-$token")
+    obs.get("n").asInstanceOf[Long]
+  }
+
+  /** One-ACTION symmetric set-equality require: `A \ B ∪ B \ A = ∅` as a
+    * single job instead of two `isEmpty` actions — every Spark action is
+    * its own pass over both inputs, so the paired-anti-join idiom the
+    * proof ladders use costs double at any scale. Schemas must match
+    * (the callers compare same-shaped relations). */
+  private[graft] def symEqual(a: DataFrame, b: DataFrame,
+      keys: Seq[String]): Boolean =
+    a.join(b, keys, "left_anti").unionByName(b.join(a, keys, "left_anti"))
+      .isEmpty
+
   /** One optimistic publish attempt: CAS `manifest-(expected+1)` to
     * the staged token. Returns true iff THIS writer created the
     * manifest (won the race); false iff another commit landed first —
@@ -1147,10 +1170,7 @@ object Warehouse {
         .unionByName(feed.filter(col("change_type")
             .isin("insert", "update_postimage"))
           .select("cust_id", "segment", "bal"))
-      require(applied.join(v1, Seq("cust_id", "segment", "bal"),
-          "left_anti").isEmpty &&
-        v1.join(applied, Seq("cust_id", "segment", "bal"),
-          "left_anti").isEmpty,
+      require(symEqual(applied, v1, Seq("cust_id", "segment", "bal")),
         "o20: applying the feed to v0 must reproduce v1 exactly")
       feed.orderBy("cust_id", "change_type")
     } finally org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
@@ -1717,7 +1737,10 @@ object Warehouse {
     try {
       val docs = documents(s, d).select(col("doc_id"), col("lang"),
         col("source"))
-      o16Stage(base, "w0", docs.repartition(4))
+      // corpus row count rides the staging write (one pass, the
+      // writeEnveloped discipline) — it feeds the physical-retention
+      // require below, which otherwise re-scanned the corpus
+      val fullN = o16StageCounted(base, "w0", docs.repartition(4))
       require(o22Commit(base, 1, "w0", None), "o22: v1 commit failed")
       def dataFiles(): Seq[(String, Long)] =
         java.nio.file.Files.walk(dir).iterator().asScala
@@ -1740,7 +1763,6 @@ object Warehouse {
       // the victims are PHYSICALLY present yet unreachable: the raw
       // dir scan still counts them, the masked read does not
       val rawN = s.read.parquet(s"$base/data-w0").count()
-      val fullN = docs.count()
       require(rawN == fullN,
         s"o22: deleted rows' bytes must stay in the files ($rawN/$fullN)")
       val v4 = o22Optimize(s, base, "w1")
@@ -2096,17 +2118,18 @@ object Warehouse {
       o22Delete(s, base, col("doc_id") % 10 === 3, "a")
       o22Delete(s, base, col("lang") === "de", "b")
       o22Optimize(s, base, "w1")
+      // materialize each version's masked read ONCE: the three diffs and
+      // three equality requires otherwise re-evaluate the masked scans
+      // up to 12× (every `isEmpty` action is its own pass) — at scale,
+      // 12 table scans where 4 suffice
+      val reads = (1 to 4).map(v =>
+        v -> o22Read(s, base, v).localCheckpoint()).toMap
       def diffOf(v: Int): DataFrame =
-        o20Diff(o22Read(s, base, v), o22Read(s, base, v + 1),
-          "doc_id", Seq("lang", "source"))
+        o20Diff(reads(v), reads(v + 1), "doc_id", Seq("lang", "source"))
           .select((colsOut.map(col) :+ col("change_type")): _*)
       val feeds = (1 to 3).map { v =>
         val feed = o24FeedOf(s, base, v, colsOut).localCheckpoint()
-        val joinDerived = diffOf(v)
-        require(feed.join(joinDerived, colsOut :+ "change_type",
-            "left_anti").isEmpty &&
-          joinDerived.join(feed, colsOut :+ "change_type",
-            "left_anti").isEmpty,
+        require(symEqual(feed, diffOf(v), colsOut :+ "change_type"),
           s"o24: metadata-derived feed for step $v->${v + 1} must equal " +
             "the o20 snapshot diff exactly")
         feed.withColumn("version", lit(v + 1))

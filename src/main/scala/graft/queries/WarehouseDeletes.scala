@@ -186,9 +186,7 @@ object WarehouseDeletes {
       val diff = Warehouse.o20Diff(Warehouse.o22Read(s, base, 2), v3Read,
           "cust_id", Seq("segment", "bal"))
         .select((custCols.map(col) :+ col("change_type")): _*)
-      require(feed.join(diff, custCols :+ "change_type", "left_anti")
-          .isEmpty &&
-        diff.join(feed, custCols :+ "change_type", "left_anti").isEmpty,
+      require(Warehouse.symEqual(feed, diff, custCols :+ "change_type"),
         "o27: the metadata-derived equality feed must equal the o20 diff")
       // v4: convert equality → positional; read identical, eq retired
       require(o27ConvertEqToPos(s, base, "b") == 4,
@@ -200,16 +198,19 @@ object WarehouseDeletes {
       require(dataFiles(base) == before,
         "o27: the conversion must not touch a data byte")
       val v4Read = Warehouse.o22Read(s, base, 4).localCheckpoint()
-      require(v4Read.join(v3Read, custCols, "left_anti").isEmpty &&
-          v3Read.join(v4Read, custCols, "left_anti").isEmpty,
+      require(Warehouse.symEqual(v4Read, v3Read, custCols),
         "o27: equality→positional conversion changed the visible rows")
       // v5: OPTIMIZE retires both delete shapes into plain bytes
       require(Warehouse.o22Optimize(s, base, "w1") == 5,
         "o27: optimize landed at the wrong version")
       require(s.read.parquet(s"$base/data-w1").count() == v4Read.count(),
         "o27: the materialized token must carry exactly the masked rows")
+      // v3/v4 were already materialized above — reuse them in the union
+      // instead of re-deriving their masked scans
+      val byV = Map(3 -> v3Read, 4 -> v4Read)
       (1 to 5).map(v =>
-          Warehouse.o22Read(s, base, v).withColumn("version", lit(v)))
+          byV.getOrElse(v, Warehouse.o22Read(s, base, v))
+            .withColumn("version", lit(v)))
         .reduce(_ unionByName _)
         .select(col("version"), col("cust_id"), col("segment"), col("bal"))
         .orderBy("version", "cust_id")
@@ -339,13 +340,11 @@ object WarehouseDeletes {
       val diff = Warehouse.o20Diff(Warehouse.o22Read(s, base, 1),
           Warehouse.o22Read(s, base, 2), "cust_id", Seq("segment", "bal"))
         .select((custCols.map(col) :+ col("change_type")): _*)
-      require(feed.join(diff, custCols :+ "change_type", "left_anti")
-          .isEmpty &&
-        diff.join(feed, custCols :+ "change_type", "left_anti").isEmpty,
+      require(Warehouse.symEqual(feed, diff, custCols :+ "change_type"),
         "o28: the metadata-derived merge CDF must equal the o20 diff " +
           "exactly")
-      require(feed.filter(col("change_type") === "update_postimage")
-          .count() > 0,
+      require(!feed.filter(col("change_type") === "update_postimage")
+          .isEmpty,
         "o28: the harness change-set must exercise real updates")
       // v3: OPTIMIZE — and its feed is empty THROUGH the marker
       require(Warehouse.o22Optimize(s, base, "w1") == 3,

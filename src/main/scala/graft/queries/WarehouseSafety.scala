@@ -46,11 +46,28 @@ object WarehouseSafety {
     * run's re-run is a no-op. Single-maintenance-job semantics (like
     * o26): concurrent vacuums are out of scope, concurrent readers and
     * appenders are IN scope — an o23Append during any step keeps
-    * working because its CAS targets latest+1 and its checkpoint fold
-    * reads through the (always-consistent) checkpoint path. */
+    * working because its CAS targets latest+1, its checkpoint fold
+    * reads through the (always-consistent) checkpoint path, and three
+    * race guards protect its artifacts (the o26 `minAgeMs` discipline,
+    * threaded through here per the r20 verdict — o23Append STAGES its
+    * token before its CAS, so a floorless sweep could destroy an
+    * in-flight writer's staging and let the later CAS commit a
+    * manifest naming missing data):
+    *
+    *  - step 3's debris sweep skips unreferenced tokens younger than
+    *    `minAgeMs` (a staged-but-uncommitted token is younger than any
+    *    sane retention window; real debris is old by definition);
+    *  - stale-checkpoint retirement keeps checkpoints younger than the
+    *    floor (a concurrent appender's fresh fold landing mid-step-1
+    *    must not vanish while the appender swaps the pointer onto it);
+    *  - the pointer swap is MONOTONE like o23Checkpoint's: if a
+    *    concurrent fold already advanced `_last_checkpoint` past this
+    *    vacuum's fold, the swap is skipped instead of moving the
+    *    pointer backward. */
   private[graft] def o29CheckpointVacuum(base: String,
-      retain: Int): (Seq[Int], Seq[String]) = {
+      retain: Int, minAgeMs: Long = 0L): (Seq[Int], Seq[String]) = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
+    val floor = System.currentTimeMillis() - minAgeMs
     val chain = Warehouse.o23VersionsByListing(base)
     val keep = chain.takeRight(retain)
     val expired = chain.dropRight(retain)
@@ -62,23 +79,32 @@ object WarehouseSafety {
       Files.writeString(scratch, body)
       Files.move(scratch, Paths.get(base, s"checkpoint-$m"),
         StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
-      val pStage = Paths.get(base, s".ptr29-$m")
-      Files.writeString(pStage, m.toString)
-      Files.move(pStage, Paths.get(base, "_last_checkpoint"),
-        StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
-      Option(new java.io.File(base).list()).toSeq.flatten
-        .filter(n => n.startsWith("checkpoint-") &&
-          n.stripPrefix("checkpoint-").toInt != m)
-        .foreach(n => Files.deleteIfExists(Paths.get(base, n)))
+      // monotone pointer swap: never move _last_checkpoint backward
+      // past a concurrent appender's newer fold
+      val ptr = Paths.get(base, "_last_checkpoint")
+      val cur = if (Files.exists(ptr))
+        scala.util.Try(Files.readString(ptr).trim.toInt).getOrElse(0)
+      else 0
+      if (m >= cur) {
+        val pStage = Paths.get(base, s".ptr29-$m")
+        Files.writeString(pStage, m.toString)
+        Files.move(pStage, ptr,
+          StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+      }
+      Option(new java.io.File(base).listFiles()).toSeq.flatten
+        .filter(f => f.getName.startsWith("checkpoint-") &&
+          f.getName.stripPrefix("checkpoint-").toInt != m &&
+          f.lastModified() <= floor)
+        .foreach(f => Files.deleteIfExists(f.toPath))
       // step 2: expired versions become unreadable
       expired.foreach { case (v, _) =>
         Files.deleteIfExists(Paths.get(base, s"manifest-$v")) }
     }
-    // step 3: unreferenced tokens delete
+    // step 3: unreferenced tokens delete — age-floored (see scaladoc)
     val live = keep.map { case (_, t) => s"data-$t" }.toSet
     val debris = Option(new java.io.File(base).listFiles()).toSeq.flatten
       .filter(f => f.isDirectory && f.getName.startsWith("data-") &&
-        !live.contains(f.getName))
+        !live.contains(f.getName) && f.lastModified() <= floor)
       .sortBy(_.getName)
     debris.foreach(org.apache.commons.io.FileUtils.deleteDirectory)
     (expired.map(_._1), debris.map(_.getName))
@@ -540,10 +566,8 @@ object WarehouseSafety {
         .drop("__dv_file", "__dv_pos")
       val v2Read = Warehouse.o22Read(s, base, 2)
       val v3Read = Warehouse.o22Read(s, base, 3)
-      require(legacyRead.join(v2Read,
-          Seq("cust_id", "segment", "bal"), "left_anti").isEmpty &&
-        v2Read.join(legacyRead,
-          Seq("cust_id", "segment", "bal"), "left_anti").isEmpty &&
+      require(Warehouse.symEqual(legacyRead, v2Read,
+          Seq("cust_id", "segment", "bal")) &&
         legacyRead.count() > v3Read.count(),
         "o32: the legacy grammar must demonstrably resurrect the " +
           "eq-deleted rows — the silent corruption the gate prevents")

@@ -113,8 +113,21 @@ object Compact {
       targetBytes: Long, format: String = "parquet"): Seq[CompactionResult] = {
     val basePath = new Path(base)
     val fs = basePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    leafDataDirs(fs, basePath)
-      .sortBy(_.toString)
-      .map(dir => compactDir(spark, dir, targetBytes, format))
+    val dirs = leafDataDirs(fs, basePath).sortBy(_.toString)
+    // Directories are independent (see scaladoc) — overlap their
+    // read+write jobs from a small thread pool so one directory's task
+    // tail does not idle the cluster between jobs (guide §2.6). A few
+    // in flight is enough; results keep path order (Future.sequence).
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.max(1, math.min(4, dirs.size)))
+    try {
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      implicit val ec: ExecutionContext =
+        ExecutionContext.fromExecutorService(pool)
+      Await.result(
+        Future.sequence(dirs.map(dir =>
+          Future(compactDir(spark, dir, targetBytes, format)))),
+        scala.concurrent.duration.Duration.Inf)
+    } finally pool.shutdown()
   }
 }

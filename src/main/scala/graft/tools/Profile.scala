@@ -15,12 +15,40 @@ object Profile {
     val reps = args(1).toInt
     val names = args(2).split(",").map(_.trim).toSeq
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // A/B knobs for optimization experiments, e.g.
+    // GRAFT_PROFILE_CONF="spark.foo=1;spark.bar=2"
+    sys.env.get("GRAFT_PROFILE_CONF").foreach(_.split(";").foreach { kv =>
+      val Array(k, v) = kv.split("=", 2)
+      builder.config(k.trim, v.trim)
+    })
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // GRAFT_PROFILE_JOBS=1: print one line per Spark job (duration +
+    // call site) so an operator's per-action cost is visible without
+    // the UI — dev-only, like the rest of this tool.
+    if (sys.env.get("GRAFT_PROFILE_JOBS").contains("1")) {
+      val t0 = System.nanoTime()
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          private val starts =
+            new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
+          override def onJobStart(
+              js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+            starts.put(js.jobId, (System.nanoTime(),
+              Option(js.properties.getProperty("callSite.short"))
+                .getOrElse("?")))
+          override def onJobEnd(
+              je: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+            val (t, site) = starts.getOrDefault(je.jobId, (0L, "?"))
+            println(f"JOB ${je.jobId}%4d at=${(t - t0) / 1e9}%8.2f " +
+              f"took=${(System.nanoTime() - t) / 1e9}%7.3f  $site")
+          }
+        })
+    }
     spark.range(1000000).selectExpr("sum(id * 2)").collect() // warmup
     names.foreach { name =>
       val fn = graft.SparkEntry.queries(name)

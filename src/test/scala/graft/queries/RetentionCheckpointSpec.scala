@@ -59,6 +59,68 @@ class RetentionCheckpointSpec extends SparkSpecBase {
     } finally org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
   }
 
+  test("vacuum during a staged-but-uncommitted append: the age floor protects the staging (r20 verdict #1)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_o29s_")
+    val base = dir.toString
+    try {
+      import java.nio.file.{Files, Paths}
+      (1 to 7).foreach(i =>
+        assert(Warehouse.o23Append(base, s"t$i", slice(i)) == i))
+      // an in-flight o23Append: token STAGED (o23Append stages before
+      // its CAS — Warehouse.scala o16Stage-then-publish), no manifest
+      // names it yet. To the sweep it is indistinguishable from debris
+      // except by AGE.
+      Warehouse.o16Stage(base, "inflight", slice(99))
+      // real debris, old by definition: age the expired tokens and one
+      // orphan past the retention floor
+      Warehouse.o16Stage(base, "orphan", slice(98))
+      val old = System.currentTimeMillis() - 120000L
+      Seq("data-t1", "data-t2", "data-t3", "data-t4", "data-orphan")
+        .foreach(n => Paths.get(base, n).toFile.setLastModified(old))
+      val (expired, debris) =
+        WarehouseSafety.o29CheckpointVacuum(base, 3, minAgeMs = 60000L)
+      assert(expired == Seq(1, 2, 3, 4))
+      // old unreferenced tokens sweep; the fresh staging survives
+      assert(debris.toSet == Set("data-t1", "data-t2", "data-t3",
+        "data-t4", "data-orphan"))
+      assert(Files.isDirectory(Paths.get(base, "data-inflight")),
+        "the staged-but-uncommitted token must survive the sweep")
+      // ... and the append still commits readable after the vacuum
+      assert(Warehouse.o16TryPublish(base, "inflight", expected = 7))
+      assert(Warehouse.o16Read(spark, base, 8).count() == 1)
+      assert(Warehouse.o23VersionsByListing(base).last == (8 -> "inflight"))
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+  }
+
+  test("vacuum never moves the pointer backward nor retires a fresh concurrent fold") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_o29s_")
+    val base = dir.toString
+    try {
+      import java.nio.file.{Files, Paths}
+      (1 to 7).foreach(i =>
+        assert(Warehouse.o23Append(base, s"t$i", slice(i)) == i))
+      // a concurrent appender's fold wins the pointer first (the
+      // single-threaded spec pins the guard piecewise: pointer already
+      // past the vacuum's own fold target)
+      Files.writeString(Paths.get(base, "_last_checkpoint"), "11")
+      // checkpoint-5 is old (a stale fold); a hypothetical fresh fold
+      // file must survive retirement while the stale one goes
+      Paths.get(base, "checkpoint-5").toFile
+        .setLastModified(System.currentTimeMillis() - 120000L)
+      Files.writeString(Paths.get(base, "checkpoint-11"),
+        (1 to 7).map(v => s"$v:t$v").mkString("\n"))
+      val (expired, _) =
+        WarehouseSafety.o29CheckpointVacuum(base, 5, minAgeMs = 60000L)
+      assert(expired == Seq(1, 2))
+      assert(Files.readString(Paths.get(base, "_last_checkpoint")).trim
+        == "11", "the pointer swap must be monotone")
+      assert(Files.exists(Paths.get(base, "checkpoint-11")),
+        "a fresh concurrent fold must survive retirement")
+      assert(!Files.exists(Paths.get(base, "checkpoint-5")),
+        "the stale fold must still retire")
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+  }
+
   test("a stranded stale checkpoint would have resolved expired versions — o29 retires it") {
     val dir = java.nio.file.Files.createTempDirectory("graft_o29s_")
     val base = dir.toString
