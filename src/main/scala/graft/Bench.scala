@@ -24,6 +24,16 @@ object Bench {
       // UTC like Verify/SparkSpecBase: the events TIMESTAMP_NTZ→TIMESTAMP
       // normalization (Tables.normalizeTs) is value-identity only in UTC
       .config("spark.sql.session.timeZone", "UTC")
+      // FileOutputCommitter v2 (public MR/Spark setting): task commits
+      // rename straight to the destination instead of through the job-
+      // commit's single-threaded driver merge. The many-partition fan-out
+      // writes (a23's ~240 day×bucket dirs) otherwise serialize their
+      // commit on the driver; v2's tradeoff (partial task output visible
+      // on job failure) is irrelevant for these scratch-dir stagings and
+      // the standard choice for HDFS-like stores (object stores use
+      // dedicated committers instead).
+      .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version",
+        "2")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

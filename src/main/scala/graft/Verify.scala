@@ -11,6 +11,10 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // same committer as Bench (see Bench.scala) so correctness runs
+      // exercise the exact write path the bench times
+      .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version",
+        "2")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

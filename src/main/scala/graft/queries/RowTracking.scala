@@ -129,7 +129,8 @@ object RowTracking {
       v: Int, cols: Seq[String]): DataFrame = {
     val prev = Warehouse.o22ManifestOf(base, v)
     val next = Warehouse.o22ManifestOf(base, v + 1)
-    require(next.token == prev.token && next.adds.startsWith(prev.adds),
+    require(next.token == prev.token && next.adds.startsWith(prev.adds) &&
+        next.dv.isDefined,
       s"o31: step $v->${v + 1} is not an update-shaped commit")
     val newDv = s.read.parquet(s"$base/dv-${next.dv.get}")
     val delta = prev.dv match {

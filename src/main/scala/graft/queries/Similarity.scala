@@ -734,7 +734,7 @@ object Similarity {
         .select(when(col("vec_id") === ids.getLong(0), lit(0L))
           .otherwise(lit(1L)).as("cent_id"), col("embedding").as("ce"))
       (1 to 2).foreach(_ => sc = lloydRefit(cellVecs,
-        lloydAssign(cellVecs, sc)))
+        lloydAssign(cellVecs, sc)).localCheckpoint())
       var sub = lloydAssign(cellVecs, sc)
       val counts = sub.groupBy("cell").count().collect()
         .map(r => (r.getLong(0), r.getLong(1))).toMap
@@ -1351,7 +1351,8 @@ object Similarity {
     def assign(cents: DataFrame): DataFrame = lloydAssign(e, cents)
     def refit(assigned: DataFrame): DataFrame = lloydRefit(e, assigned)
 
-    val a1 = assign(cent0)
+    // a1 feeds the refit AND the output join — assign once
+    val a1 = assign(cent0).localCheckpoint()
     val a2 = assign(refit(a1))
     a1.select(col("vec_id"), col("cell").as("cell_iter1"))
       .join(a2.select(col("vec_id"), col("cell").as("cell_iter2")),
@@ -1439,7 +1440,8 @@ object Similarity {
   def s16SphericalRefine(s: SparkSession, d: String): DataFrame = {
     val e = withNorm(s, d).filter(col("vec_id") < s3Cap)
       .select(col("vec_id"), col("embedding"))
-    val a1 = lloydAssign(e, seedCentroids(e, 8))
+    // a1 feeds both refit variants AND the output join — assign once
+    val a1 = lloydAssign(e, seedCentroids(e, 8)).localCheckpoint()
     val a2raw = lloydAssign(e, lloydRefit(e, a1))
     val a2sph = lloydAssign(e, lloydRefitSpherical(e, a1))
     a1.select(col("vec_id"), col("cell").as("cell_iter1"))
@@ -1645,8 +1647,11 @@ object Similarity {
     var cent = base.filter(col("vec_id").isin(ids: _*))
       .select(col("vec_id").as("cent_id"),
         transform(col("embedding"), x => x.cast("double")).as("ce"))
+    // checkpoint per round (nlist rows): left declarative, round r's
+    // plan nests every earlier round's assignment+refit — the classic
+    // iterative-lineage blowup
     for (_ <- 1 to rounds)
-      cent = lloydRefit(base, lloydAssign(base, cent))
+      cent = lloydRefit(base, lloydAssign(base, cent)).localCheckpoint()
     cent.select(col("cent_id"),
         transform(col("ce"), x => x.cast("float")).as("ce"))
       .withColumn("cnrm", sqrt(expr("graft_dot(ce, ce)")))
@@ -1757,8 +1762,9 @@ object Similarity {
     var cent = base.filter(col("vec_id").isin(ids: _*))
       .select(col("vec_id").as("cent_id"),
         transform(col("embedding"), x => x.cast("double")).as("ce"))
+    // checkpoint per round — the refinedCentroids lineage discipline
     for (_ <- 1 to rounds)
-      cent = lloydRefit(base, lloydAssign(base, cent))
+      cent = lloydRefit(base, lloydAssign(base, cent)).localCheckpoint()
     cent.select(col("cent_id"),
         transform(col("ce"), x => x.cast("float")).as("ce"))
       .withColumn("cnrm", sqrt(expr("graft_dot(ce, ce)")))
@@ -1932,8 +1938,14 @@ object Similarity {
       .agg(expr("graft_topk(cos, vec_id, 3)").as("top"))
       .select(col("query_id"), explode(col("top")).as("t"))
       .select(col("query_id"), col("t.id").as("neighbor_id"))
+      // exact truth consumed by both configs' recall AND truth-count —
+      // one brute-force pass, not four
+      .localCheckpoint()
     s15Configs.map { case (nlist, np) =>
+      // refined centroids feed the assignment and the query probe —
+      // materialize (nlist rows) so the refit runs once per config
       val cents = lloydRefit(e, lloydAssign(e, seedCentroids(e, nlist)))
+        .localCheckpoint()
       val assigned = lloydAssign(e, cents)
       val qcells = q.crossJoin(broadcast(cents))
         .withColumn("ccos", cosineHof(col("qe"), col("ce")))
@@ -1947,6 +1959,8 @@ object Similarity {
           col("cell") === col("qcell") && col("vec_id") =!= col("query_id"))
         .withColumn("cos", cosineHof(col("qe"), col("embedding")))
         .select(col("query_id"), col("vec_id"), col("cos"))
+        // consumed by the top-3 AND the candidate count — scan once
+        .localCheckpoint()
       val top3 = cand.groupBy(col("query_id"))
         .agg(expr("graft_topk(cos, vec_id, 3)").as("top"))
         .select(col("query_id"), explode(col("top")).as("t"))
@@ -2352,7 +2366,15 @@ object Similarity {
     val cent = centroids.getOrElse(e.filter(col("vec_id") < nlist)
       .select(col("vec_id").as("cent_id"), col("embedding").as("ce"),
         col("nrm").as("cnrm")))
+    // The assignment, subvector and codebook relations each feed 2-4
+    // downstream consumers; left declarative, every consumer re-runs
+    // the corpus×centroid scoring (assignment), re-slices the corpus
+    // (subs) and re-trains the codebook (cb) inside one plan — at any
+    // scale those are repeated corpus passes, and the nested pqRefit∘
+    // pqAssign∘pqRefit expansions blow the plan up. Materialize each
+    // once (the FAISS shape: train once, then encode/probe).
     val assigned = ivfAssignTo(e, cent).select("vec_id", "cent_id")
+      .localCheckpoint()
     // residual=true is the FAISS IVF-PQ discipline (s25): quantize
     // `x − centroid(cell(x))` instead of x — residuals are smaller and
     // more isotropic than raw vectors, so the same 12-bit budget spends
@@ -2360,12 +2382,13 @@ object Similarity {
     // explain. The subtraction is double−double over exactly-widened
     // floats, IEEE-identical in DuckDB's replay.
     val subs =
-      if (!residual) pqSubvectors(e.select(col("vec_id"), col("embedding")))
+      (if (!residual) pqSubvectors(e.select(col("vec_id"), col("embedding")))
       else pqSubvectors(assigned
         .join(e.select(col("vec_id"), col("embedding")), "vec_id")
         .join(broadcast(cent.select(col("cent_id"), col("ce"))), "cent_id")
         .select(col("vec_id"), expr("zip_with(embedding, ce," +
-          " (x, y) -> CAST(x AS DOUBLE) - CAST(y AS DOUBLE))").as("embedding")))
+          " (x, y) -> CAST(x AS DOUBLE) - CAST(y AS DOUBLE))").as("embedding"))))
+      .localCheckpoint()
     // residual seeds skip [0, nlist): with the first-n coarse quantizer
     // those vectors ARE centroids, so their residuals are exactly zero
     // — ksub duplicate zero codewords would collapse the codebook
@@ -2374,7 +2397,7 @@ object Similarity {
         col("vec_id") < nlist + pqKsub))
       .select(col("sub"), col("vec_id").as("code"),
         transform(col("sv"), x => x.cast("double")).as("cw"))
-    val cb = pqRefit(subs, pqAssign(subs, seed))
+    val cb = pqRefit(subs, pqAssign(subs, seed)).localCheckpoint()
     val codes = pqAssign(subs, cb)
     val q = e.filter(col("vec_id") >= nlist && col("vec_id") < nlist + 5)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
@@ -2875,7 +2898,10 @@ object Similarity {
     * permuted corpus feeds the unchanged code-join/ADC pipeline.
     */
   def s26OpqPermute(s: SparkSession, d: String): DataFrame = {
-    val anis = s26AnisOf(s, d)
+    // one materialization: the anisotropic corpus feeds the permutation
+    // derivation (a collect) and BOTH probe variants — three full
+    // re-derivations otherwise
+    val anis = s26AnisOf(s, d).localCheckpoint()
     val perm = opqSnakePerm(anis)
     val raw = ivfPqProbeOf(anis, nlist = 8, nprobe = 2, residual = true)
       .withColumn("variant", lit("raw"))
@@ -2954,11 +2980,14 @@ object Similarity {
 
   def s20Rerank(s: SparkSession, d: String): DataFrame = {
     val e = withNorm(s, d).filter(col("vec_id") < s3Cap)
+    // train once, encode once (the ivfPqProbeOf materialization
+    // discipline): subs feeds seed/cb/codes, cb feeds codes + the LUT
     val subs = pqSubvectors(e.select(col("vec_id"), col("embedding")))
+      .localCheckpoint()
     val seed = subs.filter(col("vec_id") < pqKsub)
       .select(col("sub"), col("vec_id").as("code"),
         transform(col("sv"), x => x.cast("double")).as("cw"))
-    val cb = pqRefit(subs, pqAssign(subs, seed))
+    val cb = pqRefit(subs, pqAssign(subs, seed)).localCheckpoint()
     val codes = pqAssign(subs, cb)
     val q = e.filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
@@ -2986,6 +3015,9 @@ object Similarity {
       .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "t")))
       .select(col("query_id"), col("t.id").as("vec_id"),
         (col("pos") + 1).cast("int").as("adc_rank"))
+      // queries×k′ rows, consumed twice (re-rank join + adc_rank
+      // re-attach) — materialize so the ADC stage runs once
+      .localCheckpoint()
     // stage 2: point-fetch ONLY the shortlisted vectors, exact re-rank
     val rer = shortlist
       .join(e.select(col("vec_id"), col("embedding"), col("nrm")), "vec_id")

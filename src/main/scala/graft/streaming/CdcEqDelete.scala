@@ -96,11 +96,22 @@ object CdcEqDelete {
         val q = stream.writeStream
           .foreachBatch { (batch: DataFrame, batchId: Long) =>
             if (!fedBatches().contains(batchId)) {
-              // the batch's delete keys: its own latest-per-user 'D'
-              // rows — O(batch) work, zero table reads
-              val keys = Warehouse.o10ChangesOf(batch)
-                .filter(col("op") === "D").select("cust_id")
-              WarehouseDeletes.o27EqDelete(s, base, keys, s"k$batchId")
+              // replay idempotence at the COMMIT level too: a crash
+              // between the eq commit and the ledger append re-fires
+              // the batch — probing the latest manifest for this
+              // batch's entry makes the replay a true no-op instead of
+              // a duplicate eq entry shifting the version ladder
+              val latest = Warehouse.o16Latest(base)
+              val committed = latest > 0 &&
+                Warehouse.o22ManifestOf(base, latest).eqs
+                  .exists(_._1 == s"k$batchId")
+              if (!committed) {
+                // the batch's delete keys: its own latest-per-user 'D'
+                // rows — O(batch) work, zero table reads
+                val keys = Warehouse.o10ChangesOf(batch)
+                  .filter(col("op") === "D").select("cust_id")
+                WarehouseDeletes.o27EqDelete(s, base, keys, s"k$batchId")
+              }
               Files.write(attempts,
                 s"$batchId\n".getBytes(
                   java.nio.charset.StandardCharsets.UTF_8),

@@ -46,22 +46,12 @@ object CdcMerge {
         col("user_id"), col("event_type"), col("value"))
       val boundary = (ev.agg(max(col("event_id"))).head().getLong(0) + 1) / 2
 
-      // stage the two change batches as single files in mtime order
-      def stageBatch(df: DataFrame, name: String, mtimeBump: Long): Unit = {
-        val scratch = dir.resolve(s"scratch_$name")
-        df.coalesce(1).write.parquet(scratch.toString)
-        import scala.jdk.CollectionConverters._
-        val part = java.nio.file.Files.list(scratch).iterator().asScala
-          .find(_.toString.endsWith(".parquet")).get
-        val target = inDir.resolve(s"$name.parquet")
-        java.nio.file.Files.copy(part, target)
-        org.apache.commons.io.FileUtils.deleteDirectory(scratch.toFile)
-        java.nio.file.Files.setLastModifiedTime(target,
-          java.nio.file.attribute.FileTime.fromMillis(
-            System.currentTimeMillis() + mtimeBump))
-      }
-      stageBatch(ev.filter(col("event_id") < boundary), "a_batch1", 0L)
-      stageBatch(ev.filter(col("event_id") >= boundary), "b_batch2", 60000L)
+      // stage the two change batches as single files in mtime order —
+      // ONE clustered staging job
+      CatchupConf.stageTagged(ev,
+        when(col("event_id") < boundary, lit("a_batch1"))
+          .otherwise(lit("b_batch2")),
+        inDir, Seq("a_batch1", "b_batch2"))
 
       // snapshot v0 = the customer base
       customer(s, d).select(col("c_custkey").as("cust_id"),

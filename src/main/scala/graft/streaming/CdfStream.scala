@@ -49,9 +49,11 @@ object CdfStream {
     val prev =
       if (v == 1) cur.limit(0)
       else Warehouse.o16Read(s, base, v - 1)
+    // idempotent per-version overwrite (see DvFeedStream.feedVersion):
+    // a replay after a crash rewrites the same bytes, never duplicates
     Warehouse.o20Diff(prev, cur, "cust_id", feedCols.drop(1))
       .withColumn("version", lit(v))
-      .write.mode("append").parquet(feedDir)
+      .write.mode("overwrite").parquet(s"$feedDir/v$v")
   }
 
   def st26StreamChangeFeed(s: SparkSession, d: String): DataFrame =
@@ -105,11 +107,14 @@ object CdfStream {
                   .split("\n").filter(_.nonEmpty).map(_.toInt).toSet
               else Set.empty
             vs.filterNot(fed).foreach { v =>
+              // feed FIRST (idempotent per-version overwrite), ledger
+              // SECOND: ledger-first turned a crash in between into a
+              // permanently skipped version — silent feed loss
+              diffVersion(s, base, v, feedDir)
               java.nio.file.Files.write(attempts,
                 s"$v\n".getBytes(java.nio.charset.StandardCharsets.UTF_8),
                 java.nio.file.StandardOpenOption.CREATE,
                 java.nio.file.StandardOpenOption.APPEND)
-              diffVersion(s, base, v, feedDir)
             }
             ()
           }
@@ -136,7 +141,8 @@ object CdfStream {
       require(tried == Seq(1, 2, 3),
         s"st26: the restart must diff exactly the new version — got $tried")
 
-      val feed = s.read.parquet(feedDir).localCheckpoint()
+      val feed = s.read.option("recursiveFileLookup", "true")
+        .parquet(feedDir).localCheckpoint()
       // the feed's defining algebra: folding it version-by-version over
       // an EMPTY table reproduces the latest snapshot exactly — a
       // consumer needs nothing but the feed
@@ -151,8 +157,7 @@ object CdfStream {
               .select(feedCols.map(col): _*))
       }
       val latest = Warehouse.o16Read(s, base, 3)
-      require(applied.join(latest, feedCols, "left_anti").isEmpty &&
-          latest.join(applied, feedCols, "left_anti").isEmpty,
+      require(Warehouse.symEqual(applied, latest, feedCols),
         "st26: folding the streamed feed over empty must reproduce v3")
       feed.select(col("version"), col("cust_id"), col("segment"),
           col("bal"), col("change_type"))

@@ -40,8 +40,12 @@ object DvFeedStream {
   private val cols = Seq("doc_id", "lang", "source")
 
   /** One version's arrival: the metadata-derived feed, tagged and
-    * appended. v=1 is the bootstrap append — every row an insert.
-    * (Shared with st28's retention-guarded consumer.) */
+    * written IDEMPOTENTLY to the version's own deterministic path
+    * (overwrite — a replay after a crash between the feed write and
+    * the ledger append rewrites the same bytes instead of duplicating
+    * them; consumers read the feed root recursively). v=1 is the
+    * bootstrap — every row an insert. (Shared with st28's
+    * retention-guarded consumer.) */
   private[streaming] def feedVersion(s: SparkSession, base: String, v: Int,
       feedDir: String): Unit = {
     val feed =
@@ -49,7 +53,8 @@ object DvFeedStream {
         Warehouse.o22Read(s, base, 1).select(cols.map(col): _*)
           .withColumn("change_type", lit("insert"))
       else Warehouse.o24FeedOf(s, base, v - 1, cols)
-    feed.withColumn("version", lit(v)).write.mode("append").parquet(feedDir)
+    feed.withColumn("version", lit(v))
+      .write.mode("overwrite").parquet(s"$feedDir/v$v")
   }
 
   def st27StreamDvFeed(s: SparkSession, d: String): DataFrame =
@@ -101,11 +106,15 @@ object DvFeedStream {
               // the st28 retention guard: an unread version vacuumed
               // from under the consumer fails loudly, never skips
               FeedRetention.requireNoGap(base, fed, v)
+              // feed FIRST (idempotent per-version overwrite), ledger
+              // SECOND: the old ledger-first order turned a crash in
+              // between into a permanently skipped version — silent
+              // feed loss
+              feedVersion(s, base, v, feedDir)
               java.nio.file.Files.write(attempts,
                 s"$v\n".getBytes(java.nio.charset.StandardCharsets.UTF_8),
                 java.nio.file.StandardOpenOption.CREATE,
                 java.nio.file.StandardOpenOption.APPEND)
-              feedVersion(s, base, v, feedDir)
             }
             ()
           }
@@ -133,7 +142,8 @@ object DvFeedStream {
       require(tried == Seq(1, 2, 3, 4),
         s"st27: the restart must feed exactly v3,v4 — got $tried")
 
-      val feed = s.read.parquet(feedDir).localCheckpoint()
+      val feed = s.read.option("recursiveFileLookup", "true")
+        .parquet(feedDir).localCheckpoint()
       require(feed.filter(col("version") === 4).isEmpty,
         "st27: the OPTIMIZE commit must contribute zero feed rows")
       // fold the feed over empty: inserts land, deletes remove — the
@@ -147,8 +157,7 @@ object DvFeedStream {
             .select(cols.map(col): _*))
       }
       val latest = Warehouse.o22Read(s, base, 4)
-      require(applied.join(latest, cols, "left_anti").isEmpty &&
-          latest.join(applied, cols, "left_anti").isEmpty,
+      require(Warehouse.symEqual(applied, latest, cols),
         "st27: folding the streamed feed over empty must reproduce v4")
       feed.select(col("version"), col("doc_id"), col("lang"),
           col("source"), col("change_type"))

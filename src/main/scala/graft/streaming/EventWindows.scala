@@ -557,30 +557,24 @@ object EventWindows {
       val isStraggler = unix_micros(col("ts")) < cutUs
       val isAdvancer = unix_micros(col("ts")) === maxUs
 
-      def stage(df: DataFrame, name: String, mtimeBump: Long): Unit = {
-        val scratch = dir.resolve(s"scratch_$name")
-        df.coalesce(1).write.parquet(scratch.toString)
-        import scala.jdk.CollectionConverters._
-        val part = java.nio.file.Files.list(scratch).iterator().asScala
-          .find(_.toString.endsWith(".parquet")).get
-        java.nio.file.Files.copy(part, dir.resolve(s"$name.parquet"))
-        org.apache.commons.io.FileUtils.deleteDirectory(scratch.toFile)
-        java.nio.file.Files.setLastModifiedTime(dir.resolve(s"$name.parquet"),
-          java.nio.file.attribute.FileTime.fromMillis(
-            System.currentTimeMillis() + mtimeBump))
-      }
-      stage(ev.filter(!isStraggler && !isAdvancer), "a_ontime", 0L)
-      stage(ev.filter(isAdvancer), "b_advance", 60000L)
-      stage(ev.filter(isStraggler), "c_stragglers", 120000L)
-      val nStragglers = ev.filter(isStraggler).count()
+      // one clustered staging job for all three arrival waves (was one
+      // write job per wave — same files, same mtime order)
+      CatchupConf.stageTagged(ev,
+        when(isAdvancer, lit("b_advance"))
+          .when(isStraggler, lit("c_stragglers"))
+          .otherwise(lit("a_ontime")),
+        dir, Seq("a_ontime", "b_advance", "c_stragglers"))
+      // straggler row AND group counts in ONE aggregate action: the
+      // drop counter's TRUE unit (measured, see scaladoc) is late
+      // GROUPS — the watermark filter sits behind the pre-shuffle
+      // PARTIAL aggregation, so stragglers sharing a (window,
+      // event_type) cell count once
+      val sg = ev.filter(isStraggler)
+        .agg(count(lit(1)),
+          count_distinct(window(col("ts"), "5 minutes"), col("event_type")))
+        .head()
+      val (nStragglers, nStragglerGroups) = (sg.getLong(0), sg.getLong(1))
       require(nStragglers >= 1, "st17: corpus has no straggler candidates")
-      // the drop counter's TRUE unit (measured, see scaladoc): the
-      // watermark filter sits behind the pre-shuffle PARTIAL
-      // aggregation, so it counts late GROUPS, not late input rows —
-      // stragglers sharing a (window, event_type) cell count once
-      val nStragglerGroups = ev.filter(isStraggler)
-        .select(window(col("ts"), "5 minutes"), col("event_type"))
-        .distinct().count()
 
       val stream = s.readStream.schema(ev.schema)
         .option("maxFilesPerTrigger", "1")

@@ -101,11 +101,13 @@ object FeedRetention {
             vs.filterNot(fed).foreach { v =>
               // the retention guard — BEFORE the ledger or feed move
               requireNoGap(base, fedSet(), v)
+              // feed FIRST (idempotent per-version overwrite), ledger
+              // SECOND — the st26/st27 crash-window discipline
+              DvFeedStream.feedVersion(s, base, v, feedDir)
               java.nio.file.Files.write(attempts,
                 s"$v\n".getBytes(java.nio.charset.StandardCharsets.UTF_8),
                 java.nio.file.StandardOpenOption.CREATE,
                 java.nio.file.StandardOpenOption.APPEND)
-              DvFeedStream.feedVersion(s, base, v, feedDir)
             }
             ()
           }
@@ -137,7 +139,8 @@ object FeedRetention {
       require(fedSet() == Set(1, 2, 3, 4),
         s"st28: the resume across the lag-safe vacuum must feed v3,v4 " +
           s"— got ${fedSet()}")
-      val feed = s.read.parquet(feedDir).localCheckpoint()
+      val feed = s.read.option("recursiveFileLookup", "true")
+        .parquet(feedDir).localCheckpoint()
       require(feed.filter(col("version") === 4).isEmpty,
         "st28: the OPTIMIZE commit must contribute zero feed rows")
       // the fed prefix folds to the latest read exactly (the st27
@@ -151,8 +154,7 @@ object FeedRetention {
             .select(cols.map(col): _*))
       }
       val latest = Warehouse.o22Read(s, base, 4)
-      require(applied.join(latest, cols, "left_anti").isEmpty &&
-          latest.join(applied, cols, "left_anti").isEmpty,
+      require(Warehouse.symEqual(applied, latest, cols),
         "st28: folding the fed prefix over empty must reproduce v4")
       // now retention OUTRUNS the consumer: v5 commits and is vacuumed
       // away before any run sees it; v6 commits and survives

@@ -53,23 +53,12 @@ object StreamDecontam {
     java.nio.file.Files.createDirectories(inDir)
     val sinkDir = dir.resolve("flagged").toString
     try {
-      def stageBatch(df: DataFrame, name: String, mtimeBump: Long): Unit = {
-        val scratch = dir.resolve(s"scratch_$name")
-        df.coalesce(1).write.parquet(scratch.toString)
-        import scala.jdk.CollectionConverters._
-        val part = java.nio.file.Files.list(scratch).iterator().asScala
-          .find(_.toString.endsWith(".parquet")).get
-        val target = inDir.resolve(s"$name.parquet")
-        java.nio.file.Files.copy(part, target)
-        org.apache.commons.io.FileUtils.deleteDirectory(scratch.toFile)
-        java.nio.file.Files.setLastModifiedTime(target,
-          java.nio.file.attribute.FileTime.fromMillis(
-            System.currentTimeMillis() + mtimeBump))
-      }
-      // two mtime-ordered arrival waves; the split is id-parity so both
-      // waves carry planted contaminated docs
-      stageBatch(train.filter(col("doc_id") % 2 === 0), "a_even", 0L)
-      stageBatch(train.filter(col("doc_id") % 2 === 1), "b_odd", 60000L)
+      // two mtime-ordered arrival waves in ONE clustered staging job;
+      // the split is id-parity so both waves carry planted contaminated
+      // docs
+      CatchupConf.stageTagged(train,
+        when(col("doc_id") % 2 === 0, lit("a_even")).otherwise(lit("b_odd")),
+        inDir, Seq("a_even", "b_odd"))
 
       val stream = s.readStream.schema(train.schema)
         .option("maxFilesPerTrigger", "1")

@@ -61,23 +61,12 @@ object StreamDsir {
     java.nio.file.Files.createDirectories(inDir)
     val sinkDir = dir.resolve("gated").toString
     try {
-      def stageBatch(df: DataFrame, name: String, mtimeBump: Long): Unit = {
-        val scratch = dir.resolve(s"scratch_$name")
-        df.coalesce(1).write.parquet(scratch.toString)
-        import scala.jdk.CollectionConverters._
-        val part = java.nio.file.Files.list(scratch).iterator().asScala
-          .find(_.toString.endsWith(".parquet")).get
-        val target = inDir.resolve(s"$name.parquet")
-        java.nio.file.Files.copy(part, target)
-        org.apache.commons.io.FileUtils.deleteDirectory(scratch.toFile)
-        java.nio.file.Files.setLastModifiedTime(target,
-          java.nio.file.attribute.FileTime.fromMillis(
-            System.currentTimeMillis() + mtimeBump))
-      }
-      // two mtime-ordered arrival waves over the odd-id crawl (parity
-      // is spent on the calibration split, so waves split on doc_id%4)
-      stageBatch(crawl.filter(col("doc_id") % 4 === 1), "a_wave", 0L)
-      stageBatch(crawl.filter(col("doc_id") % 4 === 3), "b_wave", 60000L)
+      // two mtime-ordered arrival waves over the odd-id crawl in ONE
+      // clustered staging job (parity is spent on the calibration
+      // split, so waves split on doc_id%4)
+      CatchupConf.stageTagged(crawl,
+        when(col("doc_id") % 4 === 1, lit("a_wave")).otherwise(lit("b_wave")),
+        inDir, Seq("a_wave", "b_wave"))
 
       val stream = s.readStream.schema(crawl.schema)
         .option("maxFilesPerTrigger", "1")

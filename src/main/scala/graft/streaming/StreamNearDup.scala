@@ -48,21 +48,13 @@ object StreamNearDup {
     val indexRoot = dir.resolve("index").toString
     val sinkDir = dir.resolve("admitted").toString
     try {
-      def stageBatch(df: DataFrame, name: String, mtimeBump: Long): Unit = {
-        val scratch = dir.resolve(s"scratch_$name")
-        df.coalesce(1).write.parquet(scratch.toString)
-        import scala.jdk.CollectionConverters._
-        val part = java.nio.file.Files.list(scratch).iterator().asScala
-          .find(_.toString.endsWith(".parquet")).get
-        val target = inDir.resolve(s"$name.parquet")
-        java.nio.file.Files.copy(part, target)
-        org.apache.commons.io.FileUtils.deleteDirectory(scratch.toFile)
-        java.nio.file.Files.setLastModifiedTime(target,
-          java.nio.file.attribute.FileTime.fromMillis(
-            System.currentTimeMillis() + mtimeBump))
-      }
-      stageBatch(b0, "a_batch0", 0L)
-      stageBatch(b1, "b_batch1", 60000L)
+      // both arrival batches staged in ONE clustered job (the batches
+      // are not a predicate split of one frame — b1 carries minted
+      // clone ids — so the tag rides the union)
+      CatchupConf.stageTagged(
+        b0.withColumn("__tag", lit("a_batch0"))
+          .unionByName(b1.withColumn("__tag", lit("b_batch1"))),
+        col("__tag"), inDir, Seq("a_batch0", "b_batch1"))
 
       val stream = s.readStream.schema(b0.schema)
         .option("maxFilesPerTrigger", "1")

@@ -63,23 +63,12 @@ object StreamQuality {
     java.nio.file.Files.createDirectories(inDir)
     val sinkDir = dir.resolve("scored").toString
     try {
-      def stageBatch(df: DataFrame, name: String, mtimeBump: Long): Unit = {
-        val scratch = dir.resolve(s"scratch_$name")
-        df.coalesce(1).write.parquet(scratch.toString)
-        import scala.jdk.CollectionConverters._
-        val part = java.nio.file.Files.list(scratch).iterator().asScala
-          .find(_.toString.endsWith(".parquet")).get
-        val target = inDir.resolve(s"$name.parquet")
-        java.nio.file.Files.copy(part, target)
-        org.apache.commons.io.FileUtils.deleteDirectory(scratch.toFile)
-        java.nio.file.Files.setLastModifiedTime(target,
-          java.nio.file.attribute.FileTime.fromMillis(
-            System.currentTimeMillis() + mtimeBump))
-      }
-      // two mtime-ordered arrival waves; id-parity split so every lang
-      // and both quality extremes arrive in both waves
-      stageBatch(crawl.filter(col("doc_id") % 2 === 0), "a_even", 0L)
-      stageBatch(crawl.filter(col("doc_id") % 2 === 1), "b_odd", 60000L)
+      // two mtime-ordered arrival waves in ONE clustered staging job;
+      // id-parity split so every lang and both quality extremes arrive
+      // in both waves
+      CatchupConf.stageTagged(crawl,
+        when(col("doc_id") % 2 === 0, lit("a_even")).otherwise(lit("b_odd")),
+        inDir, Seq("a_even", "b_odd"))
 
       val stream = s.readStream.schema(crawl.schema)
         .option("maxFilesPerTrigger", "1")

@@ -49,7 +49,12 @@ object Profile {
           }
         })
     }
+    // same fixed-workload calibration as Bench.warmup_calib_sec — lets
+    // two Profile runs on this drifting machine be compared honestly
+    val calT0 = System.nanoTime()
     spark.range(1000000).selectExpr("sum(id * 2)").collect() // warmup
+    graft.SparkEntry.entry(spark).count()
+    println(f"PROFILE_CALIB ${(System.nanoTime() - calT0) / 1e9}%.3f s")
     names.foreach { name =>
       val fn = graft.SparkEntry.queries(name)
       if (reps == 0) fn(spark, sfDir).explain("formatted")
