@@ -1568,8 +1568,11 @@ object Similarity {
     val cent0 = e.filter(col("vec_id").isin(ids: _*))
       .select(col("vec_id").as("cent_id"),
         transform(col("embedding"), x => x.cast("double")).as("ce"))
-    val a1 = lloydAssign(e, cent0)
-    val a2 = lloydAssign(e, lloydRefit(e, a1))
+    // each assignment feeds the NEXT refit and the output join — left
+    // declarative, a1 re-evaluates ~4× inside one action (a3 nests a2
+    // nests a1); the s14/s16 assign-once discipline
+    val a1 = lloydAssign(e, cent0).localCheckpoint()
+    val a2 = lloydAssign(e, lloydRefit(e, a1)).localCheckpoint()
     val a3 = lloydAssign(e, lloydRefit(e, a2))
     a1.select(col("vec_id"), col("cell").as("cell_seed"))
       .join(a2.select(col("vec_id"), col("cell").as("cell_iter1")), Seq("vec_id"))
@@ -1796,8 +1799,11 @@ object Similarity {
     val cent0 = e.filter(col("vec_id").isin(chosen: _*))
       .select(col("vec_id").as("cent_id"),
         transform(col("embedding"), x => x.cast("double")).as("ce"))
-    val a1 = lloydAssign(e, cent0)
-    val a2 = lloydAssign(e, lloydRefit(e, a1))
+    // each assignment feeds the NEXT refit and the output join — left
+    // declarative, a1 re-evaluates ~4× inside one action (a3 nests a2
+    // nests a1); the s14/s16 assign-once discipline
+    val a1 = lloydAssign(e, cent0).localCheckpoint()
+    val a2 = lloydAssign(e, lloydRefit(e, a1)).localCheckpoint()
     val a3 = lloydAssign(e, lloydRefit(e, a2))
     a1.select(col("vec_id"), col("cell").as("cell_seed"))
       .join(a2.select(col("vec_id"), col("cell").as("cell_iter1")),

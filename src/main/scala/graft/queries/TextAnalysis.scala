@@ -965,6 +965,17 @@ object TextAnalysis {
     * vocabulary size — the three frozen artifacts st22 broadcasts. */
   private[graft] def lmTrain(docs: DataFrame,
       isRef: org.apache.spark.sql.Column): (DataFrame, DataFrame, Long) = {
+    val (_, cab, ca, v) = lmTrainWithPairs(docs, isRef)
+    (cab, ca, v)
+  }
+
+  /** [[lmTrain]] that ALSO returns the materialized reference pair
+    * relation it trained from — a caller that then scores the reference
+    * slice (st22's frozen-cut derivation) reuses it instead of
+    * re-tokenizing the slice. */
+  private[graft] def lmTrainWithPairs(docs: DataFrame,
+      isRef: org.apache.spark.sql.Column)
+      : (DataFrame, DataFrame, DataFrame, Long) = {
     val refPairs = lmPairs(docs.filter(isRef))
       .localCheckpoint() // trains cab, ca and V from ONE materialization
     val cab = refPairs.groupBy(col("prev"), col("word"))
@@ -973,7 +984,7 @@ object TextAnalysis {
     val v = refPairs.select(col("word"))
       .union(refPairs.select(col("prev")))
       .distinct().count()
-    (cab, ca, v)
+    (refPairs, cab, ca, v)
   }
 
   /** Score any (doc_id, lang, text) frame under a trained model:
@@ -982,7 +993,13 @@ object TextAnalysis {
     * pre-broadcast for the per-batch streaming plan. */
   private[graft] def lmScore(docs: DataFrame, cab: DataFrame,
       ca: DataFrame, v: Long): DataFrame =
-    lmPairs(docs)
+    lmScorePairs(lmPairs(docs), cab, ca, v)
+
+  /** [[lmScore]] over an ALREADY-derived (doc_id, lang, prev, word)
+    * pair relation. */
+  private[graft] def lmScorePairs(pairs: DataFrame, cab: DataFrame,
+      ca: DataFrame, v: Long): DataFrame =
+    pairs
       .join(cab, Seq("prev", "word"), "left")
       .join(ca, Seq("prev"), "left")
       .withColumn("bits",

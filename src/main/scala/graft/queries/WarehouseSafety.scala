@@ -465,12 +465,12 @@ object WarehouseSafety {
       require(oRes == Left(Seq(2, 3)),
         s"o30: the stale optimize must classify both deletes as " +
           s"conflicting, got $oRes")
-      require(s.read.parquet(s"$base/data-$staleTok").count() >
-          Warehouse.o22Read(s, base, 3).count(),
-        "o30: the stale materialization must genuinely carry the victims")
-      // re-derive from v3, commit v4
-      Warehouse.o16Stage(base, "w1",
+      // re-derive from v3 (count rides the staging write — the victim
+      // require below otherwise re-derived the masked read), commit v4
+      val v3N = Warehouse.o16StageCounted(base, "w1",
         Warehouse.o22Read(s, base, 3).coalesce(2))
+      require(s.read.parquet(s"$base/data-$staleTok").count() > v3N,
+        "o30: the stale materialization must genuinely carry the victims")
       require(o30CommitOptimize(s, base, 3, "w1") == Right((4, 1)),
         "o30: the re-derived optimize failed")
       // D3 derived ADDRESSES at v3; the rewrite orphaned them

@@ -49,11 +49,13 @@ object StreamQuality {
     val docs = documentsSpread(s, d)
       .select(col("doc_id"), col("lang"), col("text"))
     val isRef = col("lang") === "en" && col("doc_id") % 2 === 0
-    // frozen model + frozen cuts: trained/cut ONCE, never per batch
-    val (cab0, ca0, v) = TextAnalysis.lmTrain(docs, isRef)
+    // frozen model + frozen cuts: trained/cut ONCE, never per batch;
+    // the cut derivation scores the reference slice from the SAME pair
+    // relation the training materialized (was a second tokenize pass)
+    val (refPairs, cab0, ca0, v) = TextAnalysis.lmTrainWithPairs(docs, isRef)
     val cab = cab0.localCheckpoint()
     val ca = ca0.localCheckpoint()
-    val refScored = TextAnalysis.lmScore(docs.filter(isRef), cab, ca, v)
+    val refScored = TextAnalysis.lmScorePairs(refPairs, cab, ca, v)
       .localCheckpoint()
     val (qmin, width, cut1, cut2) = TextAnalysis.tercileCutsOf(refScored)
     val crawl = docs.filter(!isRef)
