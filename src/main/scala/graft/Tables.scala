@@ -16,6 +16,20 @@ object Tables {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Eager, CLOSED directory listing. `Files.list` returns a stream
+    * holding an open directory handle; draining it via `.iterator`
+    * without closing leaks the handle (one per staged slice across the
+    * harness stagings). All call sites list small scratch/metadata
+    * dirs, so materializing is free. */
+  private[graft] def listDir(
+      dir: java.nio.file.Path): Seq[java.nio.file.Path] = {
+    val st = java.nio.file.Files.list(dir)
+    try {
+      import scala.jdk.CollectionConverters._
+      st.iterator().asScala.toVector
+    } finally st.close()
+  }
+
   def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = table(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame  = table(s, d, "customer")

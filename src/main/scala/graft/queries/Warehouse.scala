@@ -1050,7 +1050,7 @@ object Warehouse {
       // the clone: one metadata create, zero data bytes in B's dir
       require(o21ShallowCloneOf(dirA.toString, 1, dirB.toString),
         "o21: clone manifest create failed")
-      require(!java.nio.file.Files.list(dirB).iterator().asScala
+      require(!graft.Tables.listDir(dirB)
         .exists(_.getFileName.toString.startsWith("data-")),
         "o21: a SHALLOW clone must not copy data")
       // copy-on-write divergence: the clone's v2 edits a slice
@@ -2351,13 +2351,12 @@ object Warehouse {
         .withColumn("source", lit("requeued"))
       o25Stage(base, "fr", "b", bDf)
       def staged(part: String, token: String): Seq[(String, Long)] =
-        java.nio.file.Files.list(
+        graft.Tables.listDir(
             java.nio.file.Paths.get(base, s"p-$part-$token"))
-          .iterator().asScala
           .filter(p => java.nio.file.Files.isRegularFile(p) &&
             !p.getFileName.toString.startsWith("_"))
           .map(p => (p.toString, java.nio.file.Files.size(p)))
-          .toSeq.sortBy(_._1)
+          .sortBy(_._1)
       val bStaged = staged("fr", "b")
       // A wins v2; B's first CAS loses, classifies disjoint, rebases
       require(o25CommitDelta(base, 1, Set("de"), Map("de" -> "a"))

@@ -91,10 +91,23 @@ object WarehouseSafety {
         Files.move(pStage, ptr,
           StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
       }
+      // retirement exempts BOTH this vacuum's fold (m) and whatever
+      // checkpoint `_last_checkpoint` resolves to right now: when the
+      // monotone guard above skipped the swap (a concurrent fold already
+      // advanced the pointer past m), deleting checkpoint-<cur> would
+      // leave the pointer dangling at a deleted file — the exact
+      // concurrency hole the three guards exist to close.
+      val ptrTarget = if (Files.exists(ptr))
+        scala.util.Try(Files.readString(ptr).trim.toInt).getOrElse(m)
+      else m
       Option(new java.io.File(base).listFiles()).toSeq.flatten
-        .filter(f => f.getName.startsWith("checkpoint-") &&
-          f.getName.stripPrefix("checkpoint-").toInt != m &&
-          f.lastModified() <= floor)
+        .filter { f =>
+          val nm = f.getName
+          nm.startsWith("checkpoint-") && {
+            val v = nm.stripPrefix("checkpoint-").toInt
+            v != m && v != ptrTarget && f.lastModified() <= floor
+          }
+        }
         .foreach(f => Files.deleteIfExists(f.toPath))
       // step 2: expired versions become unreadable
       expired.foreach { case (v, _) =>
@@ -414,7 +427,7 @@ object WarehouseSafety {
         Files.createDirectories(Paths.get(base, "data-w0"))
         (0 until 4).foreach { i =>
           val sub = Paths.get(scratch0, s"__slice=$i")
-          val part = Files.list(sub).iterator().asScala
+          val part = graft.Tables.listDir(sub)
             .find(_.toString.endsWith(".parquet")).get
           // slice-prefixed name: two slices hashed into one write task
           // would otherwise mint colliding part-file names
@@ -432,16 +445,13 @@ object WarehouseSafety {
           .select(col("__dv_file").as("file_path"),
             col("__dv_pos").as("pos"))
           .coalesce(1).write.parquet(s"$base/dvdelta-$tok")
-      def deltaBytes(tok: String): Seq[(String, Long)] = {
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.list(
+      def deltaBytes(tok: String): Seq[(String, Long)] =
+        graft.Tables.listDir(
             java.nio.file.Paths.get(base, s"dvdelta-$tok"))
-          .iterator().asScala
           .filter(p => java.nio.file.Files.isRegularFile(p) &&
             !p.getFileName.toString.startsWith("_"))
           .map(p => (p.toString, java.nio.file.Files.size(p)))
-          .toSeq.sortBy(_._1)
-      }
+          .sortBy(_._1)
       val p1 = col("doc_id") % 4 === 0 && col("doc_id") % 5 === 0
       val p2 = col("doc_id") % 4 === 1 && col("doc_id") % 5 === 0
       val p3 = col("doc_id") % 4 === 2 && col("doc_id") % 7 === 0

@@ -124,10 +124,20 @@ object Compact {
       import scala.concurrent.{Await, ExecutionContext, Future}
       implicit val ec: ExecutionContext =
         ExecutionContext.fromExecutorService(pool)
-      Await.result(
+      // Capture each directory's outcome as a Try and await ALL of them
+      // before surfacing the first failure: a fail-fast Future.sequence
+      // would rethrow while sibling compactions' stage/retire renames
+      // are still in flight, racing the caller's error handling — every
+      // directory must reach a terminal state (done or rolled back)
+      // before control returns.
+      val settled = Await.result(
         Future.sequence(dirs.map(dir =>
-          Future(compactDir(spark, dir, targetBytes, format)))),
+          Future(compactDir(spark, dir, targetBytes, format))
+            .transform(t => scala.util.Success(t)))),
         scala.concurrent.duration.Duration.Inf)
+      settled.collectFirst { case scala.util.Failure(e) => e }
+        .foreach(throw _)
+      settled.map(_.get)
     } finally pool.shutdown()
   }
 }

@@ -94,7 +94,7 @@ object CatchupConf {
       val sub = scratch.resolve(s"__tag=$tag")
       require(java.nio.file.Files.isDirectory(sub),
         s"stageTagged: slice $tag staged empty")
-      val part = java.nio.file.Files.list(sub).iterator().asScala
+      val part = graft.Tables.listDir(sub)
         .find(_.toString.endsWith(".parquet")).get
       val target = dir.resolve(s"$tag.parquet")
       java.nio.file.Files.copy(part, target)

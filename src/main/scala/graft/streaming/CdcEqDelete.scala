@@ -73,8 +73,7 @@ object CdcEqDelete {
       def stageBatch(df: DataFrame, name: String, bump: Long): Unit = {
         val scratch = root.resolve(s"scratch_$name")
         df.coalesce(1).write.parquet(scratch.toString)
-        import scala.jdk.CollectionConverters._
-        val part = Files.list(scratch).iterator().asScala
+        val part = graft.Tables.listDir(scratch)
           .find(_.toString.endsWith(".parquet")).get
         val target = inDir.resolve(s"$name.parquet")
         Files.copy(part, target)

@@ -109,9 +109,7 @@ object EventWindows {
         .orderBy("window_start", "event_type")
     } finally {
       s.catalog.dropTempView(sink)
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.list(dir).iterator().asScala
-        .foreach(java.nio.file.Files.delete)
+      graft.Tables.listDir(dir).foreach(java.nio.file.Files.delete)
       java.nio.file.Files.delete(dir)
     }
   }

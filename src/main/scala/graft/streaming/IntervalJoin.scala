@@ -185,8 +185,7 @@ object IntervalJoin {
             org.apache.spark.sql.Row(-102L, sentinelTs, -1L, "purchase", 0.0, "")),
           rawSchema)
         .coalesce(1).write.parquet(scratch.toString)
-      import scala.jdk.CollectionConverters._
-      val part = java.nio.file.Files.list(scratch).iterator().asScala
+      val part = graft.Tables.listDir(scratch)
         .find(_.toString.endsWith(".parquet")).get
       val sentinelFile = dir.resolve("b_sentinel.parquet")
       java.nio.file.Files.copy(part, sentinelFile)
@@ -256,8 +255,7 @@ object IntervalJoin {
             org.apache.spark.sql.Row(-102L, sentinelTs, -1L, "purchase", 0.0, "")),
           rawSchema)
         .coalesce(1).write.parquet(scratch.toString)
-      import scala.jdk.CollectionConverters._
-      val part = java.nio.file.Files.list(scratch).iterator().asScala
+      val part = graft.Tables.listDir(scratch)
         .find(_.toString.endsWith(".parquet")).get
       val sentinelFile = dir.resolve("b_sentinel.parquet")
       java.nio.file.Files.copy(part, sentinelFile)
@@ -472,8 +470,7 @@ object IntervalJoin {
             org.apache.spark.sql.Row(-101L, sentinelTs, -1L, "click", 0.0, "")),
           rawSchema)
         .coalesce(1).write.parquet(scratch.toString)
-      import scala.jdk.CollectionConverters._
-      val part = java.nio.file.Files.list(scratch).iterator().asScala
+      val part = graft.Tables.listDir(scratch)
         .find(_.toString.endsWith(".parquet")).get
       val sentinelFile = dir.resolve("b_sentinel.parquet")
       java.nio.file.Files.copy(part, sentinelFile)

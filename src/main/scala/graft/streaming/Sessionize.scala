@@ -337,8 +337,7 @@ object Sessionize {
             org.apache.spark.sql.Row(-101L, sentinelTs, -1L, "click", 0.0, "")),
           rawSchema)
         .coalesce(1).write.parquet(scratch.toString)
-      import scala.jdk.CollectionConverters._
-      val part = java.nio.file.Files.list(scratch).iterator().asScala
+      val part = graft.Tables.listDir(scratch)
         .find(_.toString.endsWith(".parquet")).get
       val sentinelFile = dir.resolve("b_sentinel.parquet")
       java.nio.file.Files.copy(part, sentinelFile)
