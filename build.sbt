@@ -27,4 +27,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Collector choice for the local[N] driver JVM (tasks allocate on the
+  // driver heap in local mode). Parameterized for A/B measurement; a
+  // deployment sizes this per executor-JVM workload. Values: G1 /
+  // Parallel / Z / Shenandoah — anything `-XX:+Use<X>GC` accepts.
+  s"-XX:+Use${sys.env.getOrElse("SPARK_GRAFT_GC", "G1")}GC",
 )

@@ -391,19 +391,25 @@ object EndToEnd {
       .unionByName(tq)
       .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
       .localCheckpoint() // feeds all three stages + the final assembly
-    // stage 1: exact
+    // stage 1: exact. st1 feeds TWO consumers (the dup list and the
+    // survivor slice) inside one final action — materialized once, or
+    // the hash groupBy+join runs twice (no cross-branch subtree reuse)
     val keep1 = corpus.groupBy(md5(col("text")).as("h"))
       .agg(min(col("doc_id")).as("keeper"))
     val st1 = corpus.withColumn("h", md5(col("text"))).join(keep1, "h")
+      .localCheckpoint()
     val exactDups = st1.filter(col("doc_id") =!= col("keeper"))
       .select(col("doc_id"), col("keeper").as("e_dup"))
     val surv1 = st1.filter(col("doc_id") === col("keeper"))
       .select(col("doc_id"), col("text"))
-    // stage 2: doc-level near-dup over stage-1 survivors
+    // stage 2: doc-level near-dup over stage-1 survivors. nearDups also
+    // feeds two consumers (the stage-3 survivor anti-join and the final
+    // verdict join) — materialized so the banded self-join runs once
     val nearDups = Dedup
       .minhashLsh(Dedup.shingleSetsPlain(surv1).localCheckpoint())
       .filter(col("est_jaccard") >= E2eDedupTau)
       .groupBy(col("doc_b").as("doc_id")).agg(min(col("doc_a")).as("n_dup"))
+      .localCheckpoint()
     val surv2 = surv1.join(nearDups.select(col("doc_id")),
       Seq("doc_id"), "left_anti")
     // stage 3: paragraph-level edit over stage-2 survivors

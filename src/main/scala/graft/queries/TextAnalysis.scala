@@ -948,8 +948,37 @@ object TextAnalysis {
   }
 
   /** Adjacent-token pairs of a (doc_id, lang, text) frame — the LM unit
-    * (lag window PARTITIONED by doc; docs under 2 tokens emit none). */
-  private[graft] def lmPairs(f: DataFrame): DataFrame = {
+    * (docs under 2 tokens emit none).
+    *
+    * Pairs come straight off the token ARRAY: posexplode keeps `w` in
+    * scope, so `prev` is `element_at(w, pos)` (1-based `element_at` at
+    * the 0-based `pos` = the predecessor). The old formulation paired
+    * neighbours with a lag window partitioned by doc — an Exchange of
+    * EVERY token string plus a per-doc sort, per scoring pass (t14/t15
+    * corpus-wide, st22 per micro-batch), to recover an adjacency the
+    * array already had (guide §2.4: remove shuffles outright).
+    * `LmPairsSpec` pins the two forms row-identical. The empty-token
+    * filter runs once per doc on the array; split-after-trim only
+    * yields an empty token for a blank doc, which `size(w) >= 2` drops
+    * either way — kept for exactness with the SQL twin's
+    * `len(w[i]) > 0`. */
+  private[graft] def lmPairs(f: DataFrame): DataFrame =
+    // No explicit size(w) >= 2 gate: posexplode emits nothing for an
+    // empty array and `pos >= 1` drops single-token docs, so the gate
+    // would only duplicate the (interpreted, once-per-doc) array-filter
+    // expression into the pushed-down scan filter a third time.
+    f.select(col("doc_id"), col("lang"),
+        filter(split(trim(col("text")), "\\s+"),
+          x => length(x) > 0).as("w"))
+      .select(col("doc_id"), col("lang"), col("w"),
+        posexplode(col("w")).as(Seq("pos", "word")))
+      .filter(col("pos") >= 1)
+      .select(col("doc_id"), col("lang"),
+        element_at(col("w"), col("pos")).as("prev"), col("word"))
+
+  /** The pre-rewrite window formulation of [[lmPairs]] — kept ONLY as
+    * the equality oracle for `LmPairsSpec` (never on a query path). */
+  private[graft] def lmPairsWindowed(f: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     f.select(col("doc_id"), col("lang"),
         posexplode(split(trim(col("text")), "\\s+")).as(Seq("pos", "word")))
@@ -958,6 +987,7 @@ object TextAnalysis {
         lag(col("word"), 1).over(
           Window.partitionBy(col("doc_id")).orderBy(col("pos"))))
       .filter(col("prev").isNotNull)
+      .select(col("doc_id"), col("lang"), col("prev"), col("word"))
   }
 
   /** Train the bigram reference LM on the `isRef` slice: the

@@ -60,13 +60,33 @@ object Sinks {
     // save() is the action the observation rides; get blocks until its
     // listener fires (immediately after the job above).
     val recordCount = obs.get("record_count").asInstanceOf[Long]
-    import spark.implicits._
-    Seq(recordCount).toDF("record_count")
-      .withColumn("source", lit(source))
-      .withColumn("scraped_at", lit(runTimestamp))
-      .withColumn("columns", lit(df.columns.mkString(",")))
-      .coalesce(1)
-      .write.mode(SaveMode.Overwrite).json(s"$path/_meta")
+    // The sidecar is ONE row whose every value is already a driver
+    // value (the observed count + caller-supplied strings) — write it
+    // from the driver like a table-format commit log, instead of
+    // scheduling a whole Spark job (plan + task + commit) to emit one
+    // JSON line. Hadoop FS, not java.nio, so the sink stays
+    // FS-agnostic. Same line a single-row Spark JSON write produced;
+    // readers (schema-supplied or inferred) see an identical relation.
+    def esc(v: String): String = v.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
+    val line = s"""{"record_count":$recordCount,"source":"${esc(source)}",""" +
+      s""""scraped_at":"${esc(runTimestamp)}",""" +
+      s""""columns":"${esc(df.columns.mkString(","))}"}""" + "\n"
+    val metaDir = new org.apache.hadoop.fs.Path(s"$path/_meta")
+    val fs = metaDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(metaDir, true) // SaveMode.Overwrite semantics, kept
+    fs.mkdirs(metaDir)
+    val out = fs.create(
+      new org.apache.hadoop.fs.Path(metaDir, "part-00000.json"), true)
+    try out.write(line.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
   }
 
   /** S11 — run-summary sink: per-status tallies of an operation ledger. */

@@ -176,20 +176,15 @@ object IntervalJoin {
       java.nio.file.Files.copy(
         java.nio.file.Paths.get(s"$d/events.parquet"), eventsFile)
       // sentinel pair 100 days past the corpus: joins only itself
-      val maxUs = raw.agg(max(tsMicros(raw))).head().getLong(0)
+      val maxUs = SentinelFile.maxTsMicrosFromFooter(
+        s"$d/events.parquet", rawSchema)
+        .getOrElse(raw.agg(max(tsMicros(raw))).head().getLong(0))
       val sentinelTs = tsRawValue(rawSchema, maxUs + 100L * 24 * 3600 * 1000000L)
-      val scratch = dir.resolve("scratch")
-      s.createDataFrame(
-          java.util.Arrays.asList(
-            org.apache.spark.sql.Row(-101L, sentinelTs, -1L, "click", 0.0, ""),
-            org.apache.spark.sql.Row(-102L, sentinelTs, -1L, "purchase", 0.0, "")),
-          rawSchema)
-        .coalesce(1).write.parquet(scratch.toString)
-      val part = graft.Tables.listDir(scratch)
-        .find(_.toString.endsWith(".parquet")).get
       val sentinelFile = dir.resolve("b_sentinel.parquet")
-      java.nio.file.Files.copy(part, sentinelFile)
-      org.apache.commons.io.FileUtils.deleteDirectory(scratch.toFile)
+      SentinelFile.write(rawSchema, Seq(
+          org.apache.spark.sql.Row(-101L, sentinelTs, -1L, "click", 0.0, ""),
+          org.apache.spark.sql.Row(-102L, sentinelTs, -1L, "purchase", 0.0, "")),
+        sentinelFile)
       // the sentinel must arrive in a LATER micro-batch: a real click
       // arriving after the watermark passed it would be dropped as late
       java.nio.file.Files.setLastModifiedTime(sentinelFile,
@@ -246,20 +241,15 @@ object IntervalJoin {
       val eventsFile = dir.resolve("a_events.parquet")
       java.nio.file.Files.copy(
         java.nio.file.Paths.get(s"$d/events.parquet"), eventsFile)
-      val maxUs = raw.agg(max(tsMicros(raw))).head().getLong(0)
+      val maxUs = SentinelFile.maxTsMicrosFromFooter(
+        s"$d/events.parquet", rawSchema)
+        .getOrElse(raw.agg(max(tsMicros(raw))).head().getLong(0))
       val sentinelTs = tsRawValue(rawSchema, maxUs + 100L * 24 * 3600 * 1000000L)
-      val scratch = dir.resolve("scratch")
-      s.createDataFrame(
-          java.util.Arrays.asList(
-            org.apache.spark.sql.Row(-101L, sentinelTs, -1L, "click", 0.0, ""),
-            org.apache.spark.sql.Row(-102L, sentinelTs, -1L, "purchase", 0.0, "")),
-          rawSchema)
-        .coalesce(1).write.parquet(scratch.toString)
-      val part = graft.Tables.listDir(scratch)
-        .find(_.toString.endsWith(".parquet")).get
       val sentinelFile = dir.resolve("b_sentinel.parquet")
-      java.nio.file.Files.copy(part, sentinelFile)
-      org.apache.commons.io.FileUtils.deleteDirectory(scratch.toFile)
+      SentinelFile.write(rawSchema, Seq(
+          org.apache.spark.sql.Row(-101L, sentinelTs, -1L, "click", 0.0, ""),
+          org.apache.spark.sql.Row(-102L, sentinelTs, -1L, "purchase", 0.0, "")),
+        sentinelFile)
       java.nio.file.Files.setLastModifiedTime(sentinelFile,
         java.nio.file.attribute.FileTime.fromMillis(
           java.nio.file.Files.getLastModifiedTime(eventsFile).toMillis + 60000))
@@ -462,19 +452,14 @@ object IntervalJoin {
       // sentinel click 100 days past the corpus (user −1): drags the
       // watermark past every real click's seal point; its own click
       // never resolves and is filtered below
-      val maxUs = raw.agg(max(tsMicros(raw))).head().getLong(0)
+      val maxUs = SentinelFile.maxTsMicrosFromFooter(
+        s"$d/events.parquet", rawSchema)
+        .getOrElse(raw.agg(max(tsMicros(raw))).head().getLong(0))
       val sentinelTs = tsRawValue(rawSchema, maxUs + 100L * 24 * 3600 * 1000000L)
-      val scratch = dir.resolve("scratch")
-      s.createDataFrame(
-          java.util.Arrays.asList(
-            org.apache.spark.sql.Row(-101L, sentinelTs, -1L, "click", 0.0, "")),
-          rawSchema)
-        .coalesce(1).write.parquet(scratch.toString)
-      val part = graft.Tables.listDir(scratch)
-        .find(_.toString.endsWith(".parquet")).get
       val sentinelFile = dir.resolve("b_sentinel.parquet")
-      java.nio.file.Files.copy(part, sentinelFile)
-      org.apache.commons.io.FileUtils.deleteDirectory(scratch.toFile)
+      SentinelFile.write(rawSchema, Seq(
+          org.apache.spark.sql.Row(-101L, sentinelTs, -1L, "click", 0.0, "")),
+        sentinelFile)
       java.nio.file.Files.setLastModifiedTime(sentinelFile,
         java.nio.file.attribute.FileTime.fromMillis(
           java.nio.file.Files.getLastModifiedTime(eventsFile).toMillis + 60000))

@@ -329,19 +329,14 @@ object Sessionize {
       val eventsFile = dir.resolve("a_events.parquet")
       java.nio.file.Files.copy(
         java.nio.file.Paths.get(s"$d/events.parquet"), eventsFile)
-      val maxUs = raw.agg(max(tsMicros(raw))).head().getLong(0)
+      val maxUs = SentinelFile.maxTsMicrosFromFooter(
+        s"$d/events.parquet", rawSchema)
+        .getOrElse(raw.agg(max(tsMicros(raw))).head().getLong(0))
       val sentinelTs = tsRawValue(rawSchema, maxUs + 100L * 24 * 3600 * 1000000L)
-      val scratch = dir.resolve("scratch")
-      s.createDataFrame(
-          java.util.Arrays.asList(
-            org.apache.spark.sql.Row(-101L, sentinelTs, -1L, "click", 0.0, "")),
-          rawSchema)
-        .coalesce(1).write.parquet(scratch.toString)
-      val part = graft.Tables.listDir(scratch)
-        .find(_.toString.endsWith(".parquet")).get
       val sentinelFile = dir.resolve("b_sentinel.parquet")
-      java.nio.file.Files.copy(part, sentinelFile)
-      org.apache.commons.io.FileUtils.deleteDirectory(scratch.toFile)
+      SentinelFile.write(rawSchema, Seq(
+          org.apache.spark.sql.Row(-101L, sentinelTs, -1L, "click", 0.0, "")),
+        sentinelFile)
       java.nio.file.Files.setLastModifiedTime(sentinelFile,
         java.nio.file.attribute.FileTime.fromMillis(
           java.nio.file.Files.getLastModifiedTime(eventsFile).toMillis + 60000))

@@ -40,8 +40,12 @@ object StreamDecontam {
   def st21StreamDecontam(s: SparkSession, d: String): DataFrame =
     CatchupConf.withBoundedStatePartitions(s) {
     import graft.queries.Curation
+    // materialized once: the quote-injected corpus (a union with two
+    // joins) otherwise derives twice — once under the bench-gram build,
+    // once under the train staging write
     val corpus = Curation.c11Corpus(
       graft.Tables.documents(s, d).select("doc_id", "text"))
+      .localCheckpoint()
     val isBench = col("doc_id") % 25 === 0 && col("doc_id") < 1000000L
     // the fixed eval side: distinct bench grams, built once up front
     val benchGrams = Curation.c11GramsOf(corpus.filter(isBench))

@@ -22,8 +22,10 @@ object Profile {
     // A/B knobs for optimization experiments, e.g.
     // GRAFT_PROFILE_CONF="spark.foo=1;spark.bar=2"
     sys.env.get("GRAFT_PROFILE_CONF").foreach(_.split(";").foreach { kv =>
-      val Array(k, v) = kv.split("=", 2)
-      builder.config(k.trim, v.trim)
+      kv.split("=", 2) match {
+        case Array(k, v) if k.trim.nonEmpty => builder.config(k.trim, v.trim)
+        case _ => () // tolerate empty/malformed entries (e.g. CONF="")
+      }
     })
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
